@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has matching oracle keys and aligned column sets") {
+    // oracleSql keys must be a subset of queries (driver indexes by query name)
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q03 latest-event dedup keeps exactly one row per user") {
+    val df = SparkEntry.queries("q03_latest_event_per_user")(spark, sf)
+    assert(df.count() === df.select("user_id").distinct().count())
+  }
+
+  test("q05 sliding windows: every event lands in exactly two windows") {
+    import org.apache.spark.sql.functions._
+    val total = SparkEntry.queries("q05_sliding_window_sales")(spark, sf)
+      .agg(sum("orders")).collect()(0).getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(total === 2 * events)
+  }
+}
