@@ -6,10 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * All tables are single parquet files under the per-scale-factor
   * testdata directories (e.g. `/root/testdata/sf0.01`).
-  * Dimension tables (`region`, `nation`, `supplier`, `part`, `customer`)
-  * are small at every scale factor and safe to broadcast; fact tables
-  * (`lineitem`, `orders`, `events`, `documents`, `embeddings`) scale
-  * with sf and must stay distributed.
+  * Only the fixed-cardinality dims (`region`=5, `nation`=25) are safe to
+  * broadcast unconditionally. `supplier`, `part`, and `customer` scale
+  * linearly with SF (customer ≈ 150k×SF rows → billions at 100 TB), so
+  * their join strategy is left to AQE; fact tables (`lineitem`, `orders`,
+  * `events`, `documents`, `embeddings`) must always stay distributed.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -32,6 +33,13 @@ object Tables {
     * (~1.7e18) exceeds double precision, so the division must never go
     * through a float. DuckDB's CAST(ts AS TIMESTAMP) truncates ns→us the
     * same way, so oracles stay comparable.
+    *
+    * NOTE: `nanosAsLong` is session-global and the flag must be live when
+    * the scan's schema is resolved, so it cannot be scoped per-read. Any
+    * session that loads `events` therefore reads *other* TIMESTAMP(NANOS)
+    * parquet as LongType too. None of the testdata tables besides `events`
+    * carry nanos, so this is benign here, but long-lived sessions mixing
+    * sources should set the flag at build time instead (Bench/Verify do).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -36,13 +36,17 @@ object CoreQueries {
       .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum($"l_quantity").as("sum_qty"),
+        // l_quantity routed through dec2 like the money columns: raw double
+        // summation is accumulation-order-dependent and only hash-matches
+        // DuckDB while the data stays integer-valued.
+        sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
         sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
         sum(dec2($"l_extendedprice") * dec2(lit(1) - $"l_discount"))
           .cast("double").as("sum_disc_price"),
         sum(dec2($"l_extendedprice") * dec2(lit(1) - $"l_discount") *
             dec2(lit(1) + $"l_tax")).cast("double").as("sum_charge"),
-        (sum($"l_quantity") / count($"l_quantity")).as("avg_qty"),
+        (sum(dec2($"l_quantity")).cast("double") /
+          count($"l_quantity")).as("avg_qty"),
         (sum(dec2($"l_extendedprice")).cast("double") /
           count($"l_extendedprice")).as("avg_price"),
         (sum(dec2($"l_discount")).cast("double") /
@@ -53,11 +57,11 @@ object CoreQueries {
 
   val q01Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
-      |  sum(l_quantity) / count(l_quantity) AS avg_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
       |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
       |  count(*) AS count_order
@@ -70,8 +74,10 @@ object CoreQueries {
     * `pyspark/data/sales.sql:12-16` payment→customer→address→city→country,
     * re-expressed as lineitem→orders→customer→nation→region) + grouped agg
     * by derived dim (A2) + sort on aggregate (T1).
-    * Dims are explicitly broadcast: at 100 TB the lineitem⋈orders join
-    * shuffles on orderkey, but customer/nation/region stay map-side.
+    * Fixed-cardinality dims (nation=25, region=5) are explicitly
+    * broadcast; `customer` scales linearly with SF (~150k×SF rows, i.e.
+    * billions at 100 TB) so its join strategy is left to AQE — a forced
+    * broadcast would blow the 8 GB broadcast cap at scale.
     */
   def q02TopNationRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -81,7 +87,7 @@ object CoreQueries {
     val n  = Tables.nation(s, dir)
     val r  = Tables.region(s, dir)
     li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
@@ -213,14 +219,17 @@ object CoreQueries {
     * `08_streaming_read_kafka_join_window.py:94-98`, `09:94-97`, `12:98-102`:
     * `join(regions, on="country", how="leftOuter")` + `na.fill("Unassigned")`).
     * The dim is deliberately punctured (c_custkey % 3 == 0 removed) so the
-    * fill path is exercised; it is broadcast, as the 245-row regions dim is.
+    * fill path is exercised. Unlike the reference's fixed 245-row regions
+    * dim, this dim derives from `customer`, which scales with SF — so no
+    * broadcast hint: AQE broadcasts it while it's small and falls back to a
+    * shuffle join when it isn't.
     */
   def q06EnrichedSegmentSales(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dim = broadcast(
+    val dim =
       Tables.customer(s, dir)
         .filter($"c_custkey" % 3 =!= 0)
-        .select($"c_custkey".as("user_id"), $"c_mktsegment"))
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
     Tables.events(s, dir)
       .join(dim, Seq("user_id"), "left_outer")
       .na.fill("Unassigned", Seq("c_mktsegment"))

@@ -82,8 +82,9 @@ object ReferenceQueries {
     */
   def q09SeedSqlShapes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // customer scales with SF — join strategy left to AQE (no broadcast hint)
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .select(
         $"o_orderkey",
         when($"o_totalprice" < 1000.0, dec2(lit(2.99)))
