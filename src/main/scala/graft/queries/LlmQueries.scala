@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.{TextOps, VectorOps}
+
+/** LLM-training-data-pipeline operators over the driver-provided
+  * `documents` (doc_id, text, lang, source, n_chars) and `embeddings`
+  * (vec_id, embedding float[64], label) tables: deduplication (exact,
+  * bag-of-words, MinHash/LSH near-dup), similarity search (brute-force
+  * cosine top-k and its sign-LSH bucketed scale path), and text analysis.
+  *
+  * These extend the reference's surface (it has no corpus operators) per
+  * the north-star brief; the closest reference shape is the W3
+  * latest-per-key dedup (`07_batch_read_kafka.py:65,74-75`) which q14/q15
+  * generalize from keys to content fingerprints.
+  *
+  * Scale design (100 TB): every per-document computation (normalize,
+  * fingerprint, shingle, minhash signature, LSH bucket) is a pure
+  * map-side Catalyst expression — zero shuffle, whole-stage codegen.
+  * The only shuffles are groupBy on a 32-char fingerprint (exact dedup),
+  * the band-key self-join (near-dup: shuffles ~few hundred bytes per doc,
+  * never text), and the bucket join (ANN). Nothing here is all-pairs.
+  *
+  * Oracle parity: minhashes are md5 hex strings compared
+  * lexicographically; cosine goes through exact integer-scaled dot/norms
+  * (see [[graft.operators.VectorOps]]) so emitted doubles are bit-exact
+  * reproductions of the DuckDB oracle's.
+  */
+object LlmQueries {
+
+  // ---------------------------------------------------------------- q14
+
+  /** q14 — exact deduplication: hash-groupBy on md5 of the normalized
+    * text, keep the smallest doc_id per group. groupBy (not a window) so
+    * partial aggregation combines map-side at scale; the shuffle carries
+    * (fp, doc_id, 1) triples only. This corpus has no byte-identical
+    * duplicates, so every group has size 1 — the point of the entry is
+    * the verified pipeline (normalize → fingerprint → group-keep-first).
+    */
+  def q14DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TextOps.exactFingerprint(TextOps.normText($"text")).as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("group_size"))
+      .select($"doc_id", $"fingerprint", $"group_size")
+      .orderBy($"doc_id")
+  }
+
+  val q14Oracle: String =
+    """SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS group_size
+      |FROM (SELECT doc_id,
+      |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      |      FROM documents) t
+      |GROUP BY fingerprint
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+
+  /** q15 — order-insensitive deduplication: same group-keep-first shape as
+    * q14 but keyed on the bag-of-words fingerprint (md5 of sorted distinct
+    * tokens), which collapses token-shuffled copies — the corpus's planted
+    * duplicate class. Same shuffle profile as q14: fingerprints, not text.
+    */
+  def q15DedupBag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("group_size"))
+      .select($"doc_id", $"fingerprint", $"group_size")
+      .orderBy($"doc_id")
+  }
+
+  val q15Oracle: String =
+    """SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS group_size
+      |FROM (SELECT doc_id,
+      |        md5(array_to_string(list_sort(list_distinct(string_split(
+      |          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ')) AS fingerprint
+      |      FROM documents) t
+      |GROUP BY fingerprint
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+
+  /** q16 — MinHash/LSH near-duplicate pairs over word 3-gram shingles:
+    * 9 md5-string minhashes → 3 bands × 3 rows → candidate pairs from the
+    * band-key self-join → exact-Jaccard confirmation ≥ 0.8.
+    *
+    * Never all-pairs: candidate generation shuffles (band, 32-char key)
+    * per doc — 3 rows/doc regardless of doc size — and only docs agreeing
+    * on a full band collide. The Jaccard confirm then touches candidate
+    * pairs only (~25 pairs here vs 125k all-pairs). A missed-band false
+    * negative is reproduced identically by the oracle (same banding), so
+    * the entry is deterministic, not probabilistic.
+    */
+  def q16NearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(
+      $"doc_id",
+      TextOps.shingles(TextOps.tokens(TextOps.normText($"text")), 3).as("sh"))
+    val bands = base
+      .select($"doc_id", posexplode(TextOps.bandKeys(TextOps.minhashSignature($"sh", 9), 3, 3)))
+      .toDF("doc_id", "band", "bk")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(base.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("common_shingles", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("union_shingles", size($"sh_a") + size($"sh_b") - $"common_shingles")
+      .withColumn("jaccard", $"common_shingles".cast("double") / $"union_shingles")
+      .filter($"jaccard" >= 0.8)
+      .select($"doc_a", $"doc_b", $"common_shingles", $"union_shingles", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q16Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)),
+      |seeds AS (SELECT unnest(generate_series(0, 8)) AS seed),
+      |mh AS (
+      |  SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS m
+      |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+      |bandkeys AS (
+      |  SELECT doc_id, seed // 3 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bk
+      |  FROM mh GROUP BY doc_id, seed // 3),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT doc_a, doc_b, i AS common_shingles,
+      |  (na.n + nb.n - i) AS union_shingles,
+      |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+      |FROM inter
+      |JOIN szs na ON na.doc_id = doc_a
+      |JOIN szs nb ON nb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "is", "in")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "dans")
+  private val stopEs = Seq("el", "los", "las", "y", "es", "una")
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** q17 — per-document text analysis: token counts (whitespace and
+    * BPE-ish regex), type-token ratio, average token length, stopword
+    * ratio, an n-gram-free stopword-vote language guess, a composite
+    * quality score, and a 16-hex fingerprint. Pure map-side (one pass,
+    * no shuffle beyond the final presentation sort); at 100 TB this is
+    * the "annotate every document" stage that runs at scan throughput.
+    * Quality/ratio doubles come from integer counts through an identical
+    * IEEE expression tree on both engines, so values hash-match exactly.
+    */
+  def q17TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = TextOps.normText($"text")
+    val toks = TextOps.tokens($"norm")
+    val enH = TextOps.stopwordHits($"toks", stopEn)
+    val deH = TextOps.stopwordHits($"toks", stopDe)
+    val frH = TextOps.stopwordHits($"toks", stopFr)
+    val esH = TextOps.stopwordHits($"toks", stopEs)
+    Tables.documents(s, dir)
+      .withColumn("norm", norm)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_uniq", size(array_distinct($"toks")))
+      .withColumn("bpe_tokens", TextOps.bpeTokenCount($"norm"))
+      .withColumn("en_h", enH).withColumn("de_h", deH)
+      .withColumn("fr_h", frH).withColumn("es_h", esH)
+      .withColumn("ttr", $"n_uniq" / $"n_tokens")
+      .withColumn("avg_token_len", (length($"norm") - $"n_tokens" + 1) / $"n_tokens")
+      .withColumn("stop_ratio", $"en_h" / $"n_tokens")
+      .withColumn("lang_guess",
+        when($"en_h" >= greatest($"de_h", $"fr_h", $"es_h") && $"en_h" > 0, "en")
+          .when($"de_h" >= greatest($"fr_h", $"es_h") && $"de_h" > 0, "de")
+          .when($"fr_h" >= $"es_h" && $"fr_h" > 0, "fr")
+          .when($"es_h" > 0, "es")
+          .otherwise("und"))
+      .withColumn("quality",
+        least(lit(1.0), $"n_tokens" / lit(100.0)) * lit(0.4) +
+          $"ttr" * lit(0.3) +
+          least(lit(1.0), $"stop_ratio" * lit(5.0)) * lit(0.3))
+      .withColumn("fingerprint", substring(md5($"norm"), 1, 16))
+      .select($"doc_id", $"lang", $"lang_guess", $"n_tokens", $"n_uniq",
+        $"bpe_tokens", $"ttr", $"avg_token_len", $"stop_ratio", $"quality",
+        $"fingerprint")
+      .orderBy($"doc_id")
+  }
+
+  val q17Oracle: String = {
+    val en = sqlList(stopEn); val de = sqlList(stopDe)
+    val fr = sqlList(stopFr); val es = sqlList(stopEs)
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+       |  FROM documents),
+       |tk AS (SELECT doc_id, lang, norm, string_split(norm, ' ') AS toks FROM base),
+       |cnt AS (
+       |  SELECT doc_id, lang, norm,
+       |    len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_uniq,
+       |    len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+       |    len(list_filter(toks, x -> list_contains($en, x))) AS en_h,
+       |    len(list_filter(toks, x -> list_contains($de, x))) AS de_h,
+       |    len(list_filter(toks, x -> list_contains($fr, x))) AS fr_h,
+       |    len(list_filter(toks, x -> list_contains($es, x))) AS es_h
+       |  FROM tk)
+       |SELECT doc_id, lang,
+       |  CASE WHEN en_h >= greatest(de_h, fr_h, es_h) AND en_h > 0 THEN 'en'
+       |       WHEN de_h >= greatest(fr_h, es_h) AND de_h > 0 THEN 'de'
+       |       WHEN fr_h >= es_h AND fr_h > 0 THEN 'fr'
+       |       WHEN es_h > 0 THEN 'es'
+       |       ELSE 'und' END AS lang_guess,
+       |  n_tokens, n_uniq, bpe_tokens,
+       |  n_uniq / n_tokens AS ttr,
+       |  (length(norm) - n_tokens + 1) / n_tokens AS avg_token_len,
+       |  en_h / n_tokens AS stop_ratio,
+       |  least(1.0, n_tokens / 100.0) * 0.4 + (n_uniq / n_tokens) * 0.3 +
+       |    least(1.0, (en_h / n_tokens) * 5.0) * 0.3 AS quality,
+       |  substring(md5(norm), 1, 16) AS fingerprint
+       |FROM cnt
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q18
+
+  /** q18 — brute-force cosine top-k (k=5) similarity search: every 50th
+    * vector is a query; each is scored against the whole table. The query
+    * set is broadcast, so scoring is one map-side pass over the base
+    * vectors (no shuffle of embeddings); only the per-query top-k ranking
+    * shuffles, keyed by query id. This is the exhaustive baseline the
+    * bucketed q19 is measured against; at 100 TB brute force is O(Q·N)
+    * and q19's bucket path replaces it.
+    */
+  def q18CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sv = Tables.embeddings(s, dir)
+      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+    val q = sv.select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qn"))
+      .filter($"qid" % 50 === 0)
+    val scored = sv.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cosine",
+        VectorOps.cosineFromParts(VectorOps.dotL($"qv", $"v"), $"qn", $"nsq"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q18Oracle: String =
+    """WITH sv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |nn AS (SELECT vec_id, v,
+      |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM sv),
+      |pr AS (
+      |  SELECT q.vec_id AS qid, b.vec_id AS nid, q.v AS qv, b.v AS bv,
+      |         q.nsq AS qn, b.nsq AS bn
+      |  FROM nn q JOIN nn b ON b.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0),
+      |dt AS (
+      |  SELECT qid, nid, qn, bn, CAST(sum(qv[i] * bv[i]) AS BIGINT) AS dot
+      |  FROM pr, unnest(generate_series(1, len(qv))) t(i)
+      |  GROUP BY qid, nid, qn, bn),
+      |sc AS (
+      |  SELECT qid, nid,
+      |    CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) AS cosine
+      |  FROM dt),
+      |rk AS (
+      |  SELECT qid, nid, cosine,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      |  FROM sc)
+      |SELECT qid, rnk AS "rank", nid AS neighbor_id, cosine
+      |FROM rk WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+
+  private val NumPlanes = 4
+  private val Dims = 64
+  private lazy val planes: Seq[Seq[Int]] = VectorOps.rademacherPlanes(NumPlanes, Dims)
+
+  /** q19 — sign-LSH bucketed approximate nearest neighbors, the scale
+    * path for q18: vectors hash to a 4-bit bucket (one bit per
+    * deterministic Rademacher hyperplane; exact integer projections, see
+    * [[VectorOps.signLshBucket]]), and each query ranks only its own
+    * bucket (top-3). The bucket string is the join/shuffle key — work per
+    * query drops from O(N) to O(N / 2^planes), and at 100 TB you raise
+    * the plane count (and multi-probe neighboring buckets) to keep bucket
+    * sizes bounded. The plane matrix derives from md5, so the oracle
+    * inlines the identical ±1 literals.
+    */
+  def q19AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sv = Tables.embeddings(s, dir)
+      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+      .withColumn("bucket", VectorOps.signLshBucket($"v", planes))
+    val q = sv.select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qn"), $"bucket")
+      .filter($"qid" % 50 === 0)
+    val scored = sv.join(q, Seq("bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cosine",
+        VectorOps.cosineFromParts(VectorOps.dotL($"qv", $"v"), $"qn", $"nsq"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"bucket", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q19Oracle: String = {
+    val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, v,
+       |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM sv),
+       |pl AS (SELECT $planesSql AS m),
+       |proj AS (
+       |  SELECT vec_id, p, sum(v[i] * m[p + 1][i]) AS s
+       |  FROM nn, pl,
+       |       unnest(generate_series(0, ${NumPlanes - 1})) tp(p),
+       |       unnest(generate_series(1, len(v))) ti(i)
+       |  GROUP BY vec_id, p),
+       |buck AS (
+       |  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, b.vec_id AS nid, q.bucket AS bucket
+       |  FROM buck q JOIN buck b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0),
+       |dt AS (
+       |  SELECT c.qid, c.nid, c.bucket, nq.nsq AS qn, nb.nsq AS bn,
+       |    CAST(sum(nq.v[i] * nb.v[i]) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN nn nq ON nq.vec_id = c.qid
+       |  JOIN nn nb ON nb.vec_id = c.nid,
+       |       unnest(generate_series(1, len(nq.v))) t(i)
+       |  GROUP BY c.qid, c.nid, c.bucket, nq.nsq, nb.nsq),
+       |sc AS (
+       |  SELECT qid, bucket, nid,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) AS cosine
+       |  FROM dt),
+       |rk AS (
+       |  SELECT qid, bucket, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+       |  FROM sc)
+       |SELECT qid, bucket, rnk AS "rank", nid AS neighbor_id, cosine
+       |FROM rk WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_dedup_exact"  -> (q14DedupExact _),
+    "q15_dedup_bag"    -> (q15DedupBag _),
+    "q16_neardup_lsh"  -> (q16NearDupLsh _),
+    "q17_text_stats"   -> (q17TextStats _),
+    "q18_cosine_topk"  -> (q18CosineTopK _),
+    "q19_ann_lsh"      -> (q19AnnLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "q14_dedup_exact"  -> q14Oracle,
+    "q15_dedup_bag"    -> q15Oracle,
+    "q16_neardup_lsh"  -> q16Oracle,
+    "q17_text_stats"   -> q17Oracle,
+    "q18_cosine_topk"  -> q18Oracle,
+    "q19_ann_lsh"      -> q19Oracle)
+}
