@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's Structured Streaming job shapes (SURVEY §2j, §3 E2),
+  * re-expressed as mode-agnostic `DataFrame => DataFrame` transforms.
+  * Each takes a (possibly streaming) decoded event DataFrame — the
+  * output of [[TopicStream.decodeJson]] — and appends only logical plan
+  * nodes, so Catalyst plans them identically under batch execution and
+  * `IncrementalExecution`; parity tests exploit exactly this.
+  *
+  * Scale notes (100 TB): the reference runs everything in `complete`
+  * output mode, where the streaming aggregate's whole result lives in
+  * the StateStore forever and the watermark is inert (SURVEY ST1). That
+  * is faithful for ≤25-key dashboards but is NOT the 100 TB path — state
+  * grows with distinct keys. The scale path is append mode + watermark
+  * (state per open window only, evicted when the watermark passes), which
+  * [[slidingWindowSales]] supports unchanged: output mode is a sink-side
+  * choice, and the append-mode eviction semantics are pinned by
+  * StreamingSpec's late-data test.
+  */
+object StreamJobs {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Complete-mode grouped aggregate (ref `03_streaming_read_kafka_console.py:74-93`:
+    * all-time sum/count per country, re-keyed to event_type). Two-phase
+    * HashAggregate: partial state map-side, final state in the StateStore
+    * keyed by group — shuffle carries partial aggregates, never raw events.
+    */
+  def groupedSales(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        sum(dec2(col("value"))).cast("double").as("sales"),
+        count(col("value")).as("orders"))
+
+  /** Watermarked sliding-window aggregate (ref `05_streaming_read_kafka_console_window.py:77-82`:
+    * `withWatermark("timestamp", "10 minutes")` + `window(ts, "10 minutes",
+    * "5 minutes")`). Under complete mode the watermark is inert (reference
+    * semantics, reproduced deliberately); under append mode the same plan
+    * evicts window state once the watermark passes — the scale path.
+    */
+  def slidingWindowSales(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        sum(dec2(col("value"))).cast("double").as("sales"),
+        count(lit(1)).as("orders"))
+
+  /** Stream–static left-outer enrichment join + null back-fill + windowed
+    * aggregate (ref `08_streaming_read_kafka_join_window.py:92-104`,
+    * `09:92-101`). The static dim resolves per micro-batch on the stream
+    * side with no stateful join — at scale AQE broadcasts a small dim;
+    * an SF-scaling dim falls back to a per-batch shuffle join, which is
+    * why no broadcast hint is forced here (same rationale as batch q06).
+    */
+  def enrichedWindowSales(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(dim, Seq("user_id"), "left_outer")
+      .na.fill("Unassigned", Seq("segment"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("segment"))
+      .agg(
+        sum(dec2(col("value"))).cast("double").as("sales"),
+        count(lit(1)).as("orders"))
+
+  /** Kafka-like checkpointed topic sink (ref `06_streaming_read_kafka_kafka.py:105-112`:
+    * complete-mode aggregate → `to_json` → Kafka topic with
+    * `checkpointLocation`). Modeled as an append-only parquet "topic
+    * dump": each complete-mode emission appends the full snapshot tagged
+    * with its batch id — exactly the re-emission stream the reference's
+    * summary topic accumulates and its jobs 07/13 dedup downstream with
+    * the W3 latest-wins window. Offsets + aggregate state live in the
+    * checkpoint dir, so a restarted query resumes from the last committed
+    * batch instead of reprocessing the topic (pinned by StreamingSpec).
+    */
+  def startTopicSink(
+      aggregated: DataFrame,
+      keyCol: String,
+      path: String,
+      checkpoint: String,
+      queryName: String): StreamingQuery =
+    aggregated.writeStream
+      .queryName(queryName)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TopicStream.encodeJson(batch, col(keyCol))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("timestamp", current_timestamp())
+          .write.mode("append").parquet(path)
+      }
+      .start()
+}

@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.{StreamJobs, TopicRecord, TopicStream}
+
+/** Structured Streaming semantics (SURVEY §2j ST1-ST8, A5, S4, K2/K4),
+  * pinned by parity with the batch plans: every job is fed the exact
+  * same records through a `MemoryStream[TopicRecord]` (the Kafka-wire
+  * model, S4) and through a batch DataFrame, and the streaming result
+  * must equal the batch one. DuckDB can't run streams, so batch parity
+  * IS the streaming oracle — the batch twins are covered by the
+  * CORRECTNESS gate (q05/q06 shapes).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+  private var records: Seq[TopicRecord] = _
+  private var recordsDf: DataFrame = _ // batch twin of the stream feed
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("streaming-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ss = spark; import ss.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    recordsDf = ev.select(
+      $"user_id".cast("string").as("key"),
+      to_json(struct(ev.columns.map(col): _*), TopicStream.jsonOpts).as("value"),
+      $"ts".as("timestamp"))
+    records = recordsDf.as[TopicRecord].collect().toSeq
+    assert(records.nonEmpty)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def assertSameRows(streamed: DataFrame, batch: DataFrame): Unit = {
+    val a = streamed.collect().map(_.toString).sorted.toSeq
+    val b = batch.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
+  private def runComplete(out: DataFrame, name: String): DataFrame = {
+    val q = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("ST4/A5: complete-mode grouped agg equals its batch twin (ref 03)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TopicRecord]
+    ms.addData(records: _*)
+    val streamed = runComplete(
+      StreamJobs.groupedSales(TopicStream.decodeJson(ms.toDF())), "t_grouped")
+    assertSameRows(streamed, StreamJobs.groupedSales(TopicStream.decodeJson(recordsDf)))
+  }
+
+  test("ST1/ST2/T2: watermark + sliding window + complete-mode sort equals batch twin (ref 05)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TopicRecord]
+    ms.addData(records: _*)
+    val sort = Seq($"window".desc, $"sales".desc, $"event_type")
+    val streamed = runComplete(
+      StreamJobs.slidingWindowSales(TopicStream.decodeJson(ms.toDF()))
+        .orderBy(sort: _*), "t_window")
+    assertSameRows(streamed,
+      StreamJobs.slidingWindowSales(TopicStream.decodeJson(recordsDf)).orderBy(sort: _*))
+    // every event lands in exactly two sliding buckets
+    val total = streamed.agg(sum($"orders")).head.getLong(0)
+    assert(total === 2L * records.size)
+  }
+
+  test("J1/P7: stream-static left-outer join + na.fill + window equals batch twin (ref 08)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.customer(spark, sf)
+      .filter($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val ms = MemoryStream[TopicRecord]
+    ms.addData(records: _*)
+    val streamed = runComplete(
+      StreamJobs.enrichedWindowSales(TopicStream.decodeJson(ms.toDF()), dim), "t_enrich")
+    assertSameRows(streamed,
+      StreamJobs.enrichedWindowSales(TopicStream.decodeJson(recordsDf), dim))
+    // the punctured dim must have produced back-filled rows
+    assert(streamed.filter($"segment" === "Unassigned").count() > 0)
+  }
+
+  test("ST5/ST8/K2/ST7: checkpointed topic sink resumes from state, dump dedups to latest (ref 06->07)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dump = Files.createTempDirectory("topic_dump").toString
+    val ck = Files.createTempDirectory("ck").toString
+    val (half1, half2) = records.splitAt(records.size / 2)
+
+    val ms = MemoryStream[TopicRecord]
+    val agg = StreamJobs.groupedSales(TopicStream.decodeJson(ms.toDF()))
+
+    ms.addData(half1: _*)
+    StreamJobs.startTopicSink(agg, "event_type", dump, ck, "sink_run1").awaitTermination()
+    ms.addData(half2: _*)
+    // same checkpoint dir: the restarted query must resume offsets + state,
+    // process ONLY half2, and still emit the full-corpus aggregate.
+    StreamJobs.startTopicSink(agg, "event_type", dump, ck, "sink_run2").awaitTermination()
+
+    val summarySchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("sales", DoubleType),
+      StructField("orders", LongType)))
+    val dumped = spark.read.parquet(dump)
+      .select($"key", $"batch_id",
+        from_json($"value", summarySchema, TopicStream.jsonOpts).as("data"))
+      .select($"key", $"batch_id", $"data.*")
+    assert(dumped.select($"batch_id").distinct().count() === 2)
+
+    // batch 0 snapshot == agg(half1); batch 1 snapshot == agg(all): state resumed
+    val batchAgg = (rs: Seq[TopicRecord]) => StreamJobs.groupedSales(
+      TopicStream.decodeJson(rs.toDF("key", "value", "timestamp")))
+    assertSameRows(
+      dumped.filter($"batch_id" === 0).select($"event_type", $"sales", $"orders"),
+      batchAgg(half1))
+    assertSameRows(
+      dumped.filter($"batch_id" === 1).select($"event_type", $"sales", $"orders"),
+      batchAgg(records))
+
+    // ST7: W3 latest-wins dedup of the re-emission stream == final snapshot
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"batch_id".desc)
+    val deduped = dumped
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_type", $"sales", $"orders")
+    assertSameRows(deduped, batchAgg(records))
+
+    // F8: the record key is sha1 of the grouping column
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+    val one = dumped.select($"key", $"event_type").head
+    val expected = sha.digest(one.getString(1).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(one.getString(0) === expected)
+  }
+
+  test("ST1 append mode: watermark evicts closed windows and drops late data") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = ms.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory").queryName("t_append").outputMode("append").start()
+    try {
+      ms.addData((t(10, 1), "a", 1.0), (t(10, 5), "a", 1.0))
+      q.processAllAvailable()
+      ms.addData((t(10, 31), "a", 1.0), (t(10, 32), "a", 1.0))
+      q.processAllAvailable() // watermark -> 10:22, [10:00,10:10) closes with n=2
+      ms.addData((t(10, 3), "a", 1.0)) // late: below watermark, must be dropped
+      q.processAllAvailable()
+      ms.addData((t(11, 0), "a", 1.0), (t(11, 5), "a", 1.0))
+      q.processAllAvailable() // pushes watermark past 10:40: [10:30,10:40) closes
+      val out = spark.table("t_append")
+        .select(date_format($"window.start", "HH:mm").as("ws"), $"n")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out("10:00") === 2L) // late 10:03 row NOT counted
+      assert(out("10:30") === 2L)
+    } finally q.stop()
+  }
+
+  test("ST3/ST6/K4: ProcessingTime trigger + queryName on a live query") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[TopicRecord]
+    val q = TopicStream.decodeJson(ms.toDF())
+      .writeStream
+      .format("memory").queryName("t_pt")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      assert(q.name === "t_pt")
+      ms.addData(records.take(100): _*)
+      q.processAllAvailable()
+      assert(spark.table("t_pt").count() === 100)
+      assert(q.isActive)
+    } finally q.stop()
+  }
+}
