@@ -19,13 +19,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ReferenceQueries.queries ++ LlmQueries.queries
+    CoreQueries.queries ++ ReferenceQueries.queries ++ LlmQueries.queries ++
+      CodecQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ ReferenceQueries.oracles ++ LlmQueries.oracles
+    CoreQueries.oracles ++ ReferenceQueries.oracles ++ LlmQueries.oracles ++
+      CodecQueries.oracles
 
   /** Headline subset timed by graft.Bench (kept stable across rounds). */
   def benchQueries: Seq[String] = queries.keys.toSeq.sorted

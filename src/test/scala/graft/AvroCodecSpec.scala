@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.AvroCodec
+
+/** Avro codec laws: schema derivation (S5), lossless round trips (F3/F4)
+  * including nulls, nested records, arrays, bytes, and timestamp-millis.
+  */
+class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("avro-codec-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val schemaJson =
+    """{"type":"record","name":"T","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":["null","string"]},
+      |{"name":"score","type":"double"},
+      |{"name":"flag","type":"boolean"},
+      |{"name":"at","type":{"type":"long","logicalType":"timestamp-millis"}},
+      |{"name":"tags","type":{"type":"array","items":"string"}},
+      |{"name":"blob","type":"bytes"},
+      |{"name":"inner","type":{"type":"record","name":"Inner","fields":[
+      |  {"name":"a","type":"int"},{"name":"b","type":["null","string"]}]}}]}""".stripMargin
+
+  test("S5: avro schema JSON derives the expected StructType") {
+    val st = AvroCodec.structTypeFor(schemaJson)
+    assert(st.fieldNames.toSeq ===
+      Seq("id", "name", "score", "flag", "at", "tags", "blob", "inner"))
+    assert(st("id").dataType === LongType && !st("id").nullable)
+    assert(st("name").dataType === StringType && st("name").nullable)
+    assert(st("at").dataType === TimestampType)
+    assert(st("tags").dataType === ArrayType(StringType, containsNull = false))
+    assert(st("blob").dataType === BinaryType)
+    assert(st("inner").dataType.isInstanceOf[StructType])
+  }
+
+  test("F3/F4: encode-decode round trip is lossless, including nulls") {
+    val st = AvroCodec.structTypeFor(schemaJson)
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789")
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, ts, Seq("x", "y"),
+        Array[Byte](1, 2, 3), Row(7, "seven")),
+      Row(2L, null, -0.25, false, ts, Seq.empty[String],
+        Array.empty[Byte], Row(8, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), st)
+    val enc = AvroCodec.toAvroUdf(schemaJson)
+    val dec = AvroCodec.fromAvroUdf(schemaJson)
+    val back = df
+      .select(dec(enc(struct(df.columns.map(col): _*))).as("d"))
+      .select("d.*")
+    val orig = df.collect().map(_.toString).sorted.toSeq
+    val trip = back.collect().map { r =>
+      // Array[Byte] toString is identity-based; normalize for compare
+      Row.fromSeq(r.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }).toString
+    }.sorted.toSeq
+    val origNorm = df.collect().map { r =>
+      Row.fromSeq(r.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }).toString
+    }.sorted.toSeq
+    assert(trip === origNorm)
+    assert(orig.nonEmpty)
+  }
+
+  test("encoded bytes are deterministic and schema-stable") {
+    val st = AvroCodec.structTypeFor(schemaJson)
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val row = Row(9L, "z", 0.0, false, ts, Seq("t"), Array[Byte](9), Row(1, "b"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(row)), st)
+    val enc = AvroCodec.toAvroUdf(schemaJson)
+    val a = df.select(enc(struct(df.columns.map(col): _*))).head.getAs[Array[Byte]](0)
+    val b = df.select(enc(struct(df.columns.map(col): _*))).head.getAs[Array[Byte]](0)
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
+}
