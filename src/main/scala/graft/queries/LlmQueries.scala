@@ -101,12 +101,46 @@ object LlmQueries {
   def q16NearDupLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val base = docs.select(
-      $"doc_id",
-      TextOps.shingles(TextOps.tokens(TextOps.normText($"text")), 3).as("sh"))
-    val bands = base
-      .select($"doc_id", posexplode(TextOps.bandKeys(TextOps.minhashSignature($"sh", 9), 3, 3)))
-      .toDF("doc_id", "band", "bk")
+    // The corpus arrives as one small parquet split; the minhash stage is
+    // CPU-bound, so spread it across cores when the scan under-partitions.
+    // At production scale the input has thousands of splits and this
+    // branch is a no-op (no 100 TB reshuffle).
+    val parts = s.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < parts) docs.repartition(parts) else docs
+    // Bind the token array to a column BEFORE shingling: higher-order
+    // lambdas are interpreted with no common-subexpression elimination,
+    // so an inlined tokens expression would re-run the whole
+    // regexp/split pipeline for every element_at reference — measured
+    // ~150 re-evaluations per document.
+    val base = spread
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+    // Shuffle-based minhash rather than the per-row array expression: each
+    // (doc, shingle, seed) md5 is computed exactly once (the array form
+    // gets re-evaluated per band reference and per self-join side — a
+    // measured 9x+ blowup), the (doc, seed) min is combined map-side so
+    // the shuffle carries 9 rows per document, and the two identical
+    // aggregation subtrees under the self-join collapse via ReuseExchange.
+    // *_outer generators + explicit null filters: the non-outer forms
+    // trigger InferFiltersFromGenerate, which clones the whole generator
+    // child expression (shingles / 9 md5s) into a Filter that predicate
+    // pushdown then moves below the repartition — duplicated CPU on the
+    // scan's single input partition (measured 6x slowdown at sf0.1).
+    val mh = base
+      .select($"doc_id", explode_outer($"sh").as("shingle"))
+      .filter($"shingle".isNotNull)
+      .select($"doc_id", posexplode_outer(transform(sequence(lit(0), lit(8)),
+        sd => md5(concat(sd.cast("string"), lit(":"), $"shingle")))))
+      .toDF("doc_id", "seed", "h")
+      .filter($"h".isNotNull)
+      .groupBy($"doc_id", $"seed")
+      .agg(min($"h").as("m"))
+    val bands = mh
+      .groupBy($"doc_id", ($"seed" / 3).cast("int").as("band"))
+      .agg(md5(concat_ws("",
+        max(when($"seed" % 3 === 0, $"m")),
+        max(when($"seed" % 3 === 1, $"m")),
+        max(when($"seed" % 3 === 2, $"m")))).as("bk"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
