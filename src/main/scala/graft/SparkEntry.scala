@@ -20,14 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ReferenceQueries.queries ++ LlmQueries.queries ++
-      CodecQueries.queries ++ SinkQueries.queries
+      CodecQueries.queries ++ SinkQueries.queries ++ CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ReferenceQueries.oracles ++ LlmQueries.oracles ++
-      CodecQueries.oracles ++ SinkQueries.oracles
+      CodecQueries.oracles ++ SinkQueries.oracles ++ CdcQueries.oracles
 
   /** Headline set timed by graft.Bench — an explicit literal list so the
     * cross-round bench total stays comparable: queries added in later
@@ -56,5 +56,6 @@ object SparkEntry {
     "q20_avro_roundtrip",
     "q21_multimodal_meta",
     "q22_partitioned_sink",
-    "q23_csv_roundtrip")
+    "q23_csv_roundtrip",
+    "q24_cdc_lake_upsert")
 }

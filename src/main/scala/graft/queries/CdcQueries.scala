@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{CdcMerge, CdcTable}
+
+/** End-to-end CDC lake queries over [[graft.operators.CdcTable]] — the
+  * bulk-insert → incremental-upsert → merged-snapshot lifecycle the
+  * reference drives with DeltaStreamer (SURVEY K10/S6/ST9).
+  */
+object CdcQueries {
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
+
+  /** q24 — CDC lake upsert lifecycle: the events-derived rewrite-mode
+    * changelog (q12's lineage) is split into three deterministic batches;
+    * batch 0 bulk-inserts the partitioned base, batches 1 and 2 land as
+    * incremental upserts in the log, and the answer is the `_rt`
+    * (real-time, base ∪ log) merged snapshot with hard-delete
+    * visibility. The storage partition is `event_type`, which CHANGES
+    * across a user's events — so the merge must collapse cross-partition
+    * key moves (GLOBAL_BLOOM semantics) for the hash to match the
+    * oracle's flat window merge over the full changelog.
+    */
+  def q24CdcLakeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch(s"q24_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val op = when($"event_type" === "signup", "c")
+      .when($"event_type" === "error", "d")
+      .otherwise("u")
+    val changelog = Tables.events(s, dir).select(
+      $"user_id", $"event_id", $"value",
+      op.as("__op"),
+      when(op === "d", "true").otherwise("false").as("__deleted"),
+      unix_millis($"ts").as("__source_ts_ms"),
+      $"event_type")
+    val table = new CdcTable(s, path,
+      keyCols = Seq("user_id"),
+      orderingCols = Seq("__source_ts_ms", "event_id"),
+      partitionCol = "event_type")
+    table.bulkInsert(changelog.filter($"event_id" % 3 === 0))
+    table.upsert(changelog.filter($"event_id" % 3 === 1))
+    table.upsert(changelog.filter($"event_id" % 3 === 2))
+    table.realTime(CdcMerge.Drop)
+      .select($"user_id", $"event_id", $"value", $"__op")
+      .orderBy($"user_id")
+  }
+
+  val q24Oracle: String =
+    """SELECT user_id, event_id, value, __op FROM (
+      |  SELECT user_id, event_id, value,
+      |    CASE WHEN event_type='signup' THEN 'c'
+      |         WHEN event_type='error'  THEN 'd' ELSE 'u' END AS __op,
+      |    CASE WHEN event_type='error' THEN 'true' ELSE 'false' END AS __deleted,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND __deleted = 'false'
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_cdc_lake_upsert" -> (q24CdcLakeUpsert _))
+
+  val oracles: Map[String, String] = Map(
+    "q24_cdc_lake_upsert" -> q24Oracle)
+}

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{CdcMerge, CdcTable}
+
+/** CDC lake lifecycle (SURVEY K10/S6/ST9): the `_ro`/`_rt` view contract,
+  * compaction, cross-partition key moves, streaming foreachBatch upserts,
+  * and the ScalaCheck merge laws (idempotence, last-write-wins,
+  * incremental ≡ full merge) SURVEY §5 promised.
+  */
+class CdcLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("cdc-lake-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // change image: (artist_id, name, nationality, __deleted, __source_ts_ms)
+  private def img(rows: (Long, String, String, String, Long)*): DataFrame = {
+    val ss = spark; import ss.implicits._
+    rows.toDF("artist_id", "name", "nationality", "__deleted", "__source_ts_ms")
+  }
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def newTable(): CdcTable = new CdcTable(
+    spark, Files.createTempDirectory("cdc_lake").toString,
+    keyCols = Seq("artist_id"),
+    orderingCols = Seq("__source_ts_ms"),
+    partitionCol = "nationality")
+
+  test("ro/rt contract: _ro is stale until compaction, _rt is always current (ipynb cells 7-20)") {
+    val t = newTable()
+    // seed mirroring the demo's artists (ids 201/266/299 updated, 568 deleted)
+    t.bulkInsert(img(
+      (201L, "A", "American", "false", 10L),
+      (266L, "B", "British", "false", 10L),
+      (299L, "C", "Canadian", "false", 10L),
+      (568L, "D", "Danish", "false", 10L)))
+    t.upsert(img(
+      (201L, "A2", "American", "false", 20L),
+      (266L, "B2", "British", "false", 20L),
+      (299L, "C2", "Canadian", "false", 20L),
+      (568L, "D", "Danish", "true", 20L)))
+
+    t.registerViews("artists")
+    // _ro: pre-update images
+    val ro = spark.sql("SELECT name FROM artists_ro WHERE artist_id IN (201,266,299)")
+      .collect().map(_.getString(0)).toSet
+    assert(ro === Set("A", "B", "C"))
+    // _rt: post-update images + queryable tombstone (rewrite mode)
+    val rt = spark.sql("SELECT name FROM artists_rt WHERE artist_id IN (201,266,299)")
+      .collect().map(_.getString(0)).toSet
+    assert(rt === Set("A2", "B2", "C2"))
+    val tomb = spark.sql("SELECT artist_id FROM artists_rt WHERE __deleted = 'true'")
+      .collect().map(_.getLong(0)).toSet
+    assert(tomb === Set(568L))
+    // hard-delete read drops the tombstone
+    assert(t.realTime(CdcMerge.Drop).filter(col("artist_id") === 568).count() === 0)
+
+    // compaction folds the log: _ro catches up to _rt
+    val before = rowSet(t.realTime())
+    t.compact()
+    assert(rowSet(t.readOptimized) === before)
+    assert(rowSet(t.realTime()) === before)
+  }
+
+  test("cross-partition key move collapses to one row (GLOBAL_BLOOM semantics)") {
+    val t = newTable()
+    t.bulkInsert(img((7L, "X", "American", "false", 10L)))
+    t.upsert(img((7L, "X", "French", "false", 20L)))
+    val rows = t.realTime().filter(col("artist_id") === 7).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("nationality") === "French")
+    t.compact()
+    // after compaction the base holds it under the NEW partition dir only
+    val moved = t.readOptimized.filter(col("artist_id") === 7).collect()
+    assert(moved.length === 1 && moved.head.getAs[String]("nationality") === "French")
+  }
+
+  test("streaming CDC: foreachBatch upserts land in _rt (continuous DeltaStreamer model)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = newTable()
+    t.bulkInsert(img((1L, "one", "American", "false", 1L)))
+
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    val stream = ms.toDF()
+      .toDF("artist_id", "name", "nationality", "__deleted", "__source_ts_ms")
+    ms.addData((1L, "one-v2", "American", "false", 5L), (2L, "two", "British", "false", 5L))
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => t.upsert(batch) }
+      .start()
+    q.awaitTermination()
+
+    val rt = t.realTime().select($"artist_id", $"name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt === Map(1L -> "one-v2", 2L -> "two"))
+  }
+
+  test("merge laws: idempotence, incremental == full, stale batch cannot regress") {
+    val ss = spark; import ss.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 6L)
+      ts <- Gen.choose(0L, 40L)
+      v <- Gen.choose(0, 99)
+      d <- Gen.oneOf("true", "false")
+    } yield (k, ts, v.toString, d)
+    val logGen: Gen[Seq[(Long, String, String, String, Long)]] =
+      Gen.listOfN(24, rowGen).map(_.zipWithIndex.map { case ((k, ts, v, d), i) =>
+        // uid makes the (ts, uid) ordering total, so LWW is well-defined
+        (k, v, d, s"n$v", ts * 100 + i)
+      }.map { case (k, v, d, n, ord) => (k, n, "American", d, ord) })
+
+    def toDf(rows: Seq[(Long, String, String, String, Long)]): DataFrame =
+      rows.toDF("artist_id", "name", "nationality", "__deleted", "__source_ts_ms")
+    def merged(df: DataFrame): Set[String] = rowSet(
+      CdcMerge.mergeByKey(Seq("artist_id"), Seq("__source_ts_ms"),
+        deleteMode = CdcMerge.Rewrite)(df))
+
+    val prop = Prop.forAll(logGen) { rows =>
+      val (a, b) = rows.splitAt(rows.size / 2)
+      val full = merged(toDf(rows))
+      // idempotence: re-merging the merge (and duplicated input) is a no-op
+      val idem = merged(toDf(rows ++ rows)) == full
+      // incremental == full: merge(a) upserted with b == merge(a ∪ b)
+      val incr = rowSet(CdcMerge.upsert(
+        CdcMerge.mergeByKey(Seq("artist_id"), Seq("__source_ts_ms"),
+          deleteMode = CdcMerge.Rewrite)(toDf(a)),
+        toDf(b), Seq("artist_id"), Seq("__source_ts_ms"),
+        deleteMode = CdcMerge.Rewrite)) == full
+      // stale replay: upserting an old batch after the full merge changes nothing
+      val stale = rowSet(CdcMerge.upsert(
+        CdcMerge.mergeByKey(Seq("artist_id"), Seq("__source_ts_ms"),
+          deleteMode = CdcMerge.Rewrite)(toDf(rows)),
+        toDf(a), Seq("artist_id"), Seq("__source_ts_ms"),
+        deleteMode = CdcMerge.Rewrite)) == full
+      idem && incr && stale
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
