@@ -57,5 +57,7 @@ object SparkEntry {
     "q21_multimodal_meta",
     "q22_partitioned_sink",
     "q23_csv_roundtrip",
-    "q24_cdc_lake_upsert")
+    "q24_cdc_lake_upsert",
+    "q25_country_sales_agg",
+    "q26_summary_topic")
 }
