@@ -28,13 +28,17 @@ object VectorOps {
   def scaled(vec: Column): Column =
     transform(vec, x => (x * lit(10000000.0)).cast("long"))
 
-  /** Exact long dot product of two integer-scaled vectors. */
+  /** Exact long dot product of two integer-scaled vectors — a native
+    * codegen'd Catalyst expression ([[graft.functions.LongVecDot]]): the
+    * `aggregate(zip_with(...))` higher-order spelling is semantically
+    * identical but interpreted with boxed arithmetic, and this is the
+    * inner loop of brute-force top-k.
+    */
   def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.longVecDot(a, b)
 
   /** Exact long squared norm of an integer-scaled vector. */
-  def normSqL(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+  def normSqL(a: Column): Column = dotL(a, a)
 
   /** Cosine similarity from exact integer dot/norms; bit-exact across
     * engines (see object doc). DuckDB:
