@@ -75,6 +75,74 @@ object AvroCodec {
     case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
   }
 
+  // ------------------------------------------------------------------
+  // Row ⇄ GenericRecord conversion (shared by the binary UDFs below and
+  // the OCF container sink, graft.sinks.AvroFiles)
+
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Spark Row → Avro GenericRecord under `s` (field lookup by name). */
+  def rowToRecord(row: Row, s: Schema): GenericRecord = {
+    val rec = new GenericData.Record(s)
+    s.getFields.asScala.foreach { f =>
+      val idx = row.fieldIndex(f.name())
+      val v = if (row.isNullAt(idx)) null else toAvroValue(row.get(idx), f.schema())
+      rec.put(f.name(), v)
+    }
+    rec
+  }
+
+  private def toAvroValue(v: Any, s0: Schema): Any = {
+    val s = nonNullBranch(s0)
+    s.getType match {
+      case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
+        v match {
+          // TimestampType / TIMESTAMP_NTZ / java8 datetime API all land here
+          case t: java.sql.Timestamp => t.getTime
+          case t: java.time.Instant => t.toEpochMilli
+          case t: java.time.LocalDateTime =>
+            t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case other => throw new IllegalArgumentException(
+            s"unsupported timestamp value class: ${other.getClass}")
+        }
+      case Schema.Type.RECORD => rowToRecord(v.asInstanceOf[Row], s)
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[Seq[Any]].map(e => toAvroValue(e, s.getElementType)).asJava
+      case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.ENUM =>
+        new GenericData.EnumSymbol(s, v.asInstanceOf[String])
+      case _ => v
+    }
+  }
+
+  /** Avro GenericRecord → Spark Row under `s` (schema field order). */
+  def recordToRow(rec: GenericRecord, s: Schema): Row =
+    Row.fromSeq(s.getFields.asScala.map { f =>
+      fromAvroValue(rec.get(f.name()), f.schema())
+    }.toSeq)
+
+  private def fromAvroValue(v: Any, s0: Schema): Any = {
+    if (v == null) return null
+    val s = nonNullBranch(s0)
+    s.getType match {
+      case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
+        new java.sql.Timestamp(v.asInstanceOf[Long])
+      case Schema.Type.RECORD => recordToRow(v.asInstanceOf[GenericRecord], s)
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala
+          .map(e => fromAvroValue(e, s.getElementType)).toSeq
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+      case Schema.Type.STRING | Schema.Type.ENUM =>
+        v match { case u: Utf8 => u.toString; case other => other.toString }
+      case _ => v
+    }
+  }
+
   /** Serializable per-executor codec; the Avro Schema is re-parsed lazily
     * on each executor from the captured JSON (Schema equality across JVMs
     * without relying on Java serialization of parser state).
@@ -87,76 +155,14 @@ object AvroCodec {
     def encode(row: Row): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       val enc = EncoderFactory.get().binaryEncoder(out, null)
-      writer.write(toRecord(row, schema), enc)
+      writer.write(rowToRecord(row, schema), enc)
       enc.flush()
       out.toByteArray
     }
 
     def decode(bytes: Array[Byte]): Row = {
       val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-      fromRecord(reader.read(null, dec), schema)
-    }
-
-    private def nonNullBranch(s: Schema): Schema =
-      if (s.getType == Schema.Type.UNION)
-        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
-      else s
-
-    private def toRecord(row: Row, s: Schema): GenericRecord = {
-      val rec = new GenericData.Record(s)
-      s.getFields.asScala.foreach { f =>
-        val idx = row.fieldIndex(f.name())
-        val v = if (row.isNullAt(idx)) null else toAvroValue(row.get(idx), f.schema())
-        rec.put(f.name(), v)
-      }
-      rec
-    }
-
-    private def toAvroValue(v: Any, s0: Schema): Any = {
-      val s = nonNullBranch(s0)
-      s.getType match {
-        case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
-          v match {
-            // TimestampType / TIMESTAMP_NTZ / java8 datetime API all land here
-            case t: java.sql.Timestamp => t.getTime
-            case t: java.time.Instant => t.toEpochMilli
-            case t: java.time.LocalDateTime =>
-              t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-            case other => throw new IllegalArgumentException(
-              s"unsupported timestamp value class: ${other.getClass}")
-          }
-        case Schema.Type.RECORD => toRecord(v.asInstanceOf[Row], s)
-        case Schema.Type.ARRAY =>
-          v.asInstanceOf[Seq[Any]].map(e => toAvroValue(e, s.getElementType)).asJava
-        case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-        case Schema.Type.ENUM =>
-          new GenericData.EnumSymbol(s, v.asInstanceOf[String])
-        case _ => v
-      }
-    }
-
-    private def fromRecord(rec: GenericRecord, s: Schema): Row =
-      Row.fromSeq(s.getFields.asScala.map { f =>
-        fromAvroValue(rec.get(f.name()), f.schema())
-      }.toSeq)
-
-    private def fromAvroValue(v: Any, s0: Schema): Any = {
-      if (v == null) return null
-      val s = nonNullBranch(s0)
-      s.getType match {
-        case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
-          new java.sql.Timestamp(v.asInstanceOf[Long])
-        case Schema.Type.RECORD => fromRecord(v.asInstanceOf[GenericRecord], s)
-        case Schema.Type.ARRAY =>
-          v.asInstanceOf[java.util.Collection[Any]].asScala
-            .map(e => fromAvroValue(e, s.getElementType)).toSeq
-        case Schema.Type.BYTES =>
-          val bb = v.asInstanceOf[ByteBuffer]
-          val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
-        case Schema.Type.STRING | Schema.Type.ENUM =>
-          v match { case u: Utf8 => u.toString; case other => other.toString }
-        case _ => v
-      }
+      recordToRow(reader.read(null, dec), schema)
     }
   }
 

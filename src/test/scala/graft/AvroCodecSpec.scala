@@ -85,6 +85,26 @@ class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orig.nonEmpty)
   }
 
+  test("K9: Avro object-container-file sink round trip (orders shape)") {
+    import graft.sinks.AvroFiles
+    import graft.queries.CodecQueries
+    val dir = java.nio.file.Files.createTempDirectory("avro_ocf").toString + "/out"
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .limit(500)
+    AvroFiles.write(orders, dir, CodecQueries.orderAvroSchema)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    val back = AvroFiles.read(spark, dir, CodecQueries.orderAvroSchema)
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("d"),
+        col("o_orderpriority"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(norm(back) === norm(orders))
+  }
+
   test("encoded bytes are deterministic and schema-stable") {
     val st = AvroCodec.structTypeFor(schemaJson)
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
