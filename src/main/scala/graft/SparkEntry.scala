@@ -59,5 +59,7 @@ object SparkEntry {
     "q23_csv_roundtrip",
     "q24_cdc_lake_upsert",
     "q25_country_sales_agg",
-    "q26_summary_topic")
+    "q26_summary_topic",
+    "q27_simhash_neardup",
+    "q28_embedding_neardup")
 }

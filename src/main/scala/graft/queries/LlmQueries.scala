@@ -415,6 +415,165 @@ object LlmQueries {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q27
+
+  /** q27 — SimHash near-duplicate pairs, the third dedup family after
+    * exact (q14/q15) and MinHash (q16): each document folds its 3-gram
+    * shingle set into ONE 64-bit signature (per shingle: one md5, 64
+    * bit-votes extracted by nibble arithmetic; per bit: sign of the vote
+    * sum), and near-dups are pairs at Hamming distance ≤ 3. Banding is
+    * *exact* here, not probabilistic: 4 bands of 16 bits — by pigeonhole
+    * any pair within Hamming 3 shares at least one clean band, so the
+    * band self-join is a guaranteed candidate superset and the result is
+    * deterministic. Signatures are 64 chars/doc: the shuffle is even
+    * lighter than MinHash's (one row per doc per band), which is the
+    * SimHash trade at 100 TB — constant-size sketches, cheaper joins,
+    * coarser similarity.
+    */
+  def q27SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val parts = s.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < parts) docs.repartition(parts) else docs
+    val base = spread
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+    val hexed = base
+      .select($"doc_id", explode_outer($"sh").as("shingle"))
+      .filter($"shingle".isNotNull)
+      .select($"doc_id", md5($"shingle").as("hex"))
+    // bit p of the shingle's 128-bit md5, LSB-first within each nibble:
+    // nibble = hex digit at p/4, bit = (nibble / 2^(p%4)) % 2. One static
+    // sum aggregate per position — 32 partial sums per doc combine
+    // map-side, so the shuffle carries 32 ints per document instead of
+    // an exploded (doc, pos, vote) row per shingle-bit (a measured
+    // multi-second 8M-row shuffle at sf0.1).
+    def voteAt(p: Int) = expr(
+      s"""2 * (CAST((locate(substring(hex, ${p / 4 + 1}, 1),
+         |            '0123456789abcdef') - 1) / ${1 << (p % 4)} AS INT)
+         |     % 2) - 1""".stripMargin)
+    val sig = hexed
+      .groupBy($"doc_id")
+      .agg(concat((0 until 64).map(p =>
+        when(sum(voteAt(p)) > 0, "1").otherwise("0")): _*).as("s"))
+    val bandRows = sig.select($"doc_id", $"s", explode_outer(array(
+        (0 until 4).map(b => struct(lit(b).as("b"), substring($"s", 1 + 16 * b, 16).as("bk"))): _*)).as("band"))
+      .select($"doc_id", $"s", $"band.b", $"band.bk")
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        $"x.b" === $"y.b" && $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"x.s".as("sa"),
+        $"y.doc_id".as("doc_b"), $"y.s".as("sb"))
+      .distinct()
+    val hamming = (1 to 64).map(i =>
+      when(expr(s"substring(sa, $i, 1) <> substring(sb, $i, 1)"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.select($"doc_a", $"doc_b", hamming.cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q27Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)),
+      |hexed AS (SELECT doc_id, md5(s) AS hex FROM sh),
+      |pos AS (SELECT unnest(generate_series(0, 63)) AS p),
+      |votes AS (
+      |  SELECT doc_id, p,
+      |    sum(2 * (((strpos('0123456789abcdef', substring(hex, p // 4 + 1, 1)) - 1)
+      |          // (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
+      |         % 2) - 1) AS v
+      |  FROM hexed, pos GROUP BY doc_id, p),
+      |sig AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS s
+      |  FROM votes GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, s, b, substring(s, 1 + 16 * b, 16) AS bk
+      |  FROM sig, unnest(generate_series(0, 3)) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, x.s AS sa, y.doc_id AS doc_b, y.s AS sb
+      |  FROM bands x JOIN bands y
+      |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      |ham AS (
+      |  SELECT doc_a, doc_b,
+      |    sum(CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1) THEN 1 ELSE 0 END) AS hamming
+      |  FROM cand, unnest(generate_series(1, 64)) u(i)
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b, hamming FROM ham
+      |WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+
+  /** q28 — embedding-cosine near-duplicate pairs, the dedup use of the
+    * ANN machinery: all pairs sharing a sign-LSH bucket (never all-pairs)
+    * whose exact integer-scaled cosine is ≥ 0.4, tagged with the member
+    * a dedup pass would drop (the larger vec_id). q19 is search
+    * (per-query top-k); this is corpus self-join dedup — the join
+    * shuffles bucket ids, candidates are O(N²/2^planes) instead of
+    * O(N²), and the threshold confirm touches candidates only.
+    */
+  def q28EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sv = Tables.embeddings(s, dir)
+      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+      .withColumn("bucket", VectorOps.signLshBucket($"v", planes))
+    val cand = sv.as("a")
+      .join(sv.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select(
+        $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        VectorOps.cosineFromParts(
+          VectorOps.dotL($"a.v", $"b.v"), $"a.nsq", $"b.nsq").as("cosine"))
+    cand.filter($"cosine" >= 0.4)
+      .withColumn("drop_id", $"vec_b")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q28Oracle: String = {
+    val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, v,
+       |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM sv),
+       |pl AS (SELECT $planesSql AS m),
+       |proj AS (
+       |  SELECT vec_id, p, sum(v[i] * m[p + 1][i]) AS s
+       |  FROM nn, pl,
+       |       unnest(generate_series(0, ${NumPlanes - 1})) tp(p),
+       |       unnest(generate_series(1, len(v))) ti(i)
+       |  GROUP BY vec_id, p),
+       |buck AS (
+       |  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |dt AS (
+       |  SELECT c.vec_a, c.vec_b, na.nsq AS qn, nb.nsq AS bn,
+       |    CAST(sum(na.v[i] * nb.v[i]) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN nn na ON na.vec_id = c.vec_a
+       |  JOIN nn nb ON nb.vec_id = c.vec_b,
+       |       unnest(generate_series(1, len(na.v))) t(i)
+       |  GROUP BY c.vec_a, c.vec_b, na.nsq, nb.nsq),
+       |sc AS (
+       |  SELECT vec_a, vec_b,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) AS cosine
+       |  FROM dt)
+       |SELECT vec_a, vec_b, cosine, vec_b AS drop_id
+       |FROM sc WHERE cosine >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,7 +582,9 @@ object LlmQueries {
     "q16_neardup_lsh"  -> (q16NearDupLsh _),
     "q17_text_stats"   -> (q17TextStats _),
     "q18_cosine_topk"  -> (q18CosineTopK _),
-    "q19_ann_lsh"      -> (q19AnnLsh _))
+    "q19_ann_lsh"      -> (q19AnnLsh _),
+    "q27_simhash_neardup"   -> (q27SimhashNearDup _),
+    "q28_embedding_neardup" -> (q28EmbeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -431,5 +592,7 @@ object LlmQueries {
     "q16_neardup_lsh"  -> q16Oracle,
     "q17_text_stats"   -> q17Oracle,
     "q18_cosine_topk"  -> q18Oracle,
-    "q19_ann_lsh"      -> q19Oracle)
+    "q19_ann_lsh"      -> q19Oracle,
+    "q27_simhash_neardup"   -> q27Oracle,
+    "q28_embedding_neardup" -> q28Oracle)
 }
