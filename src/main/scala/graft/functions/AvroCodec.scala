@@ -151,17 +151,30 @@ object AvroCodec {
     @transient private lazy val schema: Schema = new Schema.Parser().parse(json)
     @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
     @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+    // Encoder/decoder + output buffer reused per thread: a fresh
+    // binaryEncoder allocates its internal buffer per call, which at
+    // row granularity is one short-lived allocation per record — pure
+    // GC pressure in the scan hot path.
+    @transient private lazy val outTl =
+      ThreadLocal.withInitial[ByteArrayOutputStream](() => new ByteArrayOutputStream())
+    @transient private lazy val encTl =
+      new ThreadLocal[org.apache.avro.io.BinaryEncoder]()
+    @transient private lazy val decTl =
+      new ThreadLocal[org.apache.avro.io.BinaryDecoder]()
 
     def encode(row: Row): Array[Byte] = {
-      val out = new ByteArrayOutputStream()
-      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      val out = outTl.get()
+      out.reset()
+      val enc = EncoderFactory.get().binaryEncoder(out, encTl.get())
+      encTl.set(enc)
       writer.write(rowToRecord(row, schema), enc)
       enc.flush()
       out.toByteArray
     }
 
     def decode(bytes: Array[Byte]): Row = {
-      val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+      val dec = DecoderFactory.get().binaryDecoder(bytes, decTl.get())
+      decTl.set(dec)
       recordToRow(reader.read(null, dec), schema)
     }
   }

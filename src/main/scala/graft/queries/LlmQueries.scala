@@ -443,19 +443,28 @@ object LlmQueries {
       .filter($"shingle".isNotNull)
       .select($"doc_id", md5($"shingle").as("hex"))
     // bit p of the shingle's 128-bit md5, LSB-first within each nibble:
-    // nibble = hex digit at p/4, bit = (nibble / 2^(p%4)) % 2. One static
-    // sum aggregate per position — 32 partial sums per doc combine
-    // map-side, so the shuffle carries 32 ints per document instead of
-    // an exploded (doc, pos, vote) row per shingle-bit (a measured
-    // multi-second 8M-row shuffle at sf0.1).
-    def voteAt(p: Int) = expr(
-      s"""2 * (CAST((locate(substring(hex, ${p / 4 + 1}, 1),
-         |            '0123456789abcdef') - 1) / ${1 << (p % 4)} AS INT)
-         |     % 2) - 1""".stripMargin)
-    val sig = hexed
+    // nibble = hex digit at p/4, bit = (nibble / 2^(p%4)) % 2. The 16
+    // nibbles are decoded ONCE per shingle row; the 64 votes are then
+    // pure arithmetic on those ints. One static sum aggregate per
+    // position — 64 partial sums per doc combine map-side, so the
+    // shuffle carries 64 ints per document instead of an exploded
+    // (doc, pos, vote) row per shingle-bit (a measured multi-second
+    // 8M-row shuffle at sf0.1).
+    val nibbles = hexed.select(
+      $"doc_id" +: (0 until 16).map(c =>
+        expr(s"locate(substring(hex, ${c + 1}, 1), '0123456789abcdef') - 1")
+          .as(s"n$c")): _*)
+    def voteAt(p: Int) =
+      expr(s"2 * (CAST(n${p / 4} / ${1 << (p % 4)} AS INT) % 2) - 1")
+    // localCheckpoint: the signature table is 64 chars/doc; materializing
+    // it once keeps the band self-join (and the hamming stage) from
+    // re-running the shingle+md5 pipeline per reference — the "persist
+    // your sketches" rule any 100 TB dedup run follows.
+    val sig = nibbles
       .groupBy($"doc_id")
       .agg(concat((0 until 64).map(p =>
         when(sum(voteAt(p)) > 0, "1").otherwise("0")): _*).as("s"))
+      .localCheckpoint()
     val bandRows = sig.select($"doc_id", $"s", explode_outer(array(
         (0 until 4).map(b => struct(lit(b).as("b"), substring($"s", 1 + 16 * b, 16).as("bk"))): _*)).as("band"))
       .select($"doc_id", $"s", $"band.b", $"band.bk")
@@ -520,10 +529,14 @@ object LlmQueries {
     */
   def q28EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: the self-join would otherwise re-run scan +
+    // scale + norm + bucket hashing on both sides (same sketch-persist
+    // rationale as q27's signature table).
     val sv = Tables.embeddings(s, dir)
       .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
       .withColumn("nsq", VectorOps.normSqL($"v"))
       .withColumn("bucket", VectorOps.signLshBucket($"v", planes))
+      .localCheckpoint()
     val cand = sv.as("a")
       .join(sv.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
