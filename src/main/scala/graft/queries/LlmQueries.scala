@@ -212,13 +212,18 @@ object LlmQueries {
     */
   def q17TextStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // same under-partitioned-scan spread as q16: the per-doc regex work
+    // is CPU-bound and the corpus arrives as one parquet split
+    val parts = s.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < parts) docs.repartition(parts) else docs
     val norm = TextOps.normText($"text")
     val toks = TextOps.tokens($"norm")
     val enH = TextOps.stopwordHits($"toks", stopEn)
     val deH = TextOps.stopwordHits($"toks", stopDe)
     val frH = TextOps.stopwordHits($"toks", stopFr)
     val esH = TextOps.stopwordHits($"toks", stopEs)
-    Tables.documents(s, dir)
+    spread
       .withColumn("norm", norm)
       .withColumn("toks", toks)
       .withColumn("n_tokens", size($"toks"))
