@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Skew
+
+/** Salted-join laws: result identity with the plain join (inner and
+  * left-outer, including unmatched rows), and actual fan-out of the hot
+  * key across salt buckets.
+  */
+class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("skew-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("salted join == plain join on a 90%-hot-key fact table") {
+    val ss = spark; import ss.implicits._
+    // 9000 rows on the hot key 1, 1000 spread over keys 2..11; dim misses key 11
+    val fact = ((1 to 9000).map(i => (1L, i.toLong)) ++
+      (1 to 1000).map(i => ((i % 10) + 2L, 100000L + i))).toDF("k", "row_id")
+    val dim = (1L to 10L).map(k => (k, s"dim_$k")).toDF("k", "label")
+
+    val plainInner = fact.join(dim, Seq("k"), "inner")
+      .collect().map(_.toString).sorted.toSeq
+    val saltedInner = Skew.saltedJoin(fact, dim, Seq("k"), $"row_id", 8)
+      .select(plainCols: _*).collect().map(_.toString).sorted.toSeq
+    assert(saltedInner === plainInner)
+
+    val plainLeft = fact.join(dim, Seq("k"), "left_outer")
+      .collect().map(_.toString).sorted.toSeq
+    val saltedLeft = Skew.saltedJoin(fact, dim, Seq("k"), $"row_id", 8, "left_outer")
+      .select(plainCols: _*).collect().map(_.toString).sorted.toSeq
+    assert(saltedLeft === plainLeft) // key 11 rows survive with null label
+  }
+
+  private def plainCols = Seq(col("k"), col("row_id"), col("label"))
+
+  test("the hot key actually fans out across salt buckets") {
+    val ss = spark; import ss.implicits._
+    val fact = (1 to 9000).map(i => (1L, i.toLong)).toDF("k", "row_id")
+    val salts = fact
+      .withColumn("__salt", pmod(hash($"row_id"), lit(8)))
+      .groupBy($"__salt").count().collect()
+    assert(salts.length === 8) // every bucket sees a share of the hot key
+    assert(salts.map(_.getLong(1)).max < 9000L * 0.25) // no bucket dominates
+  }
+}
