@@ -114,13 +114,18 @@ object ReferenceQueries {
     * a broadcast of the single-row aggregate — no per-row re-execution.
     */
   def q10ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
-    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    // Views get invocation-unique names: fixed names in the shared session
+    // catalog would race under concurrent query execution (and leak state
+    // across queries). The result is name-independent.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (o, c) = (s"g_orders_$tag", s"g_customer_$tag")
+    Tables.orders(s, dir).createOrReplaceTempView(o)
+    Tables.customer(s, dir).createOrReplaceTempView(c)
     s.sql(
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM g_orders
-        |WHERE o_custkey = (SELECT min(c_custkey) FROM g_customer WHERE c_acctbal > 5000)
-        |ORDER BY o_orderkey""".stripMargin)
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $o
+         |WHERE o_custkey = (SELECT min(c_custkey) FROM $c WHERE c_acctbal > 5000)
+         |ORDER BY o_orderkey""".stripMargin)
   }
 
   val q10Oracle: String =
