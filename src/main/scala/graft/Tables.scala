@@ -49,4 +49,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spread a CPU-bound per-row stage across cores when the scan
+    * under-partitions (the testdata tables are single parquet splits, so
+    * map-heavy chains would otherwise run one-core). Guarded: at
+    * production scale inputs have plenty of splits and this is a no-op —
+    * it never reshuffles data that is already parallel.
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

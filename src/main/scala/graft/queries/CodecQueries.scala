@@ -39,7 +39,8 @@ object CodecQueries {
     import s.implicits._
     val enc = AvroCodec.toAvroUdf(orderAvroSchema)
     val dec = AvroCodec.fromAvroUdf(orderAvroSchema)
-    val o = Tables.orders(s, dir)
+    // per-row UDF codec is CPU-bound; spread the single-split scan
+    val o = Tables.spread(s, Tables.orders(s, dir))
     o.select(struct(o.columns.map(col): _*).as("r"))
       .select(dec(enc($"r")).as("data"))
       .select($"data.*")

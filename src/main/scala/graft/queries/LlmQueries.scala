@@ -100,21 +100,17 @@ object LlmQueries {
     */
   def q16NearDupLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    // The corpus arrives as one small parquet split; the minhash stage is
-    // CPU-bound, so spread it across cores when the scan under-partitions.
-    // At production scale the input has thousands of splits and this
-    // branch is a no-op (no 100 TB reshuffle).
-    val parts = s.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < parts) docs.repartition(parts) else docs
     // Bind the token array to a column BEFORE shingling: higher-order
     // lambdas are interpreted with no common-subexpression elimination,
     // so an inlined tokens expression would re-run the whole
     // regexp/split pipeline for every element_at reference — measured
-    // ~150 re-evaluations per document.
-    val base = spread
+    // ~150 re-evaluations per document. localCheckpoint: the shingle
+    // arrays are read three times (minhash, both Jaccard join-back
+    // sides) — persist the sketch input once.
+    val base = Tables.spread(s, Tables.documents(s, dir))
       .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
       .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+      .localCheckpoint()
     // Shuffle-based minhash rather than the per-row array expression: each
     // (doc, shingle, seed) md5 is computed exactly once (the array form
     // gets re-evaluated per band reference and per self-join side — a
@@ -212,11 +208,8 @@ object LlmQueries {
     */
   def q17TextStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    // same under-partitioned-scan spread as q16: the per-doc regex work
-    // is CPU-bound and the corpus arrives as one parquet split
-    val parts = s.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < parts) docs.repartition(parts) else docs
+    // per-doc regex work is CPU-bound; spread the single-split scan
+    val spread = Tables.spread(s, Tables.documents(s, dir))
     val norm = TextOps.normText($"text")
     val toks = TextOps.tokens($"norm")
     val enH = TextOps.stopwordHits($"toks", stopEn)
@@ -437,9 +430,7 @@ object LlmQueries {
     */
   def q27SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val parts = s.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < parts) docs.repartition(parts) else docs
+    val spread = Tables.spread(s, Tables.documents(s, dir))
     val base = spread
       .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
       .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))

@@ -217,7 +217,8 @@ object ReferenceQueries {
       StructField("o_custkey", LongType),
       StructField("o_orderstatus", StringType),
       StructField("o_totalprice", DoubleType)))
-    Tables.orders(s, dir)
+    // codec chain is CPU-bound; spread the single-split scan (no-op at scale)
+    Tables.spread(s, Tables.orders(s, dir))
       .select(
         md5($"o_orderkey".cast("string")).as("key"),
         to_json(struct($"o_orderkey", $"o_custkey", $"o_orderstatus",
