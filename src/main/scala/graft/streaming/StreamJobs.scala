@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 /** The reference's Structured Streaming job shapes (SURVEY §2j, §3 E2),
@@ -68,6 +68,82 @@ object StreamJobs {
       .agg(
         sum(dec2(col("value"))).cast("double").as("sales"),
         count(lit(1)).as("orders"))
+
+  /** A closed user session emitted by [[sessionize]]. */
+  case class UserSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, events: Long, sales: Double)
+
+  /** Internal per-key state for [[sessionize]] (public: the state
+    * encoder's generated code must be able to reference its accessors).
+    */
+  case class SessionState(
+      start: Long, last: Long, events: Long, sales: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * StateStore surface the reference never needed (its only state is
+    * the implicit streaming aggregate, SURVEY ST8) but a Spark-first
+    * engine must expose: per-user sessions close after `gapMinutes` of
+    * event-time silence, tracked as one tiny fixed-size state record per
+    * key with an event-time timeout so idle keys are evicted by the
+    * watermark rather than accumulating forever (the complete-mode
+    * anti-pattern this layer otherwise reproduces deliberately).
+    *
+    * Input: decoded events with `user_id`, `ts`, `value`, ALREADY
+    * `withWatermark("ts", ...)` — the timeout clock is the watermark.
+    * Output (append): one row per CLOSED session.
+    *
+    * Scale: state is O(active users), bytes per key constant; the
+    * shuffle is the groupByKey hash on user_id — the same key the CDC
+    * merge and enrichment join already use, so co-partitioning is free
+    * downstream.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[UserSession] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapMs = gapMinutes * 60000L
+    // ts stays a timestamp column through the encoder: converting to
+    // millis here would strip the watermark tag the event-time timeout
+    // needs (millis extraction happens inside the state function)
+    events
+      .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp], $"value".as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: close and evict
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(user,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+              s.events, s.sales))
+          } else {
+            val sorted = rows.map { case (_, ts, v) => (ts.getTime, v) }.toSeq.sortBy(_._1)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { case (ts, v) =>
+              cur match {
+                case Some(s) if ts - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, ts),
+                    s.events + 1, s.sales + v))
+                case Some(s) =>
+                  closed ::= UserSession(user,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+                    s.events, s.sales)
+                  cur = Some(SessionState(ts, ts, 1, v))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Kafka-like checkpointed topic sink (ref `06_streaming_read_kafka_kafka.py:105-112`:
     * complete-mode aggregate → `to_json` → Kafka topic with

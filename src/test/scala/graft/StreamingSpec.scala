@@ -189,6 +189,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: gap splits, watermark closes, state evicts") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+    val q = graft.streaming.StreamJobs.sessionize(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("t_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts split by a >30min gap; user 2: one burst
+      ms.addData((1L, t(10, 0), 1.0), (1L, t(10, 10), 2.0), (2L, t(10, 5), 5.0))
+      q.processAllAvailable()
+      ms.addData((1L, t(11, 0), 4.0)) // 50min after 10:10 -> new session
+      q.processAllAvailable()
+      ms.addData((3L, t(13, 0), 9.0)) // watermark -> 12:59 closes everything prior
+      q.processAllAvailable()
+      val out = spark.table("t_sessions")
+        .select($"user_id", date_format($"session_start", "HH:mm").as("s"),
+          date_format($"session_end", "HH:mm").as("e"), $"events", $"sales")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(out.contains((1L, "10:00", "10:10", 2L, 3.0))) // first burst closed by gap
+      assert(out.contains((1L, "11:00", "11:00", 1L, 4.0))) // second closed by watermark
+      assert(out.contains((2L, "10:05", "10:05", 1L, 5.0)))
+      assert(!out.exists(_._1 == 3L)) // user 3's session still open
+    } finally q.stop()
+  }
+
   test("ST3/ST6/K4: ProcessingTime trigger + queryName on a live query") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
