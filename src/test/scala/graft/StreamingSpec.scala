@@ -219,6 +219,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("script-12 twin: Avro-coded stream decodes, aggregates, and re-encodes (F3/F4 streaming)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.AvroCodec
+    val schemaJson =
+      """{"type":"record","name":"E","fields":[
+        |{"name":"user_id","type":"long"},
+        |{"name":"event_type","type":["null","string"]},
+        |{"name":"value","type":"double"}]}""".stripMargin
+    val enc = AvroCodec.toAvroUdf(schemaJson)
+    val dec = AvroCodec.fromAvroUdf(schemaJson)
+
+    // producer side (batch, ref 11): rows -> avro bytes fed as the topic
+    val src = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"value").limit(300)
+    val wire = src.select(enc(struct($"user_id", $"event_type", $"value")).as("value"))
+      .as[Array[Byte]].collect().toSeq
+
+    // consumer side (streaming, ref 12): from_avro -> agg -> to_avro
+    val ms = MemoryStream[Array[Byte]]
+    ms.addData(wire: _*)
+    val agg = ms.toDF().toDF("value")
+      .select(dec($"value").as("data")).select($"data.*")
+      .groupBy($"event_type")
+      .agg(sum($"value").cast("decimal(18,2)").cast("double").as("sales"),
+        count(lit(1)).as("orders"))
+    val out = agg.select(enc(struct($"event_type", $"sales".as("value"), $"orders".as("user_id")))
+        .as("avro")) // re-encode summary (shape only; field mapping is arbitrary)
+    val q = agg.writeStream.format("memory").queryName("t_avro")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t_avro").collect().map(_.toString).sorted.toSeq
+    val batch = src.groupBy($"event_type")
+      .agg(sum($"value").cast("decimal(18,2)").cast("double").as("sales"),
+        count(lit(1)).as("orders"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+    // the re-encode side is analyzable on a streaming plan too
+    assert(out.isStreaming)
+  }
+
   test("ST3/ST6/K4: ProcessingTime trigger + queryName on a live query") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
