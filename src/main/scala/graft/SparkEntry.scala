@@ -61,5 +61,6 @@ object SparkEntry {
     "q25_country_sales_agg",
     "q26_summary_topic",
     "q27_simhash_neardup",
-    "q28_embedding_neardup")
+    "q28_embedding_neardup",
+    "q29_winnow_fingerprint")
 }

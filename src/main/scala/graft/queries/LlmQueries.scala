@@ -583,6 +583,73 @@ object LlmQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q29
+
+  /** q29 — winnowing document fingerprints (the MOSS scheme: k-gram
+    * rolling hashes → the minimum hash of every w-length hash window is
+    * selected; the distinct selected set is the document's fingerprint).
+    * Here: word 3-grams in POSITION order (not the distinct set — unlike
+    * q16/q27, winnowing is position-sensitive), md5-string hashes, w=4,
+    * lexicographic min via a bounded ROWS window frame. Emits per doc the
+    * fingerprint count and a digest of the sorted selected set — the
+    * compact sketch a plagiarism/near-dup index stores per document.
+    * Scale: one shuffle partitioned by doc_id (docs are bounded, so the
+    * per-key sort is bounded); selected fingerprints are ~n/w of the
+    * grams, the storage-compression knob.
+    */
+  def q29WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 4
+    val base = Tables.spread(s, Tables.documents(s, dir))
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+    // positional grams: winnowing needs sequence order, so no
+    // array_distinct here (unlike TextOps.shingles)
+    val grams = base.select($"doc_id",
+        when(size($"toks") >= 3,
+          transform(sequence(lit(0), size($"toks") - 3),
+            i => concat_ws(" ", element_at($"toks", i + 1),
+              element_at($"toks", i + 2), element_at($"toks", i + 3))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select($"doc_id", posexplode_outer($"grams"))
+      .toDF("doc_id", "pos", "gram")
+      .filter($"gram".isNotNull)
+      .select($"doc_id", $"pos", md5($"gram").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(0, w - 1)
+    val counts = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    grams
+      .withColumn("n", count(lit(1)).over(counts))
+      .withColumn("wm", min($"h").over(win))
+      .filter($"pos" <= $"n" - w) // full windows only (0-based start)
+      .groupBy($"doc_id")
+      .agg(
+        countDistinct($"wm").as("n_fingerprints"),
+        md5(concat_ws("", array_sort(collect_set($"wm")))).as("digest"))
+      .orderBy($"doc_id")
+  }
+
+  val q29Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h,
+      |    len(w) - 2 AS n
+      |  FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)),
+      |sel AS (
+      |  SELECT doc_id, pos, n,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+      |  FROM grams)
+      |SELECT doc_id,
+      |  count(DISTINCT wm) AS n_fingerprints,
+      |  md5(array_to_string(list_sort(list_distinct(list(wm))), '')) AS digest
+      |FROM sel
+      |WHERE pos <= n - 4
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -593,7 +660,8 @@ object LlmQueries {
     "q18_cosine_topk"  -> (q18CosineTopK _),
     "q19_ann_lsh"      -> (q19AnnLsh _),
     "q27_simhash_neardup"   -> (q27SimhashNearDup _),
-    "q28_embedding_neardup" -> (q28EmbeddingNearDup _))
+    "q28_embedding_neardup" -> (q28EmbeddingNearDup _),
+    "q29_winnow_fingerprint" -> (q29WinnowFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -603,5 +671,6 @@ object LlmQueries {
     "q18_cosine_topk"  -> q18Oracle,
     "q19_ann_lsh"      -> q19Oracle,
     "q27_simhash_neardup"   -> q27Oracle,
-    "q28_embedding_neardup" -> q28Oracle)
+    "q28_embedding_neardup" -> q28Oracle,
+    "q29_winnow_fingerprint" -> q29Oracle)
 }
