@@ -62,5 +62,6 @@ object SparkEntry {
     "q26_summary_topic",
     "q27_simhash_neardup",
     "q28_embedding_neardup",
-    "q29_winnow_fingerprint")
+    "q29_winnow_fingerprint",
+    "q30_ann_multiprobe")
 }

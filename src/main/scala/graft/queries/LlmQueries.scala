@@ -583,6 +583,97 @@ object LlmQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q30
+
+  /** q30 — multi-probe sign-LSH ANN, the recall upgrade over q19: each
+    * query probes its own bucket AND the [[NumPlanes]] buckets at Hamming
+    * distance 1 (one bit flipped), because a true neighbor near a
+    * hyperplane lands on the other side of exactly that plane. Probes
+    * explode to `NumPlanes + 1` equi-join keys per query — still a
+    * bucket-key shuffle join, never all-pairs, and each base vector
+    * matches at most one probe (it has one bucket), so no candidate
+    * dedup is needed. At 100 TB multi-probe is what lets you RAISE the
+    * plane count (smaller buckets) without losing recall — probe count
+    * trades compute for recall at fixed index size. Recall dominance
+    * over q19 is asserted against q18's exact top-k in LlmQueriesSpec.
+    */
+  def q30AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sv = Tables.embeddings(s, dir)
+      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+      .withColumn("bucket", VectorOps.signLshBucket($"v", planes))
+      .localCheckpoint()
+    // probe 0 = own bucket; probe i>0 = bit i-1 flipped
+    val flip = (b: org.apache.spark.sql.Column, i: Int) => concat(
+      substring(b, 1, i),
+      when(substring(b, i + 1, 1) === "1", "0").otherwise("1"),
+      substring(b, i + 2, NumPlanes - i - 1))
+    val q = sv.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qn"),
+        explode(array($"bucket" +: (0 until NumPlanes).map(i => flip($"bucket", i)): _*))
+          .as("bucket"))
+    val scored = sv.join(q, Seq("bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cosine",
+        VectorOps.cosineFromParts(VectorOps.dotL($"qv", $"v"), $"qn", $"nsq"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q30Oracle: String = {
+    val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val flips = (1 to NumPlanes).map { i =>
+      val pre = if (i > 1) s"substring(bucket, 1, ${i - 1}) || " else ""
+      val post = if (i < NumPlanes) s" || substring(bucket, ${i + 1}, ${NumPlanes - i})" else ""
+      s"$pre(CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END)$post"
+    }.mkString(", ")
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, v,
+       |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM sv),
+       |pl AS (SELECT $planesSql AS m),
+       |proj AS (
+       |  SELECT vec_id, p, sum(v[i] * m[p + 1][i]) AS s
+       |  FROM nn, pl,
+       |       unnest(generate_series(0, ${NumPlanes - 1})) tp(p),
+       |       unnest(generate_series(1, len(v))) ti(i)
+       |  GROUP BY vec_id, p),
+       |buck AS (
+       |  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS qid, unnest([bucket, $flips]) AS bucket
+       |  FROM buck WHERE vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT p.qid, b.vec_id AS nid
+       |  FROM probes p JOIN buck b ON b.bucket = p.bucket AND b.vec_id <> p.qid),
+       |dt AS (
+       |  SELECT c.qid, c.nid, nq.nsq AS qn, nb.nsq AS bn,
+       |    CAST(sum(nq.v[i] * nb.v[i]) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN nn nq ON nq.vec_id = c.qid
+       |  JOIN nn nb ON nb.vec_id = c.nid,
+       |       unnest(generate_series(1, len(nq.v))) t(i)
+       |  GROUP BY c.qid, c.nid, nq.nsq, nb.nsq),
+       |sc AS (
+       |  SELECT qid, nid,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) AS cosine
+       |  FROM dt),
+       |rk AS (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+       |  FROM sc)
+       |SELECT qid, rnk AS "rank", nid AS neighbor_id, cosine
+       |FROM rk WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q29
 
   /** q29 — winnowing document fingerprints (the MOSS scheme: k-gram
@@ -661,7 +752,8 @@ object LlmQueries {
     "q19_ann_lsh"      -> (q19AnnLsh _),
     "q27_simhash_neardup"   -> (q27SimhashNearDup _),
     "q28_embedding_neardup" -> (q28EmbeddingNearDup _),
-    "q29_winnow_fingerprint" -> (q29WinnowFingerprint _))
+    "q29_winnow_fingerprint" -> (q29WinnowFingerprint _),
+    "q30_ann_multiprobe"    -> (q30AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -672,5 +764,6 @@ object LlmQueries {
     "q19_ann_lsh"      -> q19Oracle,
     "q27_simhash_neardup"   -> q27Oracle,
     "q28_embedding_neardup" -> q28Oracle,
-    "q29_winnow_fingerprint" -> q29Oracle)
+    "q29_winnow_fingerprint" -> q29Oracle,
+    "q30_ann_multiprobe"    -> q30Oracle)
 }

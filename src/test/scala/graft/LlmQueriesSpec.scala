@@ -105,6 +105,22 @@ class LlmQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ann.foreach { case (qid, c) => assert(c <= bf(qid) + 1e-12) }
   }
 
+  test("multi-probe ANN recall dominates single-probe against exact top-k") {
+    val ss = spark; import ss.implicits._
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"rank" <= 3).select($"qid", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = LlmQueries.q18CosineTopK(spark, sf)
+      .filter($"rank" <= 3).select($"qid", $"neighbor_id".as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits(LlmQueries.q19AnnLsh(spark, sf))
+    val multi = hits(LlmQueries.q30AnnMultiprobe(spark, sf))
+    val rSingle = (single & exact).size.toDouble / exact.size
+    val rMulti = (multi & exact).size.toDouble / exact.size
+    assert(rMulti >= rSingle) // probing Hamming-1 buckets never loses recall
+    assert(multi.size >= single.size) // candidate superset -> >= results
+  }
+
   test("text stats: ratios bounded, quality in [0,1], token counts positive") {
     val rows = LlmQueries.q17TextStats(spark, sf).collect()
     assert(rows.length === Tables.documents(spark, sf).count())
