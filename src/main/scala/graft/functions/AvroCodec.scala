@@ -187,11 +187,21 @@ object AvroCodec {
     }, BinaryType)
   }
 
-  /** `from_avro`-equivalent: Avro binary → struct column (SURVEY F3). */
-  def fromAvroUdf(avroJson: String): UserDefinedFunction = {
+  /** `from_avro`-equivalent: Avro binary → struct column (SURVEY F3).
+    * `permissive = true` mirrors spark-avro's PERMISSIVE parse mode:
+    * malformed records decode to null instead of failing the task —
+    * the right default for 100 TB ingestion where one corrupt topic
+    * record must not kill the job. Default is FAILFAST (strict), like
+    * the reference's pipelines.
+    */
+  def fromAvroUdf(avroJson: String, permissive: Boolean = false): UserDefinedFunction = {
     val codec = new Codec(avroJson)
     udf(new JUdf1[Array[Byte], Row] {
-      override def call(b: Array[Byte]): Row = if (b == null) null else codec.decode(b)
+      override def call(b: Array[Byte]): Row =
+        if (b == null) null
+        else if (permissive)
+          try codec.decode(b) catch { case _: Exception => null }
+        else codec.decode(b)
     }, structTypeFor(avroJson))
   }
 }

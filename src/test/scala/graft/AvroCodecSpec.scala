@@ -105,6 +105,54 @@ class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(norm(back) === norm(orders))
   }
 
+  test("permissive decode nulls malformed records; strict mode fails the task") {
+    val ss = spark; import ss.implicits._
+    val simple = """{"type":"record","name":"S","fields":[
+      |{"name":"id","type":"long"},{"name":"tag","type":"string"}]}""".stripMargin
+    val enc = AvroCodec.toAvroUdf(simple)
+    val good = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(5L, "ok"))),
+        AvroCodec.structTypeFor(simple))
+      .select(enc(struct(col("id"), col("tag"))).as("value"))
+      .head.getAs[Array[Byte]](0)
+    val bad = Array[Byte](-1, -1, -1, -1, -1, -1, -1, -1, -1, -1)
+    val df = Seq(good, bad).toDF("value")
+    val lax = AvroCodec.fromAvroUdf(simple, permissive = true)
+    val out = df.select(lax(col("value")).as("d")).select(col("d.id")).collect()
+    assert(out.count(_.isNullAt(0)) === 1)
+    assert(out.exists(r => !r.isNullAt(0) && r.getLong(0) === 5L))
+    val strict = AvroCodec.fromAvroUdf(simple)
+    intercept[Exception] {
+      df.select(strict(col("value")).as("d")).collect()
+    }
+  }
+
+  test("long_vec_dot is SQL-callable via GraftExtensions") {
+    // a genuinely new session (extensions only apply at construction).
+    // The `spark.sql.extensions` string is read from the SparkContext
+    // conf, which this test JVM's pre-existing context lacks, so the
+    // builder API is used here; the config-string path is what a
+    // spark-submit user sets (verified equivalent in a fresh JVM).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions())
+        .appName("ext-spec")
+        .getOrCreate()
+      val r = ext.sql(
+        "SELECT long_vec_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+        .head.getLong(0)
+      assert(r === 32L)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("encoded bytes are deterministic and schema-stable") {
     val st = AvroCodec.structTypeFor(schemaJson)
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
