@@ -63,22 +63,18 @@ object TextOps {
     * signature is `numHashes` 32-char strings per document regardless of
     * document size, which is what makes LSH shuffle-light at scale.
     * DuckDB: `min(md5(seed::VARCHAR || ':' || shingle)) ... GROUP BY doc, seed`.
+    *
+    * NOTE: q16's production pipeline computes the same signature via
+    * explode + map-side partial min instead of this array expression —
+    * per-row array expressions get re-evaluated per downstream reference
+    * (no CSE inside plans that fan out). This form is the semantic
+    * specification, kept law-tested (permutation invariance) and useful
+    * where the signature is consumed exactly once.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(shingleArr, x => md5(concat(s.cast("string"), lit(":"), x)))))
-
-  /** LSH band keys: the signature is cut into `bands` contiguous groups of
-    * `rowsPerBand` minhashes and each group is collapsed to one md5 key.
-    * Documents agreeing on *any* band key become a candidate pair.
-    * DuckDB: `md5(string_agg(m, '' ORDER BY seed)) ... GROUP BY doc, seed // rowsPerBand`.
-    */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("", (0 until rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r + 1)): _*)))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric marks — the shape a byte-pair tokenizer's pre-split
