@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Bucketed-table co-located joins — the pre-shuffle answer to the
+  * biggest cost at 100 TB: writing both sides of a recurring join
+  * bucketed by the join key lets every subsequent join plan with ZERO
+  * exchanges (bucket layout satisfies the required hash distribution).
+  * The reference re-shuffles per job; a lake this engine owns would
+  * bucket lineitem/orders once and amortize.
+  */
+class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    val wh = Files.createTempDirectory("warehouse").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the join to show its shuffle needs
+      .config("spark.ui.enabled", "false")
+      .appName("bucketing-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("bucketed-by-key tables join with zero exchanges; unbucketed join shuffles both sides") {
+    val ss = spark; import ss.implicits._
+    Tables.lineitem(spark, sf).write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+
+    val bucketed = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    val bucketedJoinPlan = bucketed.queryExecution.executedPlan.toString
+    // the join itself needs no shuffle: the only Exchange is the groupBy's
+    val joinPart = bucketedJoinPlan.split("HashAggregate").last
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"))
+
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    assert(plainPlan.contains("Exchange hashpartitioning(l_orderkey") ||
+      plainPlan.contains("Exchange hashpartitioning(o_orderkey"))
+
+    // and the answers agree
+    val a = bucketed.collect().map(_.toString).sorted.toSeq
+    val b = plain.groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+}
