@@ -50,4 +50,19 @@ class CoreQueriesSpec extends AnyFunSuite {
     val events = Tables.events(spark, sf).count()
     assert(total === 2 * events)
   }
+
+  test("q25 (scale-safe aggregate) agrees with q04 (reference window shape) row-for-row") {
+    import org.apache.spark.sql.functions._
+    // same answer, different physical strategies: max_by aggregate vs
+    // partitioned window. q04 emits formatted-string sales; format q25's
+    // numeric sales the same way and the rows must be identical.
+    val q04 = SparkEntry.queries("q04_country_sales_summary")(spark, sf)
+      .select("country", "sales", "orders", "top_customer")
+      .collect().map(_.toString).sorted.toSeq
+    val q25 = SparkEntry.queries("q25_country_sales_agg")(spark, sf)
+      .select(col("country"), format_number(col("sales"), 2).as("sales"),
+        col("orders"), col("top_customer"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(q25 === q04 && q25.nonEmpty)
+  }
 }
