@@ -19,6 +19,17 @@ import org.apache.spark.sql.types._
   * `ArrayData` buffers inside whole-stage codegen: no boxing, no lambda
   * dispatch, no intermediate zipped array. Same math, same bit-exact
   * result — [[graft.queries.LlmQueries]]' oracles are unchanged.
+  *
+  * ==Null / length contract==
+  * Unlike `aggregate(zip_with(a, b, (x, y) -> x*y), ...)` — which yields
+  * NULL if any element is NULL and NULL-pads to the longer array — this
+  * kernel reads each slot as a primitive `long`, so a NULL element
+  * contributes as 0 and the loop runs over `min(len(a), len(b))`
+  * elements. That keeps the generated loop branch-free, which is the
+  * point of the expression. Callers (VectorOps.scaled) produce
+  * equal-length arrays of non-null elements, where the two formulations
+  * coincide; feed it genuinely nullable elements only if 0-for-NULL is
+  * the semantics you want.
   */
 case class LongVecDot(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -47,7 +47,11 @@ class CdcTable(
 
   private def hasLog: Boolean = {
     val p = Paths.get(logDir)
-    Files.exists(p) && Files.list(p).anyMatch(f => f.toString.endsWith(".parquet"))
+    Files.exists(p) && {
+      val st = Files.list(p)
+      try st.anyMatch(f => f.toString.endsWith(".parquet"))
+      finally st.close() // Files.list holds a directory fd until closed
+    }
   }
 
   /** Initial bulk load (ref `deltastreamer_jobs_bulk.sh` `--op BULK_INSERT`
@@ -84,19 +88,24 @@ class CdcTable(
   }
 
   /** Fold the log into the base (Hudi compaction): after this,
-    * `_ro == _rt`. Writes to a scratch dir first, then swaps, so the
-    * rewrite never reads the directory it is replacing.
+    * `_ro == _rt`. Writes to a scratch dir first, then swaps via rename —
+    * the old base is moved aside BEFORE the new one moves in and deleted
+    * only after, so a crash at any point leaves either the old table
+    * (+ log) or the new one readable, never a missing base.
     */
   def compact(): Unit = {
     if (!hasLog) return
     val tmp = s"$root/base_compacting"
+    val old = s"$root/base_old"
     realTime(CdcMerge.Rewrite).write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(tmp)
-    deleteRecursively(Paths.get(baseDir))
-    deleteRecursively(Paths.get(logDir))
+    deleteRecursively(Paths.get(old)) // leftover from a prior crash
+    Files.move(Paths.get(baseDir), Paths.get(old))
     Files.move(Paths.get(tmp), Paths.get(baseDir))
+    deleteRecursively(Paths.get(old))
+    deleteRecursively(Paths.get(logDir))
   }
 
   /** Register the Hudi-style `<name>_ro` / `<name>_rt` temp view pair
@@ -108,6 +117,9 @@ class CdcTable(
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally st.close()
+    }
 }

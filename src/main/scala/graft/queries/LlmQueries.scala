@@ -506,7 +506,8 @@ object LlmQueries {
       |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
       |ham AS (
       |  SELECT doc_a, doc_b,
-      |    sum(CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1) THEN 1 ELSE 0 END) AS hamming
+      |    CAST(sum(CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1) THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS hamming
       |  FROM cand, unnest(generate_series(1, 64)) u(i)
       |  GROUP BY doc_a, doc_b)
       |SELECT doc_a, doc_b, hamming FROM ham

@@ -48,11 +48,27 @@ class IncrementalSource(
     }
   }
 
+  /** The incremental scan the next [[poll]] will materialize: source
+    * filtered to rows strictly past the current watermark. Exposed
+    * unexecuted so callers (and the spec) can verify the predicate
+    * reaches the store (`PushedFilters`) — [[poll]] checkpoints it, so
+    * its own returned plan is a snapshot scan.
+    */
+  def pendingBatch: DataFrame =
+    watermark.map(w => load().filter(beyond(w))).getOrElse(load())
+
   /** One connector poll: rows strictly past the watermark, in order;
     * advances the watermark to the last emitted position.
+    *
+    * The batch is materialized exactly once (`localCheckpoint`) and both
+    * the emitted rows and the committed watermark derive from that single
+    * snapshot — if the underlying store grows between the plan and the
+    * caller's action, the new rows belong to the NEXT poll. Running the
+    * scan twice (once for the watermark, once lazily for the caller)
+    * would let the two executions disagree and re-emit rows.
     */
   def poll(): DataFrame = {
-    val batch = watermark.map(w => load().filter(beyond(w))).getOrElse(load())
+    val batch = pendingBatch.localCheckpoint()
     val head = batch
       .select(col(tsCol).as("__ts"),
         idCol.map(col).getOrElse(lit(Long.MinValue)).cast("long").as("__id"))

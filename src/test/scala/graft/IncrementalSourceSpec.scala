@@ -82,7 +82,9 @@ class IncrementalSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val src = new IncrementalSource(
       () => Tables.orders(spark, sf), "o_orderdate", Some("o_orderkey"))
     src.poll() // advances watermark to table max
-    val plan = src.poll().queryExecution.executedPlan.toString
+    // poll() snapshots (localCheckpoint), so inspect the plan it
+    // materializes, not the checkpoint scan it returns
+    val plan = src.pendingBatch.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"))
   }
 }

@@ -53,6 +53,14 @@ def main():
         ok = True
         for c in s_cols:
             a, b = sdf[c].to_numpy(), ddf[c].to_numpy()
+            # the driver's gate hashes typed values: an int64-vs-float64
+            # (e.g. DuckDB HUGEINT sum) mismatch fails there even when the
+            # numbers are equal — catch it here too
+            if a.dtype.kind != b.dtype.kind:
+                print(f"[FAIL] {name}: col {c} dtype kind differs "
+                      f"spark={a.dtype} duckdb={b.dtype}")
+                ok = False
+                continue
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 eq = (pd.isna(a) & pd.isna(b)) | (a == b)
                 if not eq.all():
