@@ -87,16 +87,50 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q16
 
+  /** Universal-hash MinHash coefficients: `h_i(x) = (a_i·x + b_i) mod P`
+    * over the Mersenne prime `P = 2^31 − 1`, the textbook construction
+    * (one base hash per element, k cheap linear permutations — the same
+    * scheme Spark's own MinHashLSH and every large-scale dedup pipeline
+    * use, rather than k independent cryptographic hashes). With
+    * `x mod P < 2^31` and `a < 2^31` the product stays under 2^62, so the
+    * arithmetic is exact 64-bit in both Spark and DuckDB. Fixed arbitrary
+    * odd constants, inlined identically into the oracle SQL.
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val minhashAB: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1588635695L, 1117695901L), (784588716L, 998244353L),
+    (1223106847L, 870081239L), (2027382103L, 701530529L), (397369315L, 523012709L),
+    (1656943623L, 314606891L), (470519277L, 179424673L), (1070639389L, 104395301L))
+
+  /** DuckDB spelling of "decode 8 hex chars starting at `from` (1-based)
+    * of column `hex` into a BIGINT": strpos-polynomial over the nibbles —
+    * DuckDB has no hex-string→int cast, but the polynomial is exact.
+    */
+  private def duckHex8(hexCol: String, from: Int): String =
+    (0 until 8).map { k =>
+      val pow = 1L << (4 * (7 - k)) // 16^(7-k)
+      s"(strpos('0123456789abcdef', substring($hexCol, ${from + k}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  // ---------------------------------------------------------------- q16
+
   /** q16 — MinHash/LSH near-duplicate pairs over word 3-gram shingles:
-    * 9 md5-string minhashes → 3 bands × 3 rows → candidate pairs from the
-    * band-key self-join → exact-Jaccard confirmation ≥ 0.8.
+    * each shingle is hashed ONCE (md5 → first 8 hex chars → 32-bit int),
+    * 9 minhashes come from universal hashes `(a_i·x + b_i) mod (2^31−1)`
+    * of that base value ([[minhashAB]]) → 3 bands × 3 rows → candidate
+    * pairs from the band-key self-join → exact-Jaccard confirmation
+    * ≥ 0.8.
     *
-    * Never all-pairs: candidate generation shuffles (band, 32-char key)
-    * per doc — 3 rows/doc regardless of doc size — and only docs agreeing
-    * on a full band collide. The Jaccard confirm then touches candidate
-    * pairs only (~25 pairs here vs 125k all-pairs). A missed-band false
-    * negative is reproduced identically by the oracle (same banding), so
-    * the entry is deterministic, not probabilistic.
+    * Hash-once + linear permutations (vs one md5 per (seed, shingle)) is
+    * 9× less digest work per shingle — the dominant map-side cost at
+    * 100 TB — and the min/shuffle runs over 8-byte longs instead of
+    * 32-char strings. Never all-pairs: candidate generation shuffles
+    * (band, key) per doc — 3 rows/doc regardless of doc size — and only
+    * docs agreeing on a full band collide. The Jaccard confirm then
+    * touches candidate pairs only (~25 pairs here vs 125k all-pairs). A
+    * missed-band false negative is reproduced identically by the oracle
+    * (same hashes, same banding), so the entry is deterministic, not
+    * probabilistic.
     */
   def q16NearDupLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -111,32 +145,32 @@ object LlmQueries {
       .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
       .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
       .localCheckpoint()
-    // Shuffle-based minhash rather than the per-row array expression: each
-    // (doc, shingle, seed) md5 is computed exactly once (the array form
-    // gets re-evaluated per band reference and per self-join side — a
-    // measured 9x+ blowup), the (doc, seed) min is combined map-side so
-    // the shuffle carries 9 rows per document, and the two identical
+    // Shuffle-based minhash: the (doc, seed) min combines map-side so the
+    // shuffle carries 9 longs per document, and the two identical
     // aggregation subtrees under the self-join collapse via ReuseExchange.
     // *_outer generators + explicit null filters: the non-outer forms
     // trigger InferFiltersFromGenerate, which clones the whole generator
-    // child expression (shingles / 9 md5s) into a Filter that predicate
-    // pushdown then moves below the repartition — duplicated CPU on the
-    // scan's single input partition (measured 6x slowdown at sf0.1).
+    // child expression into a Filter that predicate pushdown then moves
+    // below the repartition — duplicated CPU on the scan's single input
+    // partition (measured 6x slowdown at sf0.1).
     val mh = base
       .select($"doc_id", explode_outer($"sh").as("shingle"))
       .filter($"shingle".isNotNull)
-      .select($"doc_id", posexplode_outer(transform(sequence(lit(0), lit(8)),
-        sd => md5(concat(sd.cast("string"), lit(":"), $"shingle")))))
+      .select($"doc_id",
+        (conv(substring(md5($"shingle"), 1, 8), 16, 10).cast("long") % MinhashP).as("x"))
+      .select($"doc_id", posexplode_outer(array(minhashAB.zipWithIndex.map {
+        case ((a, b), _) => (lit(a) * $"x" + lit(b)) % MinhashP
+      }: _*)))
       .toDF("doc_id", "seed", "h")
       .filter($"h".isNotNull)
       .groupBy($"doc_id", $"seed")
       .agg(min($"h").as("m"))
     val bands = mh
       .groupBy($"doc_id", ($"seed" / 3).cast("int").as("band"))
-      .agg(md5(concat_ws("",
+      .agg(concat_ws(":",
         max(when($"seed" % 3 === 0, $"m")),
         max(when($"seed" % 3 === 1, $"m")),
-        max(when($"seed" % 3 === 2, $"m")))).as("bk"))
+        max(when($"seed" % 3 === 2, $"m"))).as("bk"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
@@ -153,19 +187,24 @@ object LlmQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val q16Oracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+  val q16Oracle: String = {
+    val abRows = minhashAB.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)),
-      |seeds AS (SELECT unnest(generate_series(0, 8)) AS seed),
+      |shx AS (
+      |  SELECT doc_id, s, ${duckHex8("md5(s)", 1)} % $MinhashP AS x
+      |  FROM sh),
+      |seeds AS (SELECT * FROM (VALUES $abRows) t(seed, a, b)),
       |mh AS (
-      |  SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS m
-      |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+      |  SELECT doc_id, seed, min((a * x + b) % $MinhashP) AS m
+      |  FROM shx CROSS JOIN seeds GROUP BY doc_id, seed),
       |bandkeys AS (
-      |  SELECT doc_id, seed // 3 AS band, md5(string_agg(m, '' ORDER BY seed)) AS bk
+      |  SELECT doc_id, seed // 3 AS band, string_agg(m::VARCHAR, ':' ORDER BY seed) AS bk
       |  FROM mh GROUP BY doc_id, seed // 3),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -186,6 +225,7 @@ object LlmQueries {
       |JOIN szs nb ON nb.doc_id = doc_b
       |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q17
 
@@ -434,32 +474,48 @@ object LlmQueries {
     val base = spread
       .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
       .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
-    val hexed = base
+    // The 64 signature bits are bits 0..31 of i1 and 0..31 of i2, the two
+    // 32-bit ints decoded from the first 16 hex chars of the shingle's
+    // md5. (Any fixed bit layout works: Hamming distance and the
+    // pigeonhole band guarantee are invariant under bit permutation, so
+    // the (doc_a, doc_b, hamming) result is layout-independent.)
+    val ints = base
       .select($"doc_id", explode_outer($"sh").as("shingle"))
       .filter($"shingle".isNotNull)
       .select($"doc_id", md5($"shingle").as("hex"))
-    // bit p of the shingle's 128-bit md5, LSB-first within each nibble:
-    // nibble = hex digit at p/4, bit = (nibble / 2^(p%4)) % 2. The 16
-    // nibbles are decoded ONCE per shingle row; the 64 votes are then
-    // pure arithmetic on those ints. One static sum aggregate per
-    // position — 64 partial sums per doc combine map-side, so the
-    // shuffle carries 64 ints per document instead of an exploded
-    // (doc, pos, vote) row per shingle-bit (a measured multi-second
-    // 8M-row shuffle at sf0.1).
-    val nibbles = hexed.select(
-      $"doc_id" +: (0 until 16).map(c =>
-        expr(s"locate(substring(hex, ${c + 1}, 1), '0123456789abcdef') - 1")
-          .as(s"n$c")): _*)
-    def voteAt(p: Int) =
-      expr(s"2 * (CAST(n${p / 4} / ${1 << (p % 4)} AS INT) % 2) - 1")
+      .select($"doc_id",
+        conv(substring($"hex", 1, 8), 16, 10).cast("long").as("i1"),
+        conv(substring($"hex", 9, 8), 16, 10).cast("long").as("i2"))
+    // Vote tally via 32 bit-packed lane sums instead of 64 scalar sums:
+    // lane j accumulates bit j of i1 in its low 32 bits and bit j of i2
+    // in its high 32 bits (no inter-lane carry while shingles/doc < 2^30
+    // — documents are bounded far below that). Halves the aggregate
+    // buffer count and replaces nibble decode + division with two
+    // shift/mask ops — less CPU per row AND a much smaller generated
+    // aggregate (whole-stage codegen compile time is visible at bench
+    // scale). Partial sums combine map-side, so the shuffle carries 32
+    // longs per document instead of an exploded (doc, pos, vote) row per
+    // shingle-bit (a measured multi-second 8M-row shuffle at sf0.1).
+    val packed = ints.select(
+      $"doc_id" +: (0 until 32).map(j =>
+        (shiftright($"i1", j).bitwiseAND(1) +
+          shiftleft(shiftright($"i2", j).bitwiseAND(1), 32)).as(s"l$j")): _*)
+    val tallies = packed
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until 32).map(j => sum(col(s"l$j")).as(s"s$j")): _*)
+    // bit p: ones-count = lane p%32's low (p<32) or high (p>=32) half;
+    // majority vote sum(2b-1) > 0  <=>  2*ones > n.
+    def ones(p: Int) =
+      if (p < 32) col(s"s$p").bitwiseAND(4294967295L)
+      else shiftright(col(s"s${p - 32}"), 32)
     // localCheckpoint: the signature table is 64 chars/doc; materializing
     // it once keeps the band self-join (and the hamming stage) from
     // re-running the shingle+md5 pipeline per reference — the "persist
     // your sketches" rule any 100 TB dedup run follows.
-    val sig = nibbles
-      .groupBy($"doc_id")
-      .agg(concat((0 until 64).map(p =>
-        when(sum(voteAt(p)) > 0, "1").otherwise("0")): _*).as("s"))
+    val sig = tallies
+      .select($"doc_id", concat((0 until 64).map(p =>
+        when(ones(p) * 2 > $"n", "1").otherwise("0")): _*).as("s"))
       .localCheckpoint()
     val bandRows = sig.select($"doc_id", $"s", explode_outer(array(
         (0 until 4).map(b => struct(lit(b).as("b"), substring($"s", 1 + 16 * b, 16).as("bk"))): _*)).as("band"))
@@ -479,20 +535,23 @@ object LlmQueries {
   }
 
   val q27Oracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)),
-      |hexed AS (SELECT doc_id, md5(s) AS hex FROM sh),
+      |ints AS (
+      |  SELECT doc_id,
+      |    ${duckHex8("md5(s)", 1)} AS i1,
+      |    ${duckHex8("md5(s)", 9)} AS i2
+      |  FROM sh),
       |pos AS (SELECT unnest(generate_series(0, 63)) AS p),
       |votes AS (
       |  SELECT doc_id, p,
-      |    sum(2 * (((strpos('0123456789abcdef', substring(hex, p // 4 + 1, 1)) - 1)
-      |          // (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))
-      |         % 2) - 1) AS v
-      |  FROM hexed, pos GROUP BY doc_id, p),
+      |    sum(2 * (CASE WHEN p < 32 THEN (i1 >> p) & 1
+      |             ELSE (i2 >> (p - 32)) & 1 END) - 1) AS v
+      |  FROM ints, pos GROUP BY doc_id, p),
       |sig AS (
       |  SELECT doc_id,
       |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS s
