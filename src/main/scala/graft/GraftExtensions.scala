@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.TopKStrategy
 
 import graft.functions.LongVecDot
 
@@ -17,14 +18,18 @@ import graft.functions.LongVecDot
   * }}}
   *
   * Currently: `long_vec_dot` ([[graft.functions.LongVecDot]], the
-  * codegen'd exact integer dot product behind q18/q19/q28/q30). This is
-  * the (c)-tier extension point of the build brief — used only where a
-  * built-in genuinely can't express the kernel efficiently; everything
-  * else in the engine is plain `org.apache.spark.sql.functions`.
+  * codegen'd exact integer dot product behind q18/q19/q28/q30) and the
+  * planner strategy for the native top-k-per-key operator
+  * ([[org.apache.spark.sql.graftbridge.TopKPerKey]], used through
+  * [[graft.operators.TopK]]). These are the (c)-tier extension points of
+  * the build brief — used only where a built-in genuinely can't express
+  * the semantics efficiently; everything else in the engine is plain
+  * `org.apache.spark.sql.functions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("long_vec_dot"),
       new ExpressionInfo(

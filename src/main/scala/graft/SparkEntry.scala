@@ -63,5 +63,6 @@ object SparkEntry {
     "q27_simhash_neardup",
     "q28_embedding_neardup",
     "q29_winnow_fingerprint",
-    "q30_ann_multiprobe")
+    "q30_ann_multiprobe",
+    "q31_topk_native")
 }

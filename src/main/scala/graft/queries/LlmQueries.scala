@@ -734,6 +734,65 @@ object LlmQueries {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q31
+
+  /** q31 — q18's brute-force cosine top-k re-planned through the engine's
+    * NATIVE top-k-per-key operator ([[graft.operators.TopK]]: custom
+    * logical node + planner strategy + two-phase bounded-heap physical
+    * exec). Identical candidate generation (broadcast query set, exact
+    * integer-scaled cosine); the ranking step keeps 5 rows per query in a
+    * map-side heap instead of window row_number's shuffle-everything-and
+    * -sort — at 100 TB the exchange input drops from |corpus|·|queries|
+    * scored rows to 5·partitions per query, and the per-partition sort
+    * buffer disappears entirely. Same rows as q18 minus the rank column
+    * (heap emission order is unspecified, so rank is re-derivable only by
+    * re-sorting — callers that need it use the window form).
+    */
+  def q31TopkNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sv = Tables.embeddings(s, dir)
+      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+    val q = sv.select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qn"))
+      .filter($"qid" % 50 === 0)
+    val scored = sv.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("neighbor_id"),
+        VectorOps.cosineFromParts(
+          VectorOps.dotL($"qv", $"v"), $"qn", $"nsq").as("cosine"))
+    graft.operators.TopK.perKey(scored,
+        keys = Seq($"qid"), order = Seq($"cosine".desc, $"neighbor_id".asc), k = 5)
+      .orderBy($"qid", $"cosine".desc, $"neighbor_id")
+  }
+
+  val q31Oracle: String =
+    """WITH sv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |nn AS (SELECT vec_id, v,
+      |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM sv),
+      |pr AS (
+      |  SELECT q.vec_id AS qid, b.vec_id AS nid, q.v AS qv, b.v AS bv,
+      |         q.nsq AS qn, b.nsq AS bn
+      |  FROM nn q JOIN nn b ON b.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0),
+      |dt AS (
+      |  SELECT qid, nid, qn, bn, CAST(sum(qv[i] * bv[i]) AS BIGINT) AS dot
+      |  FROM pr, unnest(generate_series(1, len(qv))) t(i)
+      |  GROUP BY qid, nid, qn, bn),
+      |sc AS (
+      |  SELECT qid, nid,
+      |    CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) AS cosine
+      |  FROM dt),
+      |rk AS (
+      |  SELECT qid, nid, cosine,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+      |  FROM sc)
+      |SELECT qid, nid AS neighbor_id, cosine
+      |FROM rk WHERE rnk <= 5
+      |ORDER BY qid, cosine DESC, neighbor_id""".stripMargin
+
   // ---------------------------------------------------------------- q29
 
   /** q29 — winnowing document fingerprints (the MOSS scheme: k-gram
@@ -813,7 +872,8 @@ object LlmQueries {
     "q27_simhash_neardup"   -> (q27SimhashNearDup _),
     "q28_embedding_neardup" -> (q28EmbeddingNearDup _),
     "q29_winnow_fingerprint" -> (q29WinnowFingerprint _),
-    "q30_ann_multiprobe"    -> (q30AnnMultiprobe _))
+    "q30_ann_multiprobe"    -> (q30AnnMultiprobe _),
+    "q31_topk_native"       -> (q31TopkNative _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -825,5 +885,6 @@ object LlmQueries {
     "q27_simhash_neardup"   -> q27Oracle,
     "q28_embedding_neardup" -> q28Oracle,
     "q29_winnow_fingerprint" -> q29Oracle,
-    "q30_ann_multiprobe"    -> q30Oracle)
+    "q30_ann_multiprobe"    -> q30Oracle,
+    "q31_topk_native"       -> q31Oracle)
 }

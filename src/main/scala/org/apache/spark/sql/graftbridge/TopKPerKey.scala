@@ -1,0 +1,140 @@
+package org.apache.spark.sql.graftbridge
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Logical "retain the first `k` child rows per distinct `keys` value
+  * under `order`" — the whole-operator custom plan of the build brief's
+  * (c) tier. Spark's only built-in spelling is
+  * `row_number().over(Window.partitionBy(keys).orderBy(order)) <= k`,
+  * whose physical plan shuffles EVERY row to its key's partition and
+  * fully sorts each partition. This node plans to a two-phase bounded-heap
+  * exec ([[TopKPerKeyExec]]): the map side keeps at most k rows per key
+  * per input partition, so the exchange carries ≤ k·parts rows per key
+  * instead of all of them and nothing is ever globally sorted — the
+  * difference between "top-5 neighbors per query over 100 TB of
+  * candidates" being exchange-bound or not.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k per key needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Physical bounded-heap top-k per key. `partial = true` instances run
+  * map-side with no distribution requirement (a per-partition k-truncation
+  * — top-k is associative, so truncating before the exchange is lossless);
+  * the `partial = false` instance requires [[ClusteredDistribution]] on
+  * the keys, which EnsureRequirements satisfies with a hash exchange of
+  * the already-truncated stream. Per partition it keeps one k-bounded
+  * worst-out binary heap per observed key: O(rows · log k) time,
+  * O(keys · k) memory, no sort buffer. Output order within a key is
+  * unspecified (heap order) — callers sequence results, same contract as
+  * aggregation.
+  */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowOrd = RowOrdering.create(sortOrder, childOutput)
+      // head of each heap = the WORST retained row (largest under the
+      // requested order), so admission is a single O(1) peek + O(log k)
+      // replace; SortOrder ties resolve exactly as a sort would.
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          rowOrd.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj.apply(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+          heaps.put(key.copy(), heap) // copy: the projection reuses its buffer
+        }
+        if (heap.size < limit) {
+          heap.add(row.copy()) // copy: the child iterator reuses row buffers
+        } else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerKey]] as partial-exec → (exchange) → final-exec, the
+  * same shape Catalyst gives a two-phase aggregate. Injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (graft.GraftExtensions).
+  */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level entry point (the bridge lives in this package because
+  * `Dataset.ofRows` is `private[sql]` in Spark 4).
+  */
+object TopKPerKeyApi {
+  /** First k rows per `keyCols` group under `orderCols` (wrap columns in
+    * `.asc`/`.desc`; bare columns default to ascending).
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    // Eager conversion: ExpressionUtils.expression wraps the column node
+    // lazily (ColumnNodeExpression), and the analyzer does not rewrite
+    // that wrapper inside third-party logical nodes — the raw (and
+    // non-serializable) sql.internal AST would ride into the task
+    // closure. The classic converter turns the node into a pure catalyst
+    // tree up front; UnresolvedAttributes then resolve normally.
+    def toExpr(c: Column) = classic.ColumnNodeToExpressionConverter(c.node)
+    val keys = keyCols.map(toExpr)
+    val order = orderCols.map(c => toExpr(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    Dataset.ofRows(session, TopKPerKey(keys, order, k, df.queryExecution.analyzed))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.TopK
+
+/** Laws of the native top-k-per-key operator: exact equivalence with the
+  * window row_number() spelling, and the physical plan the operator
+  * exists to produce (two bounded-heap phases around one exchange, no
+  * WindowExec, no sort).
+  */
+class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("topk-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("perKey(k) equals the window row_number <= k spelling exactly") {
+    val ss = spark; import ss.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val native = TopK.perKey(ev,
+        keys = Seq($"user_id"),
+        order = Seq($"ts".desc, $"event_id".desc), k = 3)
+      .collect().map(_.getLong(0)).sorted
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val windowed = ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .collect().map(_.getLong(0)).sorted
+    assert(native.nonEmpty)
+    assert(native.toSeq === windowed.toSeq)
+  }
+
+  test("k larger than every group returns the whole input") {
+    val ss = spark; import ss.implicits._
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val out = TopK.perKey(df, Seq($"k"), Seq($"v".asc), k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(out.toSeq === Seq((1, "a"), (1, "b"), (2, "c")))
+  }
+
+  test("SortOrder ties break exactly as a sort would (stable under permutation)") {
+    val ss = spark; import ss.implicits._
+    // duplicate sort values: tie-break column included in the order makes
+    // the result deterministic; permuting input must not change it
+    val rows = Seq((1, 5, "x"), (1, 5, "y"), (1, 5, "z"), (1, 7, "w"))
+    def run(seq: Seq[(Int, Int, String)]) =
+      TopK.perKey(seq.toDF("k", "score", "id"),
+          Seq($"k"), Seq($"score".desc, $"id".asc), k = 2)
+        .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(run(rows) === Seq((5, "x"), (7, "w")))
+    assert(run(rows.reverse) === run(rows))
+  }
+
+  test("physical plan: two TopKPerKeyExec phases, no WindowExec, no SortExec") {
+    val ss = spark; import ss.implicits._
+    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+    val plan = TopK.perKey(ev, Seq($"user_id"), Seq($"ts".desc), k = 1)
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert("TopKPerKey".r.findAllIn(plan).length === 2)
+    assert(plan.contains("Exchange hashpartitioning(user_id"))
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "))
+    assert(!plan.toLowerCase.contains("sort "))
+  }
+
+  test("strategy is available via GraftExtensions session config too") {
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("topk-ext-spec")
+      .getOrCreate()
+    try {
+      val ss = ext; import ss.implicits._
+      val df = Seq((1, 2), (1, 1), (2, 9)).toDF("k", "v")
+      // go through the bridge API directly: no self-registration path
+      val out = org.apache.spark.sql.graftbridge.TopKPerKeyApi
+        .topKPerKey(df, Seq($"k"), Seq($"v".asc), 1)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+      assert(out.toSeq === Seq((1, 1), (2, 9)))
+    } finally ext.stop()
+  }
+}
