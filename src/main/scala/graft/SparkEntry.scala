@@ -64,5 +64,6 @@ object SparkEntry {
     "q28_embedding_neardup",
     "q29_winnow_fingerprint",
     "q30_ann_multiprobe",
-    "q31_topk_native")
+    "q31_topk_native",
+    "q32_ann_ivf")
 }

@@ -61,9 +61,75 @@ object CdcQueries {
       |WHERE rn = 1 AND __deleted = 'false'
       |ORDER BY user_id""".stripMargin
 
+  /** q33 — q24's lifecycle driven through Structured Streaming: the same
+    * changelog thirds, but batches 1 and 2 arrive as a `MemoryStream`
+    * (the Kafka-wire stand-in) and land via the checkpointed
+    * `foreachBatch → CdcTable.upsert` sink — the reference's continuous
+    * DeltaStreamer model (`deltastreamer_jobs_bulk.sh --continuous`).
+    * The answer is the same `_rt` snapshot, and the ORACLE IS q24's:
+    * batch and streaming ingestion of the same changelog must converge
+    * to the same table (the merge is micro-batch-boundary-invariant by
+    * the CdcMerge laws). The MemoryStream rows pass through the driver —
+    * inherent to the test harness source, not the operator: in
+    * production the source is Kafka partitions and `upsert` appends
+    * executor-side, exactly as here.
+    */
+  def q33CdcStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val path = scratch(s"q33_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    // fresh table AND fresh checkpoint: a stale checkpoint would mark the
+    // (new) MemoryStream's offsets as already committed and skip batches
+    locally {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p)) {
+        val st = java.nio.file.Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach((f: java.nio.file.Path) => java.nio.file.Files.delete(f))
+        finally st.close()
+      }
+    }
+    val op = when($"event_type" === "signup", "c")
+      .when($"event_type" === "error", "d")
+      .otherwise("u")
+    val changelog = Tables.events(s, dir).select(
+      $"user_id", $"event_id", $"value",
+      op.as("__op"),
+      when(op === "d", "true").otherwise("false").as("__deleted"),
+      unix_millis($"ts").as("__source_ts_ms"),
+      $"event_type")
+    val table = new CdcTable(s, path,
+      keyCols = Seq("user_id"),
+      orderingCols = Seq("__source_ts_ms", "event_id"),
+      partitionCol = "event_type")
+    table.bulkInsert(changelog.filter($"event_id" % 3 === 0))
+    val incoming = changelog.filter($"event_id" % 3 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getString(4), r.getLong(5), r.getString(6)))
+    val ms = MemoryStream[(Long, Long, Double, String, String, Long, String)]
+    ms.addData(incoming.filter(_._2 % 3 == 1).toIndexedSeq)
+    ms.addData(incoming.filter(_._2 % 3 == 2).toIndexedSeq)
+    val stream = ms.toDF().toDF("user_id", "event_id", "value",
+      "__op", "__deleted", "__source_ts_ms", "event_type")
+    val query = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) => table.upsert(batch) }
+      .start()
+    query.awaitTermination()
+    table.realTime(CdcMerge.Drop)
+      .select($"user_id", $"event_id", $"value", $"__op")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q24_cdc_lake_upsert" -> (q24CdcLakeUpsert _))
+    "q24_cdc_lake_upsert" -> (q24CdcLakeUpsert _),
+    "q33_cdc_stream_upsert" -> (q33CdcStreamUpsert _))
 
   val oracles: Map[String, String] = Map(
-    "q24_cdc_lake_upsert" -> q24Oracle)
+    "q24_cdc_lake_upsert" -> q24Oracle,
+    "q33_cdc_stream_upsert" -> q24Oracle)
 }

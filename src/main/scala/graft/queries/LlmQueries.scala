@@ -793,6 +793,109 @@ object LlmQueries {
       |FROM rk WHERE rnk <= 5
       |ORDER BY qid, cosine DESC, neighbor_id""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+
+  /** Coarse-centroid stride for [[q32AnnIvf]]: every 64th vector below
+    * id 3200 is a centroid, i.e. K grows with the corpus up to a hard cap
+    * of 50 — so the broadcast centroid table is bounded at every scale.
+    * (In production IVF the centroid set is a trained fixed-K artifact;
+    * deriving it deterministically from the corpus is what makes the
+    * DuckDB oracle reproducible.)
+    */
+  private val IvfStride = 64
+  private val IvfMaxCid = 3200
+
+  /** q32 — IVF-style ANN, the clustered-bucket alternative to q19's
+    * sign-LSH: vectors are assigned to their nearest coarse centroid
+    * (broadcast centroid table, map-side exact-cosine argmin via the
+    * native top-k operator with k=1), and each query ranks only its own
+    * cell's members (top-3, again native top-k). The two LSH-vs-IVF
+    * trade-offs this encodes: IVF cells adapt to the data distribution
+    * (LSH planes are data-blind), and cell residency is one int per
+    * vector — the partition key a bucketed 100 TB layout would cluster
+    * storage by, making a probe a partition-pruned scan. Assignment is
+    * O(N·K) map-side with no shuffle (K ≤ 50 by construction); the only
+    * shuffles are the assignment join-back and the cell-key candidate
+    * join. nprobe=1 keeps the oracle exact; recall raises by probing
+    * more cells exactly as q30 does for LSH.
+    */
+  def q32AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TopK
+    // localCheckpoint: scan+scale+norms feed assignment, the member side,
+    // and the query side — persist the vector sketch once.
+    val sv = Tables.embeddings(s, dir)
+      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+      .localCheckpoint()
+    val cent = sv.filter($"vec_id" % IvfStride === 0 && $"vec_id" < IvfMaxCid)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nsq".as("cn"))
+    val cellScores = sv.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cid",
+        VectorOps.cosineFromParts(
+          VectorOps.dotL($"v", $"cv"), $"nsq", $"cn").as("ccos"))
+    val cells = TopK.perKey(cellScores,
+        keys = Seq($"vec_id"), order = Seq($"ccos".desc, $"cid".asc), k = 1)
+      .select($"vec_id", $"cid".as("cell"))
+    val member = sv.join(cells, "vec_id")
+    val q = member.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qn"), $"cell")
+    val scored = member.join(q, Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"cell", $"vec_id".as("neighbor_id"),
+        VectorOps.cosineFromParts(
+          VectorOps.dotL($"qv", $"v"), $"qn", $"nsq").as("cosine"))
+    TopK.perKey(scored,
+        keys = Seq($"qid"), order = Seq($"cosine".desc, $"neighbor_id".asc), k = 3)
+      .orderBy($"qid", $"cosine".desc, $"neighbor_id")
+  }
+
+  val q32Oracle: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, v,
+       |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM sv),
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, nsq AS cn FROM nn
+       |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfMaxCid),
+       |ad AS (
+       |  SELECT n.vec_id, c.cid, n.nsq AS vn, c.cn AS cn,
+       |    CAST(sum(n.v[i] * c.cv[i]) AS BIGINT) AS dot
+       |  FROM nn n CROSS JOIN cent c,
+       |       unnest(generate_series(1, len(n.v))) t(i)
+       |  GROUP BY n.vec_id, c.cid, n.nsq, c.cn),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      CAST(dot AS DOUBLE) / sqrt(CAST(vn AS DOUBLE)) / sqrt(CAST(cn AS DOUBLE)) DESC,
+       |      cid) AS rn
+       |    FROM ad) z WHERE rn = 1),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, q.cell, b.vec_id AS nid
+       |  FROM cells q JOIN cells b ON b.cell = q.cell AND b.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0),
+       |dt AS (
+       |  SELECT c.qid, c.cell, c.nid, nq.nsq AS qn, nb.nsq AS bn,
+       |    CAST(sum(nq.v[i] * nb.v[i]) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN nn nq ON nq.vec_id = c.qid
+       |  JOIN nn nb ON nb.vec_id = c.nid,
+       |       unnest(generate_series(1, len(nq.v))) t(i)
+       |  GROUP BY c.qid, c.cell, c.nid, nq.nsq, nb.nsq),
+       |sc AS (
+       |  SELECT qid, cell, nid,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) AS cosine
+       |  FROM dt),
+       |rk AS (
+       |  SELECT qid, cell, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+       |  FROM sc)
+       |SELECT qid, cell, nid AS neighbor_id, cosine
+       |FROM rk WHERE rnk <= 3
+       |ORDER BY qid, cosine DESC, neighbor_id""".stripMargin
+
   // ---------------------------------------------------------------- q29
 
   /** q29 — winnowing document fingerprints (the MOSS scheme: k-gram
@@ -873,7 +976,8 @@ object LlmQueries {
     "q28_embedding_neardup" -> (q28EmbeddingNearDup _),
     "q29_winnow_fingerprint" -> (q29WinnowFingerprint _),
     "q30_ann_multiprobe"    -> (q30AnnMultiprobe _),
-    "q31_topk_native"       -> (q31TopkNative _))
+    "q31_topk_native"       -> (q31TopkNative _),
+    "q32_ann_ivf"           -> (q32AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -886,5 +990,6 @@ object LlmQueries {
     "q28_embedding_neardup" -> q28Oracle,
     "q29_winnow_fingerprint" -> q29Oracle,
     "q30_ann_multiprobe"    -> q30Oracle,
-    "q31_topk_native"       -> q31Oracle)
+    "q31_topk_native"       -> q31Oracle,
+    "q32_ann_ivf"           -> q32Oracle)
 }
