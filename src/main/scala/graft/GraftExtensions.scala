@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.TopKStrategy
+import org.apache.spark.sql.graftbridge.{RowNumberToTopKRule, TopKStrategy}
 
 import graft.functions.LongVecDot
 
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => RowNumberToTopKRule)
     ext.injectFunction((
       new FunctionIdentifier("long_vec_dot"),
       new ExpressionInfo(

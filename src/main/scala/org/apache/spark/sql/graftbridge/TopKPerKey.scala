@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -60,6 +60,7 @@ case class TopKPerKeyExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil // global top-k: one final heap
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -111,6 +112,48 @@ object TopKStrategy extends SparkStrategy {
       TopKPerKeyExec(keys, order, k, partial = false,
         TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rewrite: the declarative top-k idiom
+  *
+  * {{{
+  *   df.withColumn("rn", row_number().over(Window.partitionBy(k).orderBy(o)))
+  *     .filter($"rn" <= 5).drop("rn")
+  * }}}
+  *
+  * becomes [[TopKPerKey]] whenever the rank column is discarded above the
+  * filter — users keep the standard spelling, the engine substitutes the
+  * bounded-heap plan. (Spark's own InsertWindowGroupLimit only *prepends*
+  * a group-limit to the window; the full per-partition sort survives it.
+  * This rule removes the Window node entirely, which is only sound when
+  * nothing downstream reads the rank — hence the Project guard.)
+  * Matched conservatively: single row_number window expression, a filter
+  * that is exactly `rn <= k` / `rn < k` / `rn = 1` on it, non-empty
+  * orderSpec, and a projection that drops the rank attribute.
+  */
+object RowNumberToTopKRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+
+  private def rankLimit(cond: Expression, rank: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rank) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList,
+        Filter(cond, Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          partSpec, orderSpec, child, _)))
+        if orderSpec.nonEmpty && {
+          val rank = alias.toAttribute
+          rankLimit(cond, rank).exists(_ > 0) &&
+            !projectList.exists(_.references.contains(rank))
+        } =>
+      val k = rankLimit(cond, alias.toAttribute).get
+      Project(projectList, TopKPerKey(partSpec, orderSpec, k, child))
   }
 }
 

@@ -81,14 +81,53 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("sort "))
   }
 
-  test("strategy is available via GraftExtensions session config too") {
+  /** getOrCreate() returns the suite's session unless the active/default
+    * session is cleared first; restore it afterwards. `withExtensions`
+    * (not the `spark.sql.extensions` conf) because the conf is static and
+    * silently ignored when the JVM's SparkContext already exists — the
+    * conf path is what production uses, the programmatic path is what a
+    * multi-session test JVM can exercise.
+    */
+  private def withExtensionsSession[T](app: String)(f: SparkSession => T): T = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val ext = SparkSession.builder()
       .master("local[2]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      .appName("topk-ext-spec")
+      .appName(app)
       .getOrCreate()
-    try {
+    try f(ext)
+    finally {
+      ext.stop()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("optimizer rule rewrites row_number()<=k + drop(rank) into TopKPerKey") {
+    withExtensionsSession("topk-rule-spec") { ext =>
+      val ss = ext; import ss.implicits._
+      val df = Seq((1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "d"), (2, 9, "e"))
+        .toDF("k", "score", "id")
+      val w = Window.partitionBy($"k").orderBy($"score".desc, $"id")
+      val idiom = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).drop("rn")
+      val plan = idiom.queryExecution.executedPlan.toString
+      assert("TopKPerKey".r.findAllIn(plan).length === 2, s"not rewritten:\n$plan")
+      assert(!plan.contains("Window"))
+      val out = idiom.collect().map(r => (r.getInt(0), r.getString(2))).sorted
+      assert(out.toSeq === Seq((1, "b"), (1, "c"), (2, "d"), (2, "e")))
+      // control: rank kept in the output -> NOT rewritten (Window stays)
+      val kept = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      assert(kept.queryExecution.executedPlan.toString.contains("Window"))
+      assert(kept.collect().length === 4)
+    }
+  }
+
+  test("strategy is available via GraftExtensions session config too") {
+    withExtensionsSession("topk-ext-spec") { ext =>
       val ss = ext; import ss.implicits._
       val df = Seq((1, 2), (1, 1), (2, 9)).toDF("k", "v")
       // go through the bridge API directly: no self-registration path
@@ -96,6 +135,6 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
         .topKPerKey(df, Seq($"k"), Seq($"v".asc), 1)
         .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
       assert(out.toSeq === Seq((1, 1), (2, 9)))
-    } finally ext.stop()
+    }
   }
 }
