@@ -20,14 +20,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ReferenceQueries.queries ++ LlmQueries.queries ++
-      CodecQueries.queries ++ SinkQueries.queries ++ CdcQueries.queries
+      CodecQueries.queries ++ SinkQueries.queries ++ CdcQueries.queries ++
+      TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ReferenceQueries.oracles ++ LlmQueries.oracles ++
-      CodecQueries.oracles ++ SinkQueries.oracles ++ CdcQueries.oracles
+      CodecQueries.oracles ++ SinkQueries.oracles ++ CdcQueries.oracles ++
+      TemporalQueries.oracles
 
   /** Headline set timed by graft.Bench — an explicit literal list so the
     * cross-round bench total stays comparable: queries added in later
@@ -65,5 +67,7 @@ object SparkEntry {
     "q29_winnow_fingerprint",
     "q30_ann_multiprobe",
     "q31_topk_native",
-    "q32_ann_ivf")
+    "q32_ann_ivf",
+    "q34_asof_enrich",
+    "q35_session_window")
 }
