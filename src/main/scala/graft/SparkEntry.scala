@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ReferenceQueries.queries ++ LlmQueries.queries ++
       CodecQueries.queries ++ SinkQueries.queries ++ CdcQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++ SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ReferenceQueries.oracles ++ LlmQueries.oracles ++
       CodecQueries.oracles ++ SinkQueries.oracles ++ CdcQueries.oracles ++
-      TemporalQueries.oracles
+      TemporalQueries.oracles ++ SketchQueries.oracles
 
   /** Headline set timed by graft.Bench — an explicit literal list so the
     * cross-round bench total stays comparable: queries added in later
@@ -69,5 +69,7 @@ object SparkEntry {
     "q31_topk_native",
     "q32_ann_ivf",
     "q34_asof_enrich",
-    "q35_session_window")
+    "q35_session_window",
+    "q36_kmv_distinct",
+    "q37_hash_split")
 }
