@@ -57,7 +57,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.flatMap(_._3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // 1-minute system load BEFORE this bench's own threads inflate it is
+    // gone by now, so report the current one: co-tenant contention on the
+    // bench box has been observed to move totals 3-5x between runs
+    // minutes apart with identical code — the reader needs the context.
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

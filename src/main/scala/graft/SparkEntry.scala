@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ReferenceQueries.queries ++ LlmQueries.queries ++
       CodecQueries.queries ++ SinkQueries.queries ++ CdcQueries.queries ++
-      TemporalQueries.queries ++ SketchQueries.queries
+      TemporalQueries.queries ++ SketchQueries.queries ++ OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ReferenceQueries.oracles ++ LlmQueries.oracles ++
       CodecQueries.oracles ++ SinkQueries.oracles ++ CdcQueries.oracles ++
-      TemporalQueries.oracles ++ SketchQueries.oracles
+      TemporalQueries.oracles ++ SketchQueries.oracles ++ OlapQueries.oracles
 
   /** Headline set timed by graft.Bench — an explicit literal list so the
     * cross-round bench total stays comparable: queries added in later
@@ -71,5 +71,7 @@ object SparkEntry {
     "q34_asof_enrich",
     "q35_session_window",
     "q36_kmv_distinct",
-    "q37_hash_split")
+    "q37_hash_split",
+    "q38_pivot_events",
+    "q39_rollup_revenue")
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Classic OLAP reshaping operators: pivot and rollup. Both are
+  * single-shuffle grouped aggregations under the hood — the reshaping is
+  * free at scale as long as the pivot's value list is pinned (no
+  * values-discovery pre-job) and the rollup rides Spark's Expand +
+  * two-phase aggregate.
+  */
+object OlapQueries {
+
+  // ---------------------------------------------------------------- q38
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q38 — pivot: per-user event counts spread into one column per event
+    * type. The value list is EXPLICIT — `pivot(col)` without values runs
+    * a distinct-scan job first and bakes an unbounded column set into the
+    * plan; pinning it keeps the plan static and the schema stable at any
+    * scale (unknown types would need a pre-agreed vocabulary, which is
+    * what a 100 TB pipeline has anyway). One shuffle on user_id; the
+    * pivot is a CASE-dressed hash aggregate.
+    */
+  def q38PivotEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pivoted = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes.foldLeft(pivoted)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      .withColumn("total", EventTypes.map(col).reduce(_ + _))
+      .orderBy($"user_id")
+  }
+
+  val q38Oracle: String = {
+    val cases = EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n      |  ")
+    s"""SELECT user_id,
+      |  $cases,
+      |  CAST(count(*) AS BIGINT) AS total
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q39
+
+  /** q39 — rollup with grouping indicators: order count and revenue by
+    * (region, nation) plus per-region subtotals and the grand total.
+    * `grouping_id()` is emitted so aggregated-out NULLs are
+    * distinguishable from data NULLs, and the final sort keys on it with
+    * coalesced names — Spark sorts NULLS FIRST ascending, DuckDB NULLS
+    * LAST, so the oracle must never sort on a nullable column directly.
+    * Plan: join chain (broadcast dims, AQE-sized customer join) into one
+    * Expand + two-phase hash aggregate — the rollup costs one extra
+    * input replication per grouping set, not extra shuffles. Revenue
+    * goes through DECIMAL(12,2) per the money-exactness recipe.
+    */
+  def q39RollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val joined = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+    joined
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("revenue"),
+        grouping_id().as("gid"))
+      .select($"r_name", $"n_name", $"gid", $"n_orders", $"revenue")
+      .orderBy($"gid", coalesce($"r_name", lit("")), coalesce($"n_name", lit("")))
+  }
+
+  val q39Oracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY gid, coalesce(r_name, ''), coalesce(n_name, '')""".stripMargin
+
+  // --------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_pivot_events"   -> (q38PivotEvents _),
+    "q39_rollup_revenue" -> (q39RollupRevenue _))
+
+  val oracles: Map[String, String] = Map(
+    "q38_pivot_events"   -> q38Oracle,
+    "q39_rollup_revenue" -> q39Oracle)
+}
