@@ -73,5 +73,6 @@ object SparkEntry {
     "q36_kmv_distinct",
     "q37_hash_split",
     "q38_pivot_events",
-    "q39_rollup_revenue")
+    "q39_rollup_revenue",
+    "q40_dedup_clusters")
 }

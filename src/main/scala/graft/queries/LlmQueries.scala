@@ -963,6 +963,86 @@ object LlmQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+
+  /** q40 — dedup cluster assignment: the q16-confirmed near-dup pairs
+    * become an undirected graph, connected components are computed by
+    * iterative min-label propagation, and every document maps to its
+    * component's canonical (minimum) doc_id — the keep/drop decision a
+    * dedup pass actually executes, closing the find-pairs → cluster →
+    * canonicalize pipeline.
+    *
+    * The propagation loop is a driver-side `while`, but each iteration
+    * is a fully distributed join+aggregate and the iteration COUNT is
+    * bounded by the largest component's diameter — for near-dup graphs
+    * that is tiny (duplicate groups, not social graphs; here it
+    * converges in ≤ 2 rounds, capped at 20). At 100 TB the same loop
+    * runs with the alternating large-star/small-star optimization to
+    * halve diameters; the per-iteration localCheckpoint keeps lineage
+    * flat so the plan never grows with the iteration count. The oracle
+    * reproduces the closure with a recursive CTE over the identical
+    * pair set.
+    */
+  def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = q16NearDupLsh(s, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val both = edges.union(edges.select($"dst", $"src")).localCheckpoint()
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+    var changed = true
+    var iters = 0
+    while (changed && iters < 20) {
+      val nbrMin = both
+        .join(labels.select($"doc_id".as("src"), $"label".as("src_label")), "src")
+        .groupBy($"dst".as("doc_id"))
+        .agg(min($"src_label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"),
+          ($"nbr_label" < $"label").as("moved"))
+      val nextCk = next.localCheckpoint()
+      changed = nextCk.filter($"moved").limit(1).count() > 0
+      labels = nextCk.select($"doc_id", $"label")
+      iters += 1
+    }
+    val sizes = labels.groupBy($"label".as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select($"doc_id", $"label".as("canonical_id"))
+      .join(sizes, "canonical_id")
+      .select($"doc_id", $"canonical_id",
+        when($"doc_id" === $"canonical_id", 1L).otherwise(0L).as("is_kept"),
+        $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** q16's oracle re-used as a nested CTE (DuckDB allows a full
+    * WITH-select as a CTE body), closed transitively with a recursive
+    * CTE, min-labeled, and sized.
+    */
+  val q40Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${q16Oracle.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM documents
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       |canon AS (
+       |  SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a),
+       |sizes AS (
+       |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM canon GROUP BY canonical_id)
+       |SELECT c.doc_id, c.canonical_id,
+       |  CAST(CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept,
+       |  s.cluster_size
+       |FROM canon c JOIN sizes s ON s.canonical_id = c.canonical_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -977,7 +1057,8 @@ object LlmQueries {
     "q29_winnow_fingerprint" -> (q29WinnowFingerprint _),
     "q30_ann_multiprobe"    -> (q30AnnMultiprobe _),
     "q31_topk_native"       -> (q31TopkNative _),
-    "q32_ann_ivf"           -> (q32AnnIvf _))
+    "q32_ann_ivf"           -> (q32AnnIvf _),
+    "q40_dedup_clusters"    -> (q40DedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -991,5 +1072,6 @@ object LlmQueries {
     "q29_winnow_fingerprint" -> q29Oracle,
     "q30_ann_multiprobe"    -> q30Oracle,
     "q31_topk_native"       -> q31Oracle,
-    "q32_ann_ivf"           -> q32Oracle)
+    "q32_ann_ivf"           -> q32Oracle,
+    "q40_dedup_clusters"    -> q40Oracle)
 }
