@@ -74,5 +74,6 @@ object SparkEntry {
     "q37_hash_split",
     "q38_pivot_events",
     "q39_rollup_revenue",
-    "q40_dedup_clusters")
+    "q40_dedup_clusters",
+    "q41_unpivot_events")
 }

@@ -89,13 +89,41 @@ object OlapQueries {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY gid, coalesce(r_name, ''), coalesce(n_name, '')""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+
+  /** q41 — unpivot (melt): q38's wide per-user counts fold back into
+    * (user_id, event_type, n_events) rows via Spark's native `unpivot`,
+    * zero-count cells dropped. The oracle is NOT a translation of this
+    * pipeline — it is the plain `GROUP BY user_id, event_type` count, so
+    * the gate verifies the algebraic law `unpivot(pivot(x)) = groupBy(x)`
+    * end-to-end through two reshapes. Unpivot is a map-side Expand (one
+    * output row per value column), no extra shuffle.
+    */
+  def q41UnpivotEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q38PivotEvents(s, dir)
+      .drop("total")
+      .unpivot(Array($"user_id"), EventTypes.map(col).toArray,
+        "event_type", "n_events")
+      .filter($"n_events" > 0)
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q41Oracle: String =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_pivot_events"   -> (q38PivotEvents _),
-    "q39_rollup_revenue" -> (q39RollupRevenue _))
+    "q39_rollup_revenue" -> (q39RollupRevenue _),
+    "q41_unpivot_events" -> (q41UnpivotEvents _))
 
   val oracles: Map[String, String] = Map(
     "q38_pivot_events"   -> q38Oracle,
-    "q39_rollup_revenue" -> q39Oracle)
+    "q39_rollup_revenue" -> q39Oracle,
+    "q41_unpivot_events" -> q41Oracle)
 }
