@@ -75,5 +75,7 @@ object SparkEntry {
     "q38_pivot_events",
     "q39_rollup_revenue",
     "q40_dedup_clusters",
-    "q41_unpivot_events")
+    "q41_unpivot_events",
+    "q42_quantile_disc",
+    "q43_top_terms")
 }

@@ -1043,6 +1043,56 @@ object LlmQueries {
        |FROM canon c JOIN sizes s ON s.canonical_id = c.canonical_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+
+  /** q43 — top terms per document: term frequencies (tf) per (doc, term),
+    * corpus document frequencies (df) per term, and each document's
+    * top-5 terms by (tf desc, term asc) — kept by the native top-k
+    * operator, so nothing per-document is ever sorted. Integer-only
+    * tf/df (no log-weighted tf-idf: `ln` last-ULP behavior is libm- and
+    * engine-specific, and the ranking the pipeline acts on only needs
+    * the counts). Scale: two hash aggregations (term stats are the
+    * classic map-side-combine case) + a broadcast-or-shuffle join of the
+    * small df table; the top-k truncates map-side.
+    */
+  def q43TopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TopK
+    val terms = Tables.spread(s, Tables.documents(s, dir))
+      .select($"doc_id", explode_outer(TextOps.tokens(TextOps.normText($"text"))).as("term"))
+      .filter($"term".isNotNull && $"term" =!= "")
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df")).localCheckpoint()
+    TopK.perKey(tf, keys = Seq($"doc_id"),
+        order = Seq($"tf".desc, $"term".asc), k = 5)
+      .join(df, "term")
+      .select($"doc_id", $"term", $"tf", $"df")
+      .orderBy($"doc_id", $"tf".desc, $"term")
+  }
+
+  val q43Oracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, t.term FROM (
+      |    SELECT doc_id,
+      |      string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |    FROM documents) d, unnest(d.toks) AS t(term)
+      |  WHERE t.term <> ''),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM terms GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM terms GROUP BY term),
+      |rk AS (
+      |  SELECT doc_id, term, tf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+      |  FROM tf)
+      |SELECT rk.doc_id, rk.term, rk.tf, df.df
+      |FROM rk JOIN df ON df.term = rk.term
+      |WHERE rn <= 5
+      |ORDER BY rk.doc_id, rk.tf DESC, rk.term""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1058,7 +1108,8 @@ object LlmQueries {
     "q30_ann_multiprobe"    -> (q30AnnMultiprobe _),
     "q31_topk_native"       -> (q31TopkNative _),
     "q32_ann_ivf"           -> (q32AnnIvf _),
-    "q40_dedup_clusters"    -> (q40DedupClusters _))
+    "q40_dedup_clusters"    -> (q40DedupClusters _),
+    "q43_top_terms"         -> (q43TopTerms _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1073,5 +1124,6 @@ object LlmQueries {
     "q30_ann_multiprobe"    -> q30Oracle,
     "q31_topk_native"       -> q31Oracle,
     "q32_ann_ivf"           -> q32Oracle,
-    "q40_dedup_clusters"    -> q40Oracle)
+    "q40_dedup_clusters"    -> q40Oracle,
+    "q43_top_terms"         -> q43Oracle)
 }

@@ -115,15 +115,66 @@ object OlapQueries {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+
+  private val Quantiles = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  /** q42 — exact discrete quantiles of `value` per event type: the
+    * quantile is the element at sorted rank ⌈p·n⌉, computed with a
+    * row_number window — no interpolation, so the emitted double is a
+    * raw data value and parity needs no floating-point arithmetic at
+    * all (engine `quantile`/`percentile` builtins differ in
+    * interpolation and are unusable for exact gates). Ties in `value`
+    * don't matter: whichever duplicate takes rank ⌈p·n⌉, the VALUE at a
+    * rank is determined by the sorted multiset. One shuffle on the
+    * group key; at 100 TB the same statistic comes from a fixed-depth
+    * histogram/KLL pass instead of a full sort — this is the exact
+    * small-group formulation.
+    */
+  def q42QuantileDisc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value")
+    val ranked = Tables.events(s, dir)
+      .select($"event_type", $"value")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+    ranked.groupBy($"event_type")
+      .agg(max($"n").as("n_rows"),
+        Quantiles.map { case (name, p) =>
+          max(when($"rn" === ceil(lit(p) * $"n"), $"value")).as(name)
+        }: _*)
+      .orderBy($"event_type")
+  }
+
+  val q42Oracle: String = {
+    val qs = Quantiles.map { case (name, p) =>
+      s"max(CASE WHEN rn = CAST(ceil($p * n) AS BIGINT) THEN value END) AS $name"
+    }.mkString(",\n      |  ")
+    s"""WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+      |  $qs
+      |FROM ranked
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_pivot_events"   -> (q38PivotEvents _),
     "q39_rollup_revenue" -> (q39RollupRevenue _),
-    "q41_unpivot_events" -> (q41UnpivotEvents _))
+    "q41_unpivot_events" -> (q41UnpivotEvents _),
+    "q42_quantile_disc"  -> (q42QuantileDisc _))
 
   val oracles: Map[String, String] = Map(
     "q38_pivot_events"   -> q38Oracle,
     "q39_rollup_revenue" -> q39Oracle,
-    "q41_unpivot_events" -> q41Oracle)
+    "q41_unpivot_events" -> q41Oracle,
+    "q42_quantile_disc"  -> q42Oracle)
 }
