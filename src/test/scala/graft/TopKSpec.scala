@@ -69,6 +69,21 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(rows.reverse) === run(rows))
   }
 
+  test("NULL sort values order exactly as the window spelling (NULLS LAST under desc)") {
+    val ss = spark; import ss.implicits._
+    val df = Seq((1, Some(5), "a"), (1, None, "b"), (1, Some(9), "c"),
+        (2, None, "d"), (2, None, "e"))
+      .toDF("k", "score", "id")
+    val native = TopK.perKey(df, Seq($"k"), Seq($"score".desc, $"id".asc), k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(2))).sorted
+    val w = Window.partitionBy($"k").orderBy($"score".desc, $"id".asc)
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).drop("rn")
+      .collect().map(r => (r.getInt(0), r.getString(2))).sorted
+    assert(native.toSeq === windowed.toSeq)
+    assert(native.toSeq === Seq((1, "a"), (1, "c"), (2, "d"), (2, "e")))
+  }
+
   test("physical plan: two TopKPerKeyExec phases, no WindowExec, no SortExec") {
     val ss = spark; import ss.implicits._
     val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
