@@ -189,6 +189,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("native session_window streaming agg equals the batch q35 shape (complete mode)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def sessions(events: DataFrame): DataFrame = events
+      .groupBy($"user_id", session_window($"ts", "6 hours"))
+      .agg(count(lit(1)).as("n_events"), max($"event_id").as("max_event_id"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("start_us"),
+        unix_micros($"session_window.end").as("end_us"),
+        $"n_events", $"max_event_id")
+    val ms = MemoryStream[TopicRecord]
+    ms.addData(records: _*)
+    val streamed = runComplete(
+      sessions(TopicStream.decodeJson(ms.toDF())), "t_sessions")
+    assertSameRows(streamed, sessions(TopicStream.decodeJson(recordsDf)))
+    // and the batch shape is the hash-verified q35 minus the distinct agg
+    // (streaming disallows countDistinct): session bounds must agree
+    val gateBounds = graft.queries.TemporalQueries.q35SessionWindow(spark, sf)
+      .select($"user_id", $"session_start_us", $"session_end_us")
+      .collect().map(_.toString).sorted.toSeq
+    val hereBounds = streamed.select($"user_id", $"start_us", $"end_us")
+      .collect().map(_.toString).sorted.toSeq
+    assert(hereBounds === gateBounds)
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits, watermark closes, state evicts") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
