@@ -837,7 +837,9 @@ object LlmQueries {
     val cells = TopK.perKey(cellScores,
         keys = Seq($"vec_id"), order = Seq($"ccos".desc, $"cid".asc), k = 1)
       .select($"vec_id", $"cid".as("cell"))
-    val member = sv.join(cells, "vec_id")
+    // materialize the assignment once: both the member side and the query
+    // side read it, and without this the O(N·K) argmin subtree plans twice
+    val member = sv.join(cells, "vec_id").localCheckpoint()
     val q = member.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qn"), $"cell")
     val scored = member.join(q, Seq("cell"))
