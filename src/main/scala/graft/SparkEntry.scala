@@ -77,5 +77,6 @@ object SparkEntry {
     "q40_dedup_clusters",
     "q41_unpivot_events",
     "q42_quantile_disc",
-    "q43_top_terms")
+    "q43_top_terms",
+    "q44_window_analytics")
 }

@@ -164,17 +164,57 @@ object OlapQueries {
       |ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q44
+
+  /** q44 — the navigation/distribution window-function family over each
+    * user's event timeline: lag/lead (previous/next event), ntile
+    * quartiles, percent_rank, cume_dist. The ordering key (ts, event_id)
+    * is a total order, so every output is deterministic, and the two
+    * distribution doubles are exact integer ratios ((rank−1)/(n−1),
+    * rank/n) that both engines compute identically in IEEE. One shuffle
+    * on user_id, one per-partition sort — bounded keys, the canonical
+    * analytic-window plan.
+    */
+  def q44WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_event_id", lag($"event_id", 1).over(w))
+      .withColumn("next_event_id", lead($"event_id", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select($"user_id", $"event_id", $"prev_event_id", $"next_event_id",
+        $"quartile", $"pr", $"cd")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q44Oracle: String =
+    """SELECT user_id, event_id,
+      |  lag(event_id, 1) OVER w AS prev_event_id,
+      |  lead(event_id, 1) OVER w AS next_event_id,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_pivot_events"   -> (q38PivotEvents _),
     "q39_rollup_revenue" -> (q39RollupRevenue _),
     "q41_unpivot_events" -> (q41UnpivotEvents _),
-    "q42_quantile_disc"  -> (q42QuantileDisc _))
+    "q42_quantile_disc"  -> (q42QuantileDisc _),
+    "q44_window_analytics" -> (q44WindowAnalytics _))
 
   val oracles: Map[String, String] = Map(
     "q38_pivot_events"   -> q38Oracle,
     "q39_rollup_revenue" -> q39Oracle,
     "q41_unpivot_events" -> q41Oracle,
-    "q42_quantile_disc"  -> q42Oracle)
+    "q42_quantile_disc"  -> q42Oracle,
+    "q44_window_analytics" -> q44Oracle)
 }
