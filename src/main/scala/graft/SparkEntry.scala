@@ -78,5 +78,6 @@ object SparkEntry {
     "q41_unpivot_events",
     "q42_quantile_disc",
     "q43_top_terms",
-    "q44_window_analytics")
+    "q44_window_analytics",
+    "q45_user_setops")
 }

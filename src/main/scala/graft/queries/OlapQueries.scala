@@ -202,6 +202,46 @@ object OlapQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+
+  /** q45 — set operations: purchasing users EXCEPT erroring users,
+    * INTERSECT of the two, and their symmetric difference via
+    * union-of-excepts, each tagged and unioned into one result. Spark
+    * plans except/intersect as left-anti / left-semi joins over
+    * distincts — shuffle-on-key, no materialized sets — which is exactly
+    * the 100 TB shape (set membership is a join, never a collected
+    * set). The reference has no set ops (§2h); this closes the family
+    * alongside its `unionByName` fan-in.
+    */
+  def q45UserSetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def users(t: String) =
+      ev.filter($"event_type" === t).select($"user_id").distinct()
+    val buyers = users("purchase")
+    val errored = users("error")
+    (buyers.except(errored).withColumn("tag", lit("only_purchase")))
+      .unionByName(errored.except(buyers).withColumn("tag", lit("only_error")))
+      .unionByName(buyers.intersect(errored).withColumn("tag", lit("both")))
+      .select($"tag", $"user_id")
+      .orderBy($"tag", $"user_id")
+  }
+
+  val q45Oracle: String =
+    """WITH buyers AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |errored AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |SELECT 'only_purchase' AS tag, user_id
+      |FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errored)
+      |UNION ALL
+      |SELECT 'only_error', user_id
+      |FROM (SELECT user_id FROM errored EXCEPT SELECT user_id FROM buyers)
+      |UNION ALL
+      |SELECT 'both', user_id
+      |FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errored)
+      |ORDER BY tag, user_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -209,12 +249,14 @@ object OlapQueries {
     "q39_rollup_revenue" -> (q39RollupRevenue _),
     "q41_unpivot_events" -> (q41UnpivotEvents _),
     "q42_quantile_disc"  -> (q42QuantileDisc _),
-    "q44_window_analytics" -> (q44WindowAnalytics _))
+    "q44_window_analytics" -> (q44WindowAnalytics _),
+    "q45_user_setops"    -> (q45UserSetops _))
 
   val oracles: Map[String, String] = Map(
     "q38_pivot_events"   -> q38Oracle,
     "q39_rollup_revenue" -> q39Oracle,
     "q41_unpivot_events" -> q41Oracle,
     "q42_quantile_disc"  -> q42Oracle,
-    "q44_window_analytics" -> q44Oracle)
+    "q44_window_analytics" -> q44Oracle,
+    "q45_user_setops"    -> q45Oracle)
 }
