@@ -84,7 +84,11 @@ case class TopKPerKeyExec(
         val key = keyProj.apply(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+          // initial capacity is NOT k: PriorityQueue eagerly allocates the
+          // backing array, and a large k would cost O(k) memory per key
+          // before any row is admitted — let it grow to at most k instead
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(limit, 16), worstFirst)
           heaps.put(key.copy(), heap) // copy: the projection reuses its buffer
         }
         if (heap.size < limit) {
