@@ -79,5 +79,6 @@ object SparkEntry {
     "q42_quantile_disc",
     "q43_top_terms",
     "q44_window_analytics",
-    "q45_user_setops")
+    "q45_user_setops",
+    "q46_corpus_prep")
 }

@@ -985,7 +985,11 @@ object LlmQueries {
     * reproduces the closure with a recursive CTE over the identical
     * pair set.
     */
-  def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, label) with label = the component's minimum doc_id under
+    * the q16 near-dup edge set — the propagation loop shared by q40 and
+    * the corpus-prep composite (q46).
+    */
+  private def dedupLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = q16NearDupLsh(s, dir)
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
@@ -1008,6 +1012,12 @@ object LlmQueries {
       labels = nextCk.select($"doc_id", $"label")
       iters += 1
     }
+    labels
+  }
+
+  def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = dedupLabels(s, dir)
     val sizes = labels.groupBy($"label".as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select($"doc_id", $"label".as("canonical_id"))
@@ -1044,6 +1054,99 @@ object LlmQueries {
        |  s.cluster_size
        |FROM canon c JOIN sizes s ON s.canonical_id = c.canonical_id
        |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+
+  /** q46 — the corpus-preparation capstone, composing the verified
+    * pipeline stages end-to-end in ONE plan: near-dup CLUSTERING keeps
+    * only canonical documents ([[dedupLabels]], q40's loop), a QUALITY
+    * gate keeps quality ≥ 0.5 (q17's formula), and the survivors are
+    * assigned their content-hash train/val/test SPLIT (q37's bucketing),
+    * aggregated to per-split corpus stats. min/max quality are emitted
+    * instead of averages — min/max of doubles are order-independent, a
+    * double sum is not. This is the query an LLM-data platform actually
+    * runs before training; every stage's semantics are independently
+    * hash-verified (q40/q17/q37), and this gate verifies their
+    * composition.
+    */
+  def q46CorpusPrep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canonical = dedupLabels(s, dir).filter($"doc_id" === $"label")
+      .select($"doc_id")
+    val spread = Tables.spread(s, Tables.documents(s, dir))
+    val norm = TextOps.normText($"text")
+    val scored = spread
+      .withColumn("norm", norm)
+      .withColumn("toks", TextOps.tokens($"norm"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("ttr", size(array_distinct($"toks")) / $"n_tokens")
+      .withColumn("stop_ratio", TextOps.stopwordHits($"toks", stopEn) / $"n_tokens")
+      .withColumn("quality",
+        least(lit(1.0), $"n_tokens" / lit(100.0)) * lit(0.4) +
+          $"ttr" * lit(0.3) +
+          least(lit(1.0), $"stop_ratio" * lit(5.0)) * lit(0.3))
+      .withColumn("bucket",
+        conv(substring(md5($"norm"), 1, 15), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+    scored.join(canonical, "doc_id")
+      .filter($"quality" >= 0.5)
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        min($"quality").as("min_quality"),
+        max($"quality").as("max_quality"))
+      .orderBy($"split")
+  }
+
+  val q46Oracle: String = {
+    val en = sqlList(stopEn)
+    val split15 = (0 until 15).map { k =>
+      val pow = 1L << (4 * (14 - k))
+      s"(strpos('0123456789abcdef', substring(md5(norm), ${1 + k}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+    s"""WITH RECURSIVE pairs AS (
+       |${q16Oracle.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM documents
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       |canon AS (
+       |  SELECT a AS doc_id, min(b) AS canonical_id FROM reach GROUP BY a),
+       |scored AS (
+       |  SELECT doc_id, n_chars, norm,
+       |    least(1.0, n_tokens / 100.0) * 0.4 + (n_uniq / n_tokens) * 0.3 +
+       |      least(1.0, (en_h / n_tokens) * 5.0) * 0.3 AS quality
+       |  FROM (
+       |    SELECT doc_id, n_chars, norm,
+       |      len(toks) AS n_tokens,
+       |      len(list_distinct(toks)) AS n_uniq,
+       |      len(list_filter(toks, x -> list_contains($en, x))) AS en_h
+       |    FROM (
+       |      SELECT doc_id, n_chars,
+       |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+       |        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |      FROM documents) t0) t1),
+       |assigned AS (
+       |  SELECT s.doc_id, s.n_chars, s.quality,
+       |    CASE WHEN $split15 % 100 < 80 THEN 'train'
+       |         WHEN $split15 % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM scored s
+       |  JOIN canon c ON c.doc_id = s.doc_id AND c.canonical_id = s.doc_id
+       |  WHERE s.quality >= 0.5)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(quality) AS min_quality, max(quality) AS max_quality
+       |FROM assigned
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q43
 
@@ -1111,7 +1214,8 @@ object LlmQueries {
     "q31_topk_native"       -> (q31TopkNative _),
     "q32_ann_ivf"           -> (q32AnnIvf _),
     "q40_dedup_clusters"    -> (q40DedupClusters _),
-    "q43_top_terms"         -> (q43TopTerms _))
+    "q43_top_terms"         -> (q43TopTerms _),
+    "q46_corpus_prep"       -> (q46CorpusPrep _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1127,5 +1231,6 @@ object LlmQueries {
     "q31_topk_native"       -> q31Oracle,
     "q32_ann_ivf"           -> q32Oracle,
     "q40_dedup_clusters"    -> q40Oracle,
-    "q43_top_terms"         -> q43Oracle)
+    "q43_top_terms"         -> q43Oracle,
+    "q46_corpus_prep"       -> q46Oracle)
 }
