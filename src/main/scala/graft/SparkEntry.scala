@@ -80,5 +80,6 @@ object SparkEntry {
     "q43_top_terms",
     "q44_window_analytics",
     "q45_user_setops",
-    "q46_corpus_prep")
+    "q46_corpus_prep",
+    "q47_json_extract")
 }

@@ -242,6 +242,51 @@ object OlapQueries {
       |FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errored)
       |ORDER BY tag, user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+
+  /** q47 — JSON-path extraction from the semi-structured `props` column
+    * without a declared schema: `get_json_object` (path probe) and
+    * `json_tuple` (multi-field generator) both pull `$.k`, the values
+    * must agree row-by-row (asserted in-plan: mismatches would change
+    * `n_agree`), and the extracted ints aggregate per event type. This
+    * is the schema-on-read path for payloads too irregular for
+    * `from_json` + StructType (which q13 covers); extraction is pure
+    * map-side scan work.
+    */
+  def q47JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      // json_tuple is a generator: it must be a top-level select item,
+      // so extract first and cast in a second projection
+      .select($"event_type",
+        get_json_object($"props", "$.k").as("s1"),
+        json_tuple($"props", "k").as("s2"))
+      .select($"event_type",
+        $"s1".cast("long").as("k1"), $"s2".cast("long").as("k2"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"k1" === $"k2", 1L).otherwise(0L)).as("n_agree"),
+        sum($"k1").cast("long").as("sum_k"),
+        min($"k1").as("min_k"),
+        max($"k1").as("max_k"),
+        countDistinct($"k1").as("distinct_k"))
+      .orderBy($"event_type")
+  }
+
+  val q47Oracle: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_agree,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -250,7 +295,8 @@ object OlapQueries {
     "q41_unpivot_events" -> (q41UnpivotEvents _),
     "q42_quantile_disc"  -> (q42QuantileDisc _),
     "q44_window_analytics" -> (q44WindowAnalytics _),
-    "q45_user_setops"    -> (q45UserSetops _))
+    "q45_user_setops"    -> (q45UserSetops _),
+    "q47_json_extract"   -> (q47JsonExtract _))
 
   val oracles: Map[String, String] = Map(
     "q38_pivot_events"   -> q38Oracle,
@@ -258,5 +304,6 @@ object OlapQueries {
     "q41_unpivot_events" -> q41Oracle,
     "q42_quantile_disc"  -> q42Oracle,
     "q44_window_analytics" -> q44Oracle,
-    "q45_user_setops"    -> q45Oracle)
+    "q45_user_setops"    -> q45Oracle,
+    "q47_json_extract"   -> q47Oracle)
 }
