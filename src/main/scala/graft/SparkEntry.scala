@@ -81,5 +81,6 @@ object SparkEntry {
     "q44_window_analytics",
     "q45_user_setops",
     "q46_corpus_prep",
-    "q47_json_extract")
+    "q47_json_extract",
+    "q48_date_dims")
 }

@@ -287,6 +287,51 @@ object OlapQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+
+  /** q48 — calendar-dimension aggregation: orders rolled up to
+    * (year, quarter) with month cardinality and the month-truncated
+    * period start, DECIMAL-exact revenue. Deliberately restricted to the
+    * cross-engine-stable calendar functions (year/quarter/month,
+    * date_trunc emitted as a formatted string) — day-of-week numbering
+    * conventions differ between engines (Spark 1=Sunday, DuckDB
+    * 0=Sunday) and week-of-year is locale-dependent, so neither belongs
+    * in an exact gate. Derived columns are map-side; one two-phase
+    * aggregate on the (year, quarter) key.
+    */
+  def q48DateDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(
+        year($"o_orderdate").as("y"),
+        quarter($"o_orderdate").as("q"),
+        month($"o_orderdate").as("m"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        $"o_totalprice")
+      .groupBy($"y", $"q")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("revenue"),
+        countDistinct($"m").as("n_months"),
+        min($"month_start").as("first_month"))
+      .orderBy($"y", $"q")
+  }
+
+  val q48Oracle: String =
+    """SELECT y, q,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  CAST(count(DISTINCT m) AS BIGINT) AS n_months,
+      |  min(month_start) AS first_month
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+      |    CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      |    CAST(month(o_orderdate) AS INTEGER) AS m,
+      |    strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |    o_totalprice
+      |  FROM orders) t
+      |GROUP BY y, q
+      |ORDER BY y, q""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -296,7 +341,8 @@ object OlapQueries {
     "q42_quantile_disc"  -> (q42QuantileDisc _),
     "q44_window_analytics" -> (q44WindowAnalytics _),
     "q45_user_setops"    -> (q45UserSetops _),
-    "q47_json_extract"   -> (q47JsonExtract _))
+    "q47_json_extract"   -> (q47JsonExtract _),
+    "q48_date_dims"      -> (q48DateDims _))
 
   val oracles: Map[String, String] = Map(
     "q38_pivot_events"   -> q38Oracle,
@@ -305,5 +351,6 @@ object OlapQueries {
     "q42_quantile_disc"  -> q42Oracle,
     "q44_window_analytics" -> q44Oracle,
     "q45_user_setops"    -> q45Oracle,
-    "q47_json_extract"   -> q47Oracle)
+    "q47_json_extract"   -> q47Oracle,
+    "q48_date_dims"      -> q48Oracle)
 }
