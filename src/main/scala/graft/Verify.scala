@@ -7,13 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EXTENSIONS=1 runs the whole gate with GraftExtensions
+    // active (optimizer rule + strategy + functions) — a soundness sweep
+    // proving the injected rewrites preserve every verified result.
+    val spark = (if (sys.env.contains("SPARK_GRAFT_EXTENSIONS"))
+        builder.withExtensions(new GraftExtensions()(_))
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
