@@ -35,6 +35,8 @@ object SparkEntry {
     * cross-round bench total stays comparable: queries added in later
     * rounds must be appended here deliberately, never implicitly.
     */
+  // q33 (streaming CDC) is deliberately absent: its wall time is
+  // dominated by the MemoryStream/foreachBatch harness, not engine work.
   val benchQueries: Seq[String] = Seq(
     "q01_pricing_summary",
     "q02_top_nation_revenue",
