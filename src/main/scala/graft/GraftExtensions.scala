@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftbridge.{RowNumberToTopKRule, TopKStrategy}
+import org.apache.spark.sql.graftbridge.{RowNumberToTopKRule, TopKColumnPruningRule, TopKStrategy}
 
 import graft.functions.LongVecDot
 
@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RowNumberToTopKRule)
+    // runs inside the fixed-point operator-optimization batch, so built-in
+    // ColumnPruning pushes the Project this rule inserts down to the scan
+    ext.injectOptimizerRule(_ => TopKColumnPruningRule)
     ext.injectFunction((
       new FunctionIdentifier("long_vec_dot"),
       new ExpressionInfo(

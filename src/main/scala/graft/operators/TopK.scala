@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.graftbridge.{TopKPerKeyApi, TopKStrategy}
+import org.apache.spark.sql.graftbridge.{TopKColumnPruningRule, TopKPerKeyApi, TopKStrategy}
 
 /** Native top-k-per-key — the engine's custom whole-operator Catalyst
   * extension (logical node + planner strategy + physical exec, see
@@ -35,6 +35,13 @@ object TopK {
     val exp = df.sparkSession.experimental
     if (!exp.extraStrategies.contains(TopKStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    // extraOptimizations run as a post-hoc batch (after the main operator
+    // optimization), so in this self-registered path the pruning rule's
+    // inserted Project reaches the scan only via PhysicalOperation when
+    // the child is scan-adjacent; the GraftExtensions path interleaves
+    // with ColumnPruning and pushes through arbitrary subtrees.
+    if (!exp.extraOptimizations.contains(TopKColumnPruningRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ TopKColumnPruningRule
     TopKPerKeyApi.topKPerKey(df, keys, order, k)
   }
 }

@@ -161,6 +161,49 @@ object RowNumberToTopKRule extends org.apache.spark.sql.catalyst.rules.Rule[Logi
   }
 }
 
+/** Column pruning through [[TopKPerKey]]. The node is limit-like
+  * (`output = child.output`), so Spark's built-in ColumnPruning cannot see
+  * which child columns are actually needed and a user selecting 2 columns
+  * above a top-k still scans every column below it — on a wide 100 TB
+  * table that erases the operator's exchange win. This rule supplies the
+  * missing knowledge: when a Project (optionally over a Filter) sits on a
+  * TopKPerKey whose child produces more columns than
+  * `parent.references ∪ keys ∪ order`, it inserts a Project on the child
+  * restricted to that set. Built-in ColumnPruning then pushes the inserted
+  * Project the rest of the way to the scan (it runs in the same fixed
+  * point when this rule is injected via GraftExtensions), and V1 file-scan
+  * planning collapses it into the scan's ReadSchema. ColumnPruning also
+  * makes the Project-parent shape canonical: any other parent that needs a
+  * column subset (Aggregate, Join, …) gets a Project inserted directly
+  * above this node by the built-in rule, which this rule then sees.
+  * Idempotent: after the rewrite the child's outputSet equals the
+  * required set, so the strict-superset guard stops re-firing.
+  */
+object TopKColumnPruningRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  private def prune(t: TopKPerKey, parentRefs: AttributeSet): Option[TopKPerKey] = {
+    val required = parentRefs ++ AttributeSet(t.keys) ++ AttributeSet(t.order)
+    val kept = t.child.output.filter(required.contains)
+    // kept.nonEmpty guards the degenerate all-literal projection; Spark
+    // plans zero-column scans poorly and the win there is nil anyway
+    if (kept.nonEmpty && kept.size < t.child.output.size)
+      Some(t.copy(child = Project(kept, t.child)))
+    else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList, t: TopKPerKey) =>
+      prune(t, AttributeSet(projectList)).map(nt => p.copy(child = nt)).getOrElse(p)
+    case p @ Project(projectList, f @ Filter(cond, t: TopKPerKey)) =>
+      // a residual Filter above the top-k (predicates are NOT pushable
+      // through it — filtering before truncation changes which rows win)
+      prune(t, AttributeSet(projectList) ++ cond.references)
+        .map(nt => p.copy(child = f.copy(child = nt))).getOrElse(p)
+  }
+}
+
 /** DataFrame-level entry point (the bridge lives in this package because
   * `Dataset.ofRows` is `private[sql]` in Spark 4).
   */
