@@ -96,6 +96,40 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("sort "))
   }
 
+  /** Leaf parquet scans' pruned schemas (FileSourceScanExec.requiredSchema
+    * is what becomes the scan's ReadSchema — the columns physically read).
+    * Recurses through the AQE wrapper, whose current physical plan is not
+    * a `children` member.
+    */
+  private def scanColumns(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[Seq[String]] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f.requiredSchema.fieldNames.toSeq)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+  }
+
+  test("column pruning: scan below a 2-column TopK.perKey reads only keys ∪ order ∪ projected") {
+    val ss = spark; import ss.implicits._
+    // events has 6 physical columns; the query needs only 3
+    val pruned = graft.operators.TopK
+      .perKey(Tables.events(spark, sf), Seq($"user_id"), Seq($"ts".desc), k = 3)
+      .select($"user_id", $"value")
+    val cols = scanColumns(pruned)
+    assert(cols.nonEmpty)
+    assert(cols.head.sorted === Seq("ts", "user_id", "value"),
+      s"scan not pruned: ${cols.head.mkString(",")}")
+    assert(pruned.count() > 0)
+    // control: with no projection above, the node is output-preserving and
+    // every column is (correctly) still read
+    val full = graft.operators.TopK
+      .perKey(Tables.events(spark, sf), Seq($"user_id"), Seq($"ts".desc), k = 3)
+    assert(scanColumns(full).head.size === 6)
+  }
+
   /** getOrCreate() returns the suite's session unless the active/default
     * session is cleared first; restore it afterwards. `withExtensions`
     * (not the `spark.sql.extensions` conf) because the conf is static and
@@ -138,6 +172,23 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       val kept = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
       assert(kept.queryExecution.executedPlan.toString.contains("Window"))
       assert(kept.collect().length === 4)
+    }
+  }
+
+  test("column pruning fires through the row_number spelling under GraftExtensions") {
+    withExtensionsSession("topk-prune-ext-spec") { ext =>
+      val ss = ext; import ss.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc)
+      val idiom = Tables.events(ext, sf)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn")
+        .select($"user_id", $"value")
+      val plan = idiom.queryExecution.executedPlan.toString
+      assert("TopKPerKey".r.findAllIn(plan).length === 2, s"not rewritten:\n$plan")
+      val cols = scanColumns(idiom)
+      assert(cols.nonEmpty && cols.head.sorted === Seq("ts", "user_id", "value"),
+        s"scan not pruned: $cols")
+      assert(idiom.count() > 0)
     }
   }
 
