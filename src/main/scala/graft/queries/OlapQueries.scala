@@ -290,29 +290,45 @@ object OlapQueries {
   // ---------------------------------------------------------------- q48
 
   /** q48 — calendar-dimension aggregation: orders rolled up to
-    * (year, quarter) with month cardinality and the month-truncated
-    * period start, DECIMAL-exact revenue. Deliberately restricted to the
-    * cross-engine-stable calendar functions (year/quarter/month,
-    * date_trunc emitted as a formatted string) — day-of-week numbering
-    * conventions differ between engines (Spark 1=Sunday, DuckDB
-    * 0=Sunday) and week-of-year is locale-dependent, so neither belongs
-    * in an exact gate. Derived columns are map-side; one two-phase
-    * aggregate on the (year, quarter) key.
+    * (year, quarter) with month cardinality, the month-truncated period
+    * start, DECIMAL-exact revenue, weekend-order counts, and ISO-week
+    * cardinality. Engine numbering conventions differ for day-of-week
+    * (Spark `dayofweek` 1=Sunday, DuckDB 0=Sunday) and `weekofyear` is
+    * locale-dependent, so both dims are computed from convention-free
+    * integer arithmetic identical in the two engines:
+    *  - `dow0 = (epoch_days + 4) % 7` (0=Sunday; 1970-01-01 was a
+    *    Thursday, hence +4),
+    *  - ISO week by the nearest-Thursday rule: shift the date to the
+    *    Thursday of its ISO week (`d + (4 - isoDow)` days), then
+    *    `week = (dayofyear(thursday) - 1) div 7 + 1` and the ISO year is
+    *    that Thursday's calendar year — this IS ISO 8601's Jan-4 rule
+    *    (week 1 contains Jan 4 ⟺ week 1's Thursday is in the new year).
+    *    Validated against DuckDB's builtin isoyear/weekofyear over the
+    *    full orders table. Derived columns are map-side; one two-phase
+    *    aggregate on the (year, quarter) key.
     */
   def q48DateDims(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val epochDays = datediff($"o_orderdate", to_date(lit("1970-01-01")))
+    val isoDow = pmod(epochDays + 3, lit(7)) + 1 // 1=Monday .. 7=Sunday
+    val thu = date_add($"o_orderdate".cast("date"), lit(4) - isoDow)
     Tables.orders(s, dir)
       .select(
         year($"o_orderdate").as("y"),
         quarter($"o_orderdate").as("q"),
         month($"o_orderdate").as("m"),
         date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        pmod(epochDays + 4, lit(7)).as("dow0"),
+        (year(thu) * 100 + (floor((dayofyear(thu) - 1) / 7) + 1)).cast("int")
+          .as("iso_yearweek"),
         $"o_totalprice")
       .groupBy($"y", $"q")
       .agg(count(lit(1)).as("n_orders"),
         sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("revenue"),
         countDistinct($"m").as("n_months"),
-        min($"month_start").as("first_month"))
+        min($"month_start").as("first_month"),
+        sum(when($"dow0" === 0 || $"dow0" === 6, 1L).otherwise(0L)).as("weekend_orders"),
+        countDistinct($"iso_yearweek").as("n_iso_weeks"))
       .orderBy($"y", $"q")
   }
 
@@ -321,14 +337,26 @@ object OlapQueries {
       |  CAST(count(*) AS BIGINT) AS n_orders,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
       |  CAST(count(DISTINCT m) AS BIGINT) AS n_months,
-      |  min(month_start) AS first_month
+      |  min(month_start) AS first_month,
+      |  CAST(sum(CASE WHEN dow0 IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
+      |  CAST(count(DISTINCT iso_yearweek) AS BIGINT) AS n_iso_weeks
       |FROM (
       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
       |    CAST(quarter(o_orderdate) AS INTEGER) AS q,
       |    CAST(month(o_orderdate) AS INTEGER) AS m,
       |    strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |    (ed + 4) % 7 AS dow0,
+      |    CAST(year(thu) * 100
+      |         + (CAST(floor((dayofyear(thu) - 1) / 7) AS INTEGER) + 1)
+      |      AS INTEGER) AS iso_yearweek,
       |    o_totalprice
-      |  FROM orders) t
+      |  FROM (
+      |    SELECT o_orderdate, o_totalprice,
+      |      (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS ed,
+      |      CAST(o_orderdate AS DATE)
+      |        + CAST(4 - ((CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 3) % 7 + 1)
+      |            AS INTEGER) AS thu
+      |    FROM orders) raw) t
       |GROUP BY y, q
       |ORDER BY y, q""".stripMargin
 
