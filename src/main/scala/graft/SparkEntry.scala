@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ReferenceQueries.queries ++ LlmQueries.queries ++
       CodecQueries.queries ++ SinkQueries.queries ++ CdcQueries.queries ++
-      TemporalQueries.queries ++ SketchQueries.queries ++ OlapQueries.queries
+      TemporalQueries.queries ++ SketchQueries.queries ++ OlapQueries.queries ++
+      StreamGateQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,14 +30,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ReferenceQueries.oracles ++ LlmQueries.oracles ++
       CodecQueries.oracles ++ SinkQueries.oracles ++ CdcQueries.oracles ++
-      TemporalQueries.oracles ++ SketchQueries.oracles ++ OlapQueries.oracles
+      TemporalQueries.oracles ++ SketchQueries.oracles ++ OlapQueries.oracles ++
+      StreamGateQueries.oracles
 
   /** Headline set timed by graft.Bench — an explicit literal list so the
     * cross-round bench total stays comparable: queries added in later
     * rounds must be appended here deliberately, never implicitly.
     */
-  // q33 (streaming CDC) is deliberately absent: its wall time is
-  // dominated by the MemoryStream/foreachBatch harness, not engine work.
+  // q33 (streaming CDC) and q49 (append-mode streaming) are deliberately
+  // absent: their wall time is dominated by the streaming harness
+  // (MemoryStream/foreachBatch, checkpoint + micro-batch scheduling),
+  // not engine work.
   val benchQueries: Seq[String] = Seq(
     "q01_pricing_summary",
     "q02_top_nation_revenue",

@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamJobs
+
+/** Driver-gated streaming queries: the append-mode watermark path run
+  * through the REAL streaming engine (MicroBatchExecution + StateStore),
+  * not the batch-plan parity shortcut. q05 pins the window arithmetic in
+  * batch; StreamingSpec pins eviction semantics in-process; this gate
+  * makes the append path driver-visible — the result is hash-compared
+  * against a DuckDB oracle that independently reproduces the
+  * watermark-closed-window set.
+  */
+object StreamGateQueries {
+
+  /** q49 — watermarked sliding-window aggregation under APPEND output
+    * mode with `Trigger.AvailableNow` over the events topic dump
+    * (ref `05_streaming_read_kafka_console_window.py:77-82` declares
+    * exactly this watermark+window pair but runs it in complete mode,
+    * where the watermark is inert and state grows forever — SURVEY ST1).
+    * Append is the 100 TB path: the StateStore holds only OPEN windows,
+    * each window is emitted exactly once when the watermark passes its
+    * end, and closed state is evicted. The streaming engine executes the
+    * file source in one data micro-batch, advances the watermark to
+    * `max(ts) - 10 min` (floored to ms), then runs a no-data batch that
+    * flushes every window with `window.end <= watermark` to the parquet
+    * sink. The oracle recomputes that exact set: each event lands in its
+    * two overlapping 10-minute windows, and only windows whose end is at
+    * or before `max(ts) - 10 min` are kept — late-open windows (the last
+    * 10 minutes of the stream) stay in state and are correctly absent
+    * from both sides.
+    */
+  def q49AppendWindowSales(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // events.ts is parquet TIMESTAMP(NANOS) (see Tables.events): the
+    // streaming schema declares the nanos long and converts with an
+    // integral div — ns-since-epoch exceeds double precision.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      // the topic dump is a bare parquet file. FileStreamSource force-sets
+      // basePath to the source path when it is NOT a glob — and a file
+      // basePath is rejected — so the path must stay a glob, with the
+      // table directory supplied as the explicit basePath
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = Files.createTempDirectory("graft-q49-out").toString
+    val ck = Files.createTempDirectory("graft-q49-ck").toString
+    val query = StreamJobs.slidingWindowSales(events)
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        $"event_type", $"sales", $"orders")
+      .writeStream
+      .queryName("q49_append_window_sales")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    s.read.parquet(out).orderBy($"window_start", $"event_type")
+  }
+
+  /** q05's oracle restricted to watermark-closed windows: the stream's
+    * final watermark is `max(ts) - 10 min` and append emits windows with
+    * `end <= watermark`. (Spark floors the watermark to whole
+    * milliseconds; window ends are whole seconds, so the ms floor can
+    * never flip the comparison and plain interval arithmetic is exact.)
+    */
+  val q49Oracle: String =
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+      |  event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sales,
+      |  count(*) AS orders
+      |FROM (
+      |  SELECT unnest([tb, tb - INTERVAL 5 MINUTE]) AS ws, event_type, value
+      |  FROM (SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS tb,
+      |               event_type, value FROM events) raw) t,
+      |  (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events) m
+      |WHERE ws + INTERVAL 10 MINUTE <= mx - INTERVAL 10 MINUTE
+      |GROUP BY ws, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_append_window_sales" -> (q49AppendWindowSales _))
+
+  val oracles: Map[String, String] = Map(
+    "q49_append_window_sales" -> q49Oracle)
+}
