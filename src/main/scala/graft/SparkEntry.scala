@@ -88,5 +88,6 @@ object SparkEntry {
     "q45_user_setops",
     "q46_corpus_prep",
     "q47_json_extract",
-    "q48_date_dims")
+    "q48_date_dims",
+    "q50_salted_enrich")
 }

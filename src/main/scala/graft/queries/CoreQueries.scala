@@ -325,6 +325,42 @@ object CoreQueries {
       |GROUP BY ws, event_type
       |ORDER BY window_start DESC, sales DESC, event_type""".stripMargin
 
+  /** q50 — the q06 enrichment join executed through
+    * [[graft.operators.Skew.saltedJoin]]: the fact side gets a
+    * deterministic salt in [0,8) hashed from event_id, the dim side is
+    * replicated once per salt value, and the join key becomes
+    * (user_id, salt) — so a hot user's rows fan out over 8 shuffle
+    * partitions instead of one. Replication × discrimination cancel
+    * exactly, making the result row-identical to the plain join, which
+    * is precisely what the oracle states: plain SQL inner join + group.
+    * This is the manual skew fallback for plans AQE's runtime skew-split
+    * cannot reach (streaming micro-batches, forced shuffles); SkewSpec
+    * pins the mechanics, this gate pins end-to-end results in the
+    * driver's loop.
+    */
+  def q50SaltedEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.customer(s, dir)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    graft.operators.Skew
+      .saltedJoin(Tables.events(s, dir), dim, Seq("user_id"), $"event_id", buckets = 8)
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(
+        sum(dec2($"value")).cast("double").as("sales"),
+        count(lit(1)).as("orders"),
+        countDistinct($"user_id").as("users"))
+      .orderBy($"segment")
+  }
+
+  val q50Oracle: String =
+    """SELECT c_mktsegment AS segment,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sales,
+      |  count(*) AS orders,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"      -> (q01PricingSummary _),
     "q02_top_nation_revenue"   -> (q02TopNationRevenue _),
@@ -333,7 +369,8 @@ object CoreQueries {
     "q05_sliding_window_sales" -> (q05SlidingWindowSales _),
     "q06_enriched_segment_sales" -> (q06EnrichedSegmentSales _),
     "q25_country_sales_agg"    -> (q25CountrySalesAgg _),
-    "q26_summary_topic"        -> (q26SummaryTopic _))
+    "q26_summary_topic"        -> (q26SummaryTopic _),
+    "q50_salted_enrich"        -> (q50SaltedEnrich _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"      -> q01Oracle,
@@ -343,5 +380,6 @@ object CoreQueries {
     "q05_sliding_window_sales" -> q05Oracle,
     "q06_enriched_segment_sales" -> q06Oracle,
     "q25_country_sales_agg"    -> q25Oracle,
-    "q26_summary_topic"        -> q26Oracle)
+    "q26_summary_topic"        -> q26Oracle,
+    "q50_salted_enrich"        -> q50Oracle)
 }
