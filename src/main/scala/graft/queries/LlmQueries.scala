@@ -968,51 +968,31 @@ object LlmQueries {
   // ---------------------------------------------------------------- q40
 
   /** q40 — dedup cluster assignment: the q16-confirmed near-dup pairs
-    * become an undirected graph, connected components are computed by
-    * iterative min-label propagation, and every document maps to its
-    * component's canonical (minimum) doc_id — the keep/drop decision a
-    * dedup pass actually executes, closing the find-pairs → cluster →
-    * canonicalize pipeline.
+    * become an undirected graph, connected components map every document
+    * to its component's canonical (minimum) doc_id — the keep/drop
+    * decision a dedup pass actually executes, closing the find-pairs →
+    * cluster → canonicalize pipeline.
     *
-    * The propagation loop is a driver-side `while`, but each iteration
-    * is a fully distributed join+aggregate and the iteration COUNT is
-    * bounded by the largest component's diameter — for near-dup graphs
-    * that is tiny (duplicate groups, not social graphs; here it
-    * converges in ≤ 2 rounds, capped at 20). At 100 TB the same loop
-    * runs with the alternating large-star/small-star optimization to
-    * halve diameters; the per-iteration localCheckpoint keeps lineage
-    * flat so the plan never grows with the iteration count. The oracle
-    * reproduces the closure with a recursive CTE over the identical
-    * pair set.
+    * Components come from [[graft.operators.ConnectedComponents]] —
+    * alternating large-star/small-star edge rewrites, O(log² n) rounds
+    * independent of component diameter, throwing loudly on
+    * non-convergence instead of returning truncated labels (the round-4
+    * verdict's silent-wrong-answer path; the old min-label propagation
+    * needed diameter-many rounds, which template-spam chain components
+    * at 100 TB can exceed). OperatorLawsSpec pins the operator against a
+    * union-find model on random graphs and on a path graph deeper than
+    * the old cap. The oracle reproduces the closure with a recursive CTE
+    * over the identical pair set.
     */
   /** (doc_id, label) with label = the component's minimum doc_id under
-    * the q16 near-dup edge set — the propagation loop shared by q40 and
-    * the corpus-prep composite (q46).
+    * the q16 near-dup edge set — shared by q40 and the corpus-prep
+    * composite (q46).
     */
   private def dedupLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = q16NearDupLsh(s, dir)
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val both = edges.union(edges.select($"dst", $"src")).localCheckpoint()
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
-    var changed = true
-    var iters = 0
-    while (changed && iters < 20) {
-      val nbrMin = both
-        .join(labels.select($"doc_id".as("src"), $"label".as("src_label")), "src")
-        .groupBy($"dst".as("doc_id"))
-        .agg(min($"src_label").as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select($"doc_id",
-          least($"label", coalesce($"nbr_label", $"label")).as("label"),
-          ($"nbr_label" < $"label").as("moved"))
-      val nextCk = next.localCheckpoint()
-      changed = nextCk.filter($"moved").limit(1).count() > 0
-      labels = nextCk.select($"doc_id", $"label")
-      iters += 1
-    }
-    labels
+    graft.operators.ConnectedComponents.labels(
+      Tables.documents(s, dir).select($"doc_id"),
+      q16NearDupLsh(s, dir).select($"doc_a", $"doc_b"))
   }
 
   def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {

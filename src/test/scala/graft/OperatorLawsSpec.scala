@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{AsOf, TopK}
+import graft.operators.{AsOf, ConnectedComponents, TopK}
 
 /** Property-based laws for the round-3 operators, checked against
   * straight-line Scala reference models on randomized inputs — the
@@ -90,5 +90,71 @@ class OperatorLawsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  /** Straight-line union-find over (nodes, edges) — the obviously-correct
+    * model: every node → its component's minimum id.
+    */
+  private def unionFindLabels(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-root union keeps the root the component minimum
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def ccLabels(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxIters: Int = 50): Map[Long, Long] = {
+    val ss = spark; import ss.implicits._
+    ConnectedComponents.labels(
+        nodes.toDF("id"), edges.toDF("src", "dst"), maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("ConnectedComponents labels a path graph deeper than any propagation cap") {
+    // diameter-63 chain: min-label propagation at the old 20-round cap
+    // would silently mislabel the tail; star alternation converges
+    val nodes = (0L until 64L)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = ccLabels(nodes, edges)
+    assert(got === nodes.map(_ -> 0L).toMap)
+  }
+
+  test("ConnectedComponents equals the union-find model on random graphs") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      nEdges <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield (n.toLong, edges)
+    val prop = Prop.forAll(gen) { case (n, edges) =>
+      val nodes = 0L until n
+      // self-loops and duplicates are legal input; the operator must
+      // canonicalize them away
+      ccLabels(nodes, edges) == unionFindLabels(nodes, edges)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ConnectedComponents throws on non-convergence instead of returning labels") {
+    val ex = intercept[IllegalStateException] {
+      ccLabels(0L until 8L, (0L until 7L).map(i => (i, i + 1)), maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("ConnectedComponents with no edges labels every node itself") {
+    val got = ccLabels(Seq(3L, 7L, 11L), Nil)
+    assert(got === Map(3L -> 3L, 7L -> 7L, 11L -> 11L))
   }
 }
