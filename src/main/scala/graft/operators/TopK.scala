@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.graftbridge.{TopKColumnPruningRule, TopKPerKeyApi, TopKStrategy}
+import org.apache.spark.sql.graftbridge.{TopKColumnPruningRule, TopKMode, TopKPerKeyApi, TopKStrategy}
 
 /** Native top-k-per-key — the engine's custom whole-operator Catalyst
   * extension (logical node + planner strategy + physical exec, see
@@ -32,6 +32,24 @@ object TopK {
     * key is unspecified — sequence downstream, as with any aggregate.
     */
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    register(df)
+    TopKPerKeyApi.topKPerKey(df, keys, order, k)
+  }
+
+  /** All rows whose `rank()` (ties share a rank, gaps after) — or
+    * `dense_rank()` when `dense` — over the per-key order is ≤ k.
+    * Boundary ties are KEPT, so group output size is data-dependent:
+    * exactly the ranking functions' semantics, without the full
+    * shuffle-and-sort window plan.
+    */
+  def rankPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+      dense: Boolean = false): DataFrame = {
+    register(df)
+    TopKPerKeyApi.topKPerKey(df, keys, order, k,
+      if (dense) TopKMode.DenseRank else TopKMode.Rank)
+  }
+
+  private def register(df: DataFrame): Unit = {
     val exp = df.sparkSession.experimental
     if (!exp.extraStrategies.contains(TopKStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
@@ -42,6 +60,5 @@ object TopK {
     // with ColumnPruning and pushes through arbitrary subtrees.
     if (!exp.extraOptimizations.contains(TopKColumnPruningRule))
       exp.extraOptimizations = exp.extraOptimizations :+ TopKColumnPruningRule
-    TopKPerKeyApi.topKPerKey(df, keys, order, k)
   }
 }

@@ -12,6 +12,21 @@ import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
+/** Which ranking function's `<= k` filter this top-k reproduces.
+  * `RowNumber` keeps exactly k rows per key (ties broken by heap order,
+  * deterministic when the SortOrder is total); `Rank` and `DenseRank`
+  * keep EVERY row whose (dense) rank is ≤ k — boundary ties survive, so
+  * per-key output size is data-dependent (exactly the ranking functions'
+  * own semantics, which is why no "unique tiebreaker" guard is needed to
+  * rewrite them soundly).
+  */
+sealed trait TopKMode
+object TopKMode {
+  case object RowNumber extends TopKMode
+  case object Rank extends TopKMode
+  case object DenseRank extends TopKMode
+}
+
 /** Logical "retain the first `k` child rows per distinct `keys` value
   * under `order`" — the whole-operator custom plan of the build brief's
   * (c) tier. Spark's only built-in spelling is
@@ -22,13 +37,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * per input partition, so the exchange carries ≤ k·parts rows per key
   * instead of all of them and nothing is ever globally sorted — the
   * difference between "top-5 neighbors per query over 100 TB of
-  * candidates" being exchange-bound or not.
+  * candidates" being exchange-bound or not. `mode` selects row_number
+  * (exact k) or rank/dense_rank (keep boundary ties) semantics; the
+  * map-side truncation stays lossless in every mode because a row's
+  * (dense) rank in any subset is ≤ its rank in the full data.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    mode: TopKMode = TopKMode.RowNumber) extends UnaryNode {
   require(k > 0, s"top-k per key needs k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -52,7 +71,8 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    mode: TopKMode = TopKMode.RowNumber) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -63,7 +83,12 @@ case class TopKPerKeyExec(
     else if (keys.isEmpty) AllTuples :: Nil // global top-k: one final heap
     else ClusteredDistribution(keys) :: Nil
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] = mode match {
+    case TopKMode.RowNumber => executeRowNumber()
+    case _ => executeRankLike()
+  }
+
+  private def executeRowNumber(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
@@ -102,6 +127,73 @@ case class TopKPerKeyExec(
     }
   }
 
+  /** rank()/dense_rank() ≤ k with ties. Per key: a TreeMap ordered by the
+    * SortOrder whose entries are tie-buckets (rows comparing equal). A
+    * bucket survives iff its rank qualifies — for `Rank`, the row count
+    * in strictly-better buckets is < k; for `DenseRank`, its bucket index
+    * is < k — which prunes from the tail in O(log #buckets) amortized per
+    * row. Memory is O(qualifying rows) per key: bounded by k buckets
+    * (dense) / k + boundary ties (rank), exactly the operator's output —
+    * ties at the boundary are semantically required output, not overhead.
+    */
+  private def executeRankLike(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    val dense = mode == TopKMode.DenseRank
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowOrd = RowOrdering.create(sortOrder, childOutput)
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          rowOrd.compare(a, b)
+      }
+      // per key: (tie-buckets ordered best-first, total retained rows)
+      final class KeyState {
+        val buckets = new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](cmp)
+        var total = 0L
+      }
+      val states = new java.util.HashMap[UnsafeRow, KeyState]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj.apply(row)
+        var st = states.get(key)
+        if (st == null) {
+          st = new KeyState
+          states.put(key.copy(), st)
+        }
+        val rc = row.copy() // the child iterator reuses row buffers
+        val existing = st.buckets.get(rc)
+        if (existing != null) {
+          existing.add(rc)
+          st.total += 1
+        } else {
+          val b = new java.util.ArrayList[InternalRow](1)
+          b.add(rc)
+          st.buckets.put(rc, b)
+          st.total += 1
+        }
+        // prune disqualified tail buckets
+        if (dense) {
+          while (st.buckets.size() > limit) {
+            val last = st.buckets.pollLastEntry()
+            st.total -= last.getValue.size()
+          }
+        } else {
+          var last = st.buckets.lastEntry()
+          while (last != null && st.total - last.getValue.size() >= limit) {
+            st.buckets.pollLastEntry()
+            st.total -= last.getValue.size()
+            last = st.buckets.lastEntry()
+          }
+        }
+      }
+      states.values().iterator().asScala.flatMap(
+        _.buckets.values().iterator().asScala.flatMap(_.iterator().asScala))
+    }
+  }
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 }
@@ -112,9 +204,10 @@ case class TopKPerKeyExec(
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys, order, k, child, mode) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child), mode),
+        mode) :: Nil
     case _ => Nil
   }
 }
@@ -131,33 +224,80 @@ object TopKStrategy extends SparkStrategy {
   * bounded-heap plan. (Spark's own InsertWindowGroupLimit only *prepends*
   * a group-limit to the window; the full per-partition sort survives it.
   * This rule removes the Window node entirely, which is only sound when
-  * nothing downstream reads the rank — hence the Project guard.)
-  * Matched conservatively: single row_number window expression, a filter
-  * that is exactly `rn <= k` / `rn < k` / `rn = 1` on it, non-empty
-  * orderSpec, and a projection that drops the rank attribute.
+  * nothing downstream reads the rank — hence the parent guard.)
+  *
+  * Matched shapes (round-5 widening):
+  *  - ranking functions: `row_number()` (exact-k mode), `rank()` and
+  *    `dense_rank()` (keep-ties modes — sound with NO uniqueness guard
+  *    because [[TopKMode.Rank]]/[[TopKMode.DenseRank]] reproduce the
+  *    functions' own boundary-tie semantics);
+  *  - limit conjunct spelled either way around: `rn <= k`, `rn < k`,
+  *    `rn = 1`, `k >= rn`, `k > rn`, `1 = rn`;
+  *  - conjunctions: `rn <= k AND p(...)` splits — the rank-free residual
+  *    predicates stay in a Filter ABOVE the top-k (the rank is computed
+  *    before them in the original plan, so the two filters commute);
+  *  - parents: a Project that drops the rank, or an Aggregate that never
+  *    references it (the shape `.filter(rn <= k).groupBy(...)` leaves
+  *    when built-in ColumnPruning has not inserted the projection yet).
   */
-object RowNumberToTopKRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+object RowNumberToTopKRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions._
-  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
 
-  private def rankLimit(cond: Expression, rank: Attribute): Option[Int] = cond match {
+  private def limitOf(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k)
     case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rank) => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rank) => Some(k - 1)
     case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rank) => Some(1)
+    case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rank) => Some(1)
     case _ => None
   }
 
+  private def modeOf(fn: Expression): Option[TopKMode] = fn match {
+    case _: RowNumber => Some(TopKMode.RowNumber)
+    case _: Rank => Some(TopKMode.Rank)
+    case _: DenseRank => Some(TopKMode.DenseRank)
+    case _ => None
+  }
+
+  /** `Filter(cond, Window(single ranking fn))` → `[Filter(residual,)]
+    * TopKPerKey` when cond contains a usable rank limit and the caller
+    * guarantees the rank attribute is unreferenced above.
+    */
+  private def rewriteFilterOnWindow(plan: LogicalPlan): Option[(LogicalPlan, Attribute)] =
+    plan match {
+      case Filter(cond, Window(Seq(alias @ Alias(WindowExpression(fn, _), _)),
+          partSpec, orderSpec, child, _)) if orderSpec.nonEmpty =>
+        val rank = alias.toAttribute
+        modeOf(fn).flatMap { mode =>
+          val conjuncts = splitConjunctivePredicates(cond)
+          val limits = conjuncts.flatMap(limitOf(_, rank))
+          val residual = conjuncts.filter(limitOf(_, rank).isEmpty)
+          if (limits.isEmpty || limits.min <= 0 ||
+              residual.exists(_.references.contains(rank))) None
+          else {
+            val topk = TopKPerKey(partSpec, orderSpec, limits.min, child, mode)
+            Some((residual.reduceOption(And).map(Filter(_, topk)).getOrElse(topk), rank))
+          }
+        }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(projectList,
-        Filter(cond, Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
-          partSpec, orderSpec, child, _)))
-        if orderSpec.nonEmpty && {
-          val rank = alias.toAttribute
-          rankLimit(cond, rank).exists(_ > 0) &&
-            !projectList.exists(_.references.contains(rank))
-        } =>
-      val k = rankLimit(cond, alias.toAttribute).get
-      Project(projectList, TopKPerKey(partSpec, orderSpec, k, child))
+    case p @ Project(projectList, f: Filter) =>
+      rewriteFilterOnWindow(f) match {
+        case Some((rewritten, rank)) if !projectList.exists(_.references.contains(rank)) =>
+          Project(projectList, rewritten)
+        case _ => p
+      }
+    case a @ Aggregate(_, _, f: Filter, _) =>
+      rewriteFilterOnWindow(f) match {
+        case Some((rewritten, rank)) if !a.references.contains(rank) =>
+          a.copy(child = rewritten)
+        case _ => a
+      }
   }
 }
 
@@ -209,9 +349,12 @@ object TopKColumnPruningRule extends org.apache.spark.sql.catalyst.rules.Rule[Lo
   */
 object TopKPerKeyApi {
   /** First k rows per `keyCols` group under `orderCols` (wrap columns in
-    * `.asc`/`.desc`; bare columns default to ascending).
+    * `.asc`/`.desc`; bare columns default to ascending). `mode` selects
+    * exact-k (row_number) or keep-boundary-ties (rank / dense_rank)
+    * semantics.
     */
-  def topKPerKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+  def topKPerKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], k: Int,
+      mode: TopKMode = TopKMode.RowNumber): DataFrame = {
     // Eager conversion: ExpressionUtils.expression wraps the column node
     // lazily (ColumnNodeExpression), and the analyzer does not rewrite
     // that wrapper inside third-party logical nodes — the raw (and
@@ -225,6 +368,6 @@ object TopKPerKeyApi {
       case e => SortOrder(e, Ascending)
     })
     val session = df.sparkSession.asInstanceOf[classic.SparkSession]
-    Dataset.ofRows(session, TopKPerKey(keys, order, k, df.queryExecution.analyzed))
+    Dataset.ofRows(session, TopKPerKey(keys, order, k, df.queryExecution.analyzed, mode))
   }
 }

@@ -130,6 +130,28 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanColumns(full).head.size === 6)
   }
 
+  test("TopK.rankPerKey API equals the window rank spelling on real data") {
+    val ss = spark; import ss.implicits._
+    val ev = Tables.events(spark, sf)
+      // value bucketed to force ties within a user
+      .select($"event_id", $"user_id", (floor($"value" / 20) * 20).as("vb"))
+    val native = graft.operators.TopK
+      .rankPerKey(ev, Seq($"user_id"), Seq($"vb".desc), k = 2)
+      .collect().map(_.getLong(0)).sorted
+    val w = Window.partitionBy($"user_id").orderBy($"vb".desc)
+    val windowed = ev.withColumn("rk", rank().over(w))
+      .filter($"rk" <= 2).drop("rk")
+      .collect().map(_.getLong(0)).sorted
+    assert(native.nonEmpty && native.toSeq === windowed.toSeq)
+    val dense = graft.operators.TopK
+      .rankPerKey(ev, Seq($"user_id"), Seq($"vb".desc), k = 2, dense = true)
+      .collect().map(_.getLong(0)).sorted
+    val denseW = ev.withColumn("rk", dense_rank().over(w))
+      .filter($"rk" <= 2).drop("rk")
+      .collect().map(_.getLong(0)).sorted
+    assert(dense.toSeq === denseW.toSeq)
+  }
+
   /** getOrCreate() returns the suite's session unless the active/default
     * session is cleared first; restore it afterwards. `withExtensions`
     * (not the `spark.sql.extensions` conf) because the conf is static and
@@ -172,6 +194,88 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       val kept = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
       assert(kept.queryExecution.executedPlan.toString.contains("Window"))
       assert(kept.collect().length === 4)
+    }
+  }
+
+  /** The rewrite fired ⟺ the executed plan contains the two top-k phases
+    * and no Window node.
+    */
+  private def assertRewritten(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).length === 2, s"not rewritten:\n$plan")
+    assert(!plan.contains("Window"), s"Window survived:\n$plan")
+  }
+
+  test("rule widening: reversed literal, conjunction split, aggregate parent") {
+    withExtensionsSession("topk-shapes-spec") { ext =>
+      val ss = ext; import ss.implicits._
+      val df = Seq((1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "d"), (2, 9, "e"))
+        .toDF("k", "score", "id")
+      val w = Window.partitionBy($"k").orderBy($"score".desc, $"id")
+
+      // reversed comparison operands: lit(2) >= rn
+      val reversed = df.withColumn("rn", row_number().over(w))
+        .filter(lit(2) >= $"rn").drop("rn")
+      assertRewritten(reversed)
+      assert(reversed.collect().map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+        === Seq((1, "b"), (1, "c"), (2, "d"), (2, "e")))
+
+      // conjunction: the rank-free residual stays as a Filter above the top-k
+      val conj = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2 && $"score" > 5).drop("rn")
+      assertRewritten(conj)
+      assert(conj.collect().map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+        === Seq((1, "b"), (1, "c"), (2, "e")))
+
+      // aggregate directly above the filter, rank unreferenced
+      val agg = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+        .orderBy($"k")
+      assertRewritten(agg)
+      assert(agg.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        === Seq((1, 2L), (2, 2L)))
+    }
+  }
+
+  test("rank()/dense_rank() rewrites keep boundary ties exactly like the window spelling") {
+    withExtensionsSession("topk-rank-spec") { ext =>
+      val ss = ext; import ss.implicits._
+      // tie-heavy: scores (20,20,10,10,10,5) in group 1
+      val df = Seq((1, 20, "a"), (1, 20, "b"), (1, 10, "c"), (1, 10, "d"),
+          (1, 10, "e"), (1, 5, "f"), (2, 7, "g"), (2, 7, "h"))
+        .toDF("k", "score", "id")
+      val w = Window.partitionBy($"k").orderBy($"score".desc)
+
+      def viaWindow(fn: org.apache.spark.sql.Column, limit: Int): Seq[(Int, String)] = {
+        // expectation via the built-in window path: the rank column is KEPT
+        // in the output here, so the rewrite cannot fire and WindowExec
+        // computes the reference ranks
+        df.withColumn("rk", fn.over(w)).collect()
+          .filter(_.getAs[Int]("rk") <= limit)
+          .map(r => (r.getAs[Int]("k"), r.getAs[String]("id"))).sorted.toSeq
+      }
+
+      val rankIdiom = df.withColumn("rk", rank().over(w))
+        .filter($"rk" <= 3).drop("rk")
+      assertRewritten(rankIdiom)
+      assert(rankIdiom.collect().map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+        === viaWindow(rank(), 3))
+      // rank: 20,20 → rank 1,1; 10s → rank 3: all five of group 1 qualify
+
+      val denseIdiom = df.withColumn("rk", dense_rank().over(w))
+        .filter($"rk" <= 2).drop("rk")
+      assertRewritten(denseIdiom)
+      assert(denseIdiom.collect().map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+        === viaWindow(dense_rank(), 2))
+
+      // rank() = 1 keeps ALL tied-best rows — the shape that was unsound
+      // to rewrite as row_number and is exact under the ties mode
+      val top1 = df.withColumn("rk", rank().over(w))
+        .filter($"rk" === 1).drop("rk")
+      assertRewritten(top1)
+      assert(top1.collect().map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+        === Seq((1, "a"), (1, "b"), (2, "g"), (2, "h")))
     }
   }
 
