@@ -25,12 +25,12 @@ import org.apache.spark.sql.types._
   * of `11:98-109` directly from the schema JSON instead of the
   * reference's empty-DataFrame round-trip.
   *
-  * Scale note: these are per-row JVM UDFs — they break whole-stage
-  * codegen at the encode/decode boundary but carry no shuffle and no
-  * driver involvement; at 100 TB they run embarrassingly parallel at
-  * scan/write throughput, the same place the reference paid for Avro.
-  * A native Catalyst Expression with `doGenCode` is the upgrade path if
-  * the codec ever dominates a profile.
+  * Scale note: the UDF pair here is the legacy/reference surface (kept
+  * for the external-`Row` API the OCF sink shares); the hot path is
+  * [[AvroExpressions]] — native Catalyst `AvroEncode`/`AvroDecode`
+  * expressions that convert Avro values directly to and from Catalyst
+  * internal representations and stay inside whole-stage codegen. All
+  * query/stream call sites use the expressions.
   *
   * Type coverage (all the reference's schemas use): null unions,
   * boolean/int/long/float/double/string/bytes/enum, nested records,

@@ -77,6 +77,28 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** 192-bit content fingerprint of a canonical (distinct) edge set:
+    * (count, xor of salt-1 hashes, xor of salt-2 hashes). XOR over
+    * independent 64-bit hashes is an order-insensitive exact-set
+    * fingerprint; two different edge sets collide with probability
+    * ≈ 2⁻¹²⁸ (and equal counts), far below any hardware error rate.
+    * One map-side action over just-checkpointed blocks — no shuffle
+    * beyond the single-row final aggregate, vs. the `count` +
+    * `exceptAll` pair this replaced (two actions, one a full join).
+    * `bit_xor`, not `sum`: ANSI mode (Spark 4 default) would throw on
+    * hash-sum overflow; XOR cannot overflow.
+    */
+  private def fingerprint(e: DataFrame): (Long, Long, Long) = {
+    val r = e.select(
+        xxhash64(lit(1), col("u"), col("v")).as("h1"),
+        xxhash64(lit(2), col("u"), col("v")).as("h2"))
+      .agg(count(lit(1)), expr("bit_xor(h1)"), expr("bit_xor(h2)"))
+      .head
+    (r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
   /** Component labels for `nodes` (a single-column DataFrame of ids)
     * under the undirected `edges` (a two-column DataFrame of endpoints;
     * ids referenced by edges should appear in `nodes`). Returns the node
@@ -91,19 +113,22 @@ object ConnectedComponents {
     val idCol = nodes.columns.head
 
     var e = canonical(edges).localCheckpoint()
+    var fp = fingerprint(e)
     // stars are exactly the JOINT fixpoint of the two operations, so
     // convergence = two consecutive unchanged rounds (one of each kind);
-    // a composition-only check could in principle accept a 2-cycle
-    var stable = if (e.isEmpty) 2 else 0
+    // a composition-only check could in principle accept a 2-cycle.
+    // Unchanged = fingerprint equality (see above) — each round costs
+    // one checkpoint materialization plus one cheap scan, and the
+    // previous round's fingerprint is reused, never recomputed.
+    var stable = if (fp._1 == 0L) 2 else 0
     var useLarge = true
     var iters = 0
     while (stable < 2 && iters < maxIters) {
       val next = (if (useLarge) largeStar(e) else smallStar(e)).localCheckpoint()
-      // both sides are distinct sets: equal count + empty one-sided
-      // difference ⟺ set equality
-      val same = next.count() == e.count() && next.exceptAll(e).isEmpty
-      stable = if (same) stable + 1 else 0
+      val nfp = fingerprint(next)
+      stable = if (nfp == fp) stable + 1 else 0
       e = next
+      fp = nfp
       useLarge = !useLarge
       iters += 1
     }

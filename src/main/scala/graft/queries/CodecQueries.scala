@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.AvroCodec
+import graft.functions.{AvroCodec, AvroExpressions}
 
 /** Codec-boundary queries: the Avro binary round trip (the reference's
   * scripts 10-13 track) and the multimodal opaque-binary column pattern.
@@ -28,21 +28,23 @@ object CodecQueries {
   /** q20 — Avro round trip (SURVEY F3/F4/S5; ref `12_streaming_enrichment_avro.py:70,110-111`,
     * `13_batch_read_results_avro.py:66-67`): orders rows → `to_avro` binary →
     * `from_avro` struct (schema derived from the Avro JSON via
-    * [[AvroCodec.structTypeFor]]) → `data.*` projection. Both UDFs must
-    * execute for any output column to exist, so a hash match against the
-    * plain-projection oracle proves the codec is lossless field-by-field.
-    * The o_orderdate emits as a formatted string: the logical type is
-    * millisecond-precision and the column is day-precision, so the trip
-    * is exact. Scale: per-row codec, no shuffle — scan-throughput bound.
+    * [[AvroCodec.structTypeFor]]) → `data.*` projection. Both codec
+    * expressions must execute for any output column to exist, so a hash
+    * match against the plain-projection oracle proves the codec is
+    * lossless field-by-field. Uses the native Catalyst
+    * [[AvroExpressions]] (no `ScalaUDF` in the plan — pinned by
+    * AvroCodecSpec); the o_orderdate emits as a formatted string: the
+    * logical type is millisecond-precision and the column is
+    * day-precision, so the trip is exact. Scale: per-row codec inside
+    * whole-stage codegen, no shuffle — scan-throughput bound.
     */
   def q20AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val enc = AvroCodec.toAvroUdf(orderAvroSchema)
-    val dec = AvroCodec.fromAvroUdf(orderAvroSchema)
-    // per-row UDF codec is CPU-bound; spread the single-split scan
+    // per-row codec is CPU-bound; spread the single-split scan
     val o = Tables.spread(s, Tables.orders(s, dir))
     o.select(struct(o.columns.map(col): _*).as("r"))
-      .select(dec(enc($"r")).as("data"))
+      .select(AvroExpressions.fromAvro(
+        AvroExpressions.toAvro($"r", orderAvroSchema), orderAvroSchema).as("data"))
       .select($"data.*")
       .select(
         $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",

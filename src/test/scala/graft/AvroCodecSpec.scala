@@ -153,6 +153,91 @@ class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("expression codec: round trip is lossless and byte-identical to the UDF codec") {
+    import graft.functions.AvroExpressions
+    val st = AvroCodec.structTypeFor(schemaJson)
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789")
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, ts, Seq("x", "y"),
+        Array[Byte](1, 2, 3), Row(7, "seven")),
+      Row(2L, null, -0.25, false, ts, Seq.empty[String],
+        Array.empty[Byte], Row(8, null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), st)
+    val all = struct(df.columns.map(col): _*)
+    // byte-for-byte parity with the legacy UDF encoder on every row
+    val exprBytes = df.select(AvroExpressions.toAvro(all, schemaJson))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq).sortBy(_.hashCode)
+    val udfBytes = df.select(AvroCodec.toAvroUdf(schemaJson)(all))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq).sortBy(_.hashCode)
+    assert(exprBytes.toSeq === udfBytes.toSeq)
+    // full expression round trip is lossless (incl. nulls, nested, bytes)
+    val back = df.select(AvroExpressions.fromAvro(
+        AvroExpressions.toAvro(all, schemaJson), schemaJson).as("d"))
+      .select("d.*")
+    def norm(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map { r =>
+        Row.fromSeq(r.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case v => v
+        }).toString
+      }.sorted.toSeq
+    assert(norm(back) === norm(df))
+  }
+
+  test("expression codec: encode matches struct fields by name, not position") {
+    import graft.functions.AvroExpressions
+    val simple = """{"type":"record","name":"S","fields":[
+      |{"name":"id","type":"long"},{"name":"tag","type":"string"}]}""".stripMargin
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5L, "ok"))),
+      AvroCodec.structTypeFor(simple))
+    // reversed struct order must produce the same wire bytes
+    val a = df.select(AvroExpressions.toAvro(struct(col("id"), col("tag")), simple))
+      .head.getAs[Array[Byte]](0)
+    val b = df.select(AvroExpressions.toAvro(struct(col("tag"), col("id")), simple))
+      .head.getAs[Array[Byte]](0)
+    assert(a.toSeq === b.toSeq && a.nonEmpty)
+  }
+
+  test("expression codec: permissive decode nulls malformed records; strict fails") {
+    import graft.functions.AvroExpressions
+    val ss = spark; import ss.implicits._
+    val simple = """{"type":"record","name":"S","fields":[
+      |{"name":"id","type":"long"},{"name":"tag","type":"string"}]}""".stripMargin
+    val good = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(5L, "ok"))),
+        AvroCodec.structTypeFor(simple))
+      .select(AvroExpressions.toAvro(struct(col("id"), col("tag")), simple).as("value"))
+      .head.getAs[Array[Byte]](0)
+    val bad = Array[Byte](-1, -1, -1, -1, -1, -1, -1, -1, -1, -1)
+    val df = Seq(good, bad).toDF("value")
+    val out = df.select(AvroExpressions.fromAvro($"value", simple, permissive = true).as("d"))
+      .select(col("d.id")).collect()
+    assert(out.count(_.isNullAt(0)) === 1)
+    assert(out.exists(r => !r.isNullAt(0) && r.getLong(0) === 5L))
+    intercept[Exception] {
+      df.select(AvroExpressions.fromAvro($"value", simple).as("d")).collect()
+    }
+  }
+
+  test("q20's plan contains the native codec and no ScalaUDF (hot path is codegen)") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.queries.CodecQueries.q20AvroRoundtrip(spark, "/root/testdata/sf0.001")
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plans = unwrap(df.queryExecution.executedPlan).collect { case p => p }
+    val exprs = plans.flatMap(_.expressions)
+    assert(!exprs.exists(_.exists(_.isInstanceOf[ScalaUDF])),
+      "q20 must not execute any ScalaUDF")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_from_avro") && analyzed.contains("graft_to_avro"))
+    assert(df.count() > 0)
+  }
+
   test("encoded bytes are deterministic and schema-stable") {
     val st = AvroCodec.structTypeFor(schemaJson)
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")

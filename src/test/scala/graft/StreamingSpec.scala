@@ -247,14 +247,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("script-12 twin: Avro-coded stream decodes, aggregates, and re-encodes (F3/F4 streaming)") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import graft.functions.AvroCodec
+    import graft.functions.AvroExpressions
     val schemaJson =
       """{"type":"record","name":"E","fields":[
         |{"name":"user_id","type":"long"},
         |{"name":"event_type","type":["null","string"]},
         |{"name":"value","type":"double"}]}""".stripMargin
-    val enc = AvroCodec.toAvroUdf(schemaJson)
-    val dec = AvroCodec.fromAvroUdf(schemaJson)
+    val enc = (c: org.apache.spark.sql.Column) => AvroExpressions.toAvro(c, schemaJson)
+    val dec = (c: org.apache.spark.sql.Column) => AvroExpressions.fromAvro(c, schemaJson)
 
     // producer side (batch, ref 11): rows -> avro bytes fed as the topic
     val src = Tables.events(spark, sf)
