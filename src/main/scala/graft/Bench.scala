@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs the pinned headline queries on
-  * SPARK_GRAFT_SF_DIR and prints one JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},...}`.
-  * The driver runs this per-round at sf0.1 → BENCH_r{N}.json.
+  * SPARK_GRAFT_SF_DIR and prints one SHORT JSON headline line
+  * `{"metric":"total","value":N,"unit":"sec",...}` as the last stdout
+  * line (the driver captures only a 4 KB stdout tail — BENCH_r05 lost
+  * its total to front-truncation of one long line); the full per-query
+  * median/min maps are written to `target/bench_detail.json` and
+  * mirrored to stderr. The driver runs this per-round at sf0.1 →
+  * BENCH_r{N}.json.
   *
   * Methodology (round-2 fixes per VERDICT "What's wrong" #2/#3):
   *  - every query materializes through the `noop` sink, which consumes every
@@ -86,7 +90,16 @@ object Bench {
     // bench box has been observed to move totals 3-5x between runs
     // minutes apart with identical code — the reader needs the context.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout (BENCH_r05 lost its
+    // "metric":"total" to front-truncation of one long line), so the
+    // final stdout line carries just the headline (≤ ~300 bytes); the
+    // full per-query median/min maps go to a detail file and stderr.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_detail.json"), detail)
+    System.err.println(detail)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }
