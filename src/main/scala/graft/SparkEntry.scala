@@ -22,7 +22,7 @@ object SparkEntry {
     CoreQueries.queries ++ ReferenceQueries.queries ++ LlmQueries.queries ++
       CodecQueries.queries ++ SinkQueries.queries ++ CdcQueries.queries ++
       TemporalQueries.queries ++ SketchQueries.queries ++ OlapQueries.queries ++
-      StreamGateQueries.queries
+      StreamGateQueries.queries ++ LakeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,7 +31,7 @@ object SparkEntry {
     CoreQueries.oracles ++ ReferenceQueries.oracles ++ LlmQueries.oracles ++
       CodecQueries.oracles ++ SinkQueries.oracles ++ CdcQueries.oracles ++
       TemporalQueries.oracles ++ SketchQueries.oracles ++ OlapQueries.oracles ++
-      StreamGateQueries.oracles
+      StreamGateQueries.oracles ++ LakeQueries.oracles
 
   /** Headline set timed by graft.Bench — an explicit literal list so the
     * cross-round bench total stays comparable: queries added in later
@@ -89,5 +89,8 @@ object SparkEntry {
     "q46_corpus_prep",
     "q47_json_extract",
     "q48_date_dims",
-    "q50_salted_enrich")
+    "q50_salted_enrich",
+    // appended round 6: bucketed-lake join (write cost is the gate's
+    // setup; timing it keeps the layout honest about its ingest price)
+    "q51_bucketed_join")
 }

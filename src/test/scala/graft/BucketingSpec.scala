@@ -64,4 +64,20 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted.toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("q51 gate: join subtree reads bucketed scans with zero exchanges") {
+    val df = graft.queries.LakeQueries.q51BucketedJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // everything below the first HashAggregate is the join subtree; the
+    // only legal Exchange in the whole plan is the groupBy's
+    val joinPart = plan.split("HashAggregate").last
+    assert(joinPart.contains("SortMergeJoin"), plan)
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    // (the SMJ's local per-partition Sort remains: Spark ≥3.0 does not
+    // expose per-bucket sort order without the legacy outputOrdering
+    // flag — SPARK-28595. The Sort is shuffle-free and spill-bounded.)
+    assert(joinPart.contains("Bucketed: true"), plan)
+    assert(df.count() > 0)
+  }
 }
