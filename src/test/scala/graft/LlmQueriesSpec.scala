@@ -105,20 +105,37 @@ class LlmQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     ann.foreach { case (qid, c) => assert(c <= bf(qid) + 1e-12) }
   }
 
-  test("multi-probe ANN recall dominates single-probe against exact top-k") {
+  test("ANN recall@3 vs exact top-k: multi-probe dominates single-probe; floors hold") {
+    // The hash gates (q19/q30/q32) prove determinism, not retrieval
+    // QUALITY — a silently-degraded bucket scheme would still hash-match
+    // its own oracle. Recall@3 against q18's exact top-3 is the quality
+    // law: per query, |ANN top-3 ∩ exact top-3| / |exact top-3|.
     val ss = spark; import ss.implicits._
-    def hits(df: org.apache.spark.sql.DataFrame) = df
-      .filter($"rank" <= 3).select($"qid", $"neighbor_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = LlmQueries.q18CosineTopK(spark, sf)
-      .filter($"rank" <= 3).select($"qid", $"neighbor_id".as("neighbor_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val single = hits(LlmQueries.q19AnnLsh(spark, sf))
-    val multi = hits(LlmQueries.q30AnnMultiprobe(spark, sf))
-    val rSingle = (single & exact).size.toDouble / exact.size
-    val rMulti = (multi & exact).size.toDouble / exact.size
+    val exact = pairs(LlmQueries.q18CosineTopK(spark, sf).filter($"rank" <= 3))
+    val single = pairs(LlmQueries.q19AnnLsh(spark, sf))
+    val multi = pairs(LlmQueries.q30AnnMultiprobe(spark, sf))
+    val ivf = pairs(LlmQueries.q32AnnIvf(spark, sf))
+    def recall(ann: Set[(Long, Long)]) = (ann & exact).size.toDouble / exact.size
+    val (rSingle, rMulti, rIvf) = (recall(single), recall(multi), recall(ivf))
+    info(f"recall@3 vs exact: single-probe LSH=$rSingle%.3f multi-probe LSH=$rMulti%.3f IVF(nprobe=1)=$rIvf%.3f")
     assert(rMulti >= rSingle) // probing Hamming-1 buckets never loses recall
     assert(multi.size >= single.size) // candidate superset -> >= results
+    // Absolute floors (numbers + context in COVERAGE.md). The testdata
+    // embeddings are structure-free random vectors (within-label and
+    // cross-label mean cosine both ≈ 0), so the no-structure baseline for
+    // recall@k is the probed corpus fraction: 1/16 buckets ≈ 0.06 single
+    // probe, 5/16 ≈ 0.31 multi-probe. Measured (deterministic on this
+    // data): 0.167 / 0.400 / 0.300 — a 1.3–2.7× sign-correlation lift
+    // over the baseline, which IS the retrieval signal on random data;
+    // floors sit between the baseline and the measurement so any silent
+    // bucket-scheme regression (hash change, probe loss, plane drift)
+    // trips them while honest refactors do not.
+    assert(rSingle >= 0.15, f"single-probe recall $rSingle%.3f below floor")
+    assert(rMulti >= 0.35, f"multi-probe recall $rMulti%.3f below floor")
+    assert(rIvf >= 0.25, f"IVF recall $rIvf%.3f below floor")
   }
 
   test("text stats: ratios bounded, quality in [0,1], token counts positive") {
