@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * Each round is a constant number of distributed joins/aggregations on
   * the edge set (no driver-side data, no collect); `localCheckpoint`
-  * flattens lineage so the plan never grows with the round count. On
+  * flattens lineage so the plan never grows with the round count.
+  * Durability note: `localCheckpoint` stores blocks on executors only —
+  * an executor loss mid-run fails the job (blocks are not recomputable
+  * once lineage is cut). Right for this sandbox and for any cluster job
+  * cheap enough to retry; a many-hour CC run on a real cluster should
+  * instead set a `sparkContext.setCheckpointDir` on durable storage and
+  * use reliable `checkpoint()` at the same two call sites. On
   * non-convergence within `maxIters` the call THROWS — a silent
   * truncation here would hand wrong cluster labels downstream (the
   * round-4 verdict's scale-killer), and with the O(log² n) bound a cap

@@ -49,6 +49,42 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def plainCols = Seq(col("k"), col("row_id"), col("label"))
 
+  test("adaptiveBuckets sizes the fan-out from observed skew; salted result unchanged") {
+    val ss = spark; import ss.implicits._
+    // 9000 rows on hot key 1 (90%), 1000 spread over keys 2..11
+    val fact = ((1 to 9000).map(i => (1L, i.toLong)) ++
+      (1 to 1000).map(i => ((i % 10) + 2L, 100000L + i))).toDF("k", "row_id")
+    val dim = (1L to 10L).map(k => (k, s"dim_$k")).toDF("k", "label")
+
+    // hottest key ≈ 9000 rows, target 1000/bucket → ≈ 9 buckets (CMS
+    // over-estimation can only push it up; cap at 64 not reached)
+    val buckets = Skew.adaptiveBuckets(fact, Seq("k"), targetRowsPerBucket = 1000L)
+    assert(buckets >= 9 && buckets <= 12, s"got $buckets")
+
+    // hot-key partition shrinks ~buckets×: max per-salt share of the hot
+    // key is within 2× of the ideal 9000/buckets
+    val salts = fact.filter($"k" === 1L)
+      .withColumn("__salt", pmod(hash($"row_id"), lit(buckets)))
+      .groupBy($"__salt").count().collect().map(_.getLong(1))
+    assert(salts.length === buckets)
+    assert(salts.max <= 2L * 9000L / buckets, s"max ${salts.max} for $buckets buckets")
+
+    // and the adaptive join is still row-identical to the plain join
+    val (joined, b2) = Skew.saltedJoinAdaptive(
+      fact, dim, Seq("k"), $"row_id", targetRowsPerBucket = 1000L)
+    assert(b2 === buckets)
+    val plain = fact.join(dim, Seq("k"), "inner")
+      .collect().map(_.toString).sorted.toSeq
+    assert(joined.select(plainCols: _*).collect().map(_.toString).sorted.toSeq === plain)
+  }
+
+  test("adaptiveBuckets returns 1 when no key clears the heavy-hitter support") {
+    val ss = spark; import ss.implicits._
+    // 10k distinct keys, one row each — no candidate above 1% support
+    val uniform = (1 to 10000).map(i => (i.toLong, i.toLong)).toDF("k", "row_id")
+    assert(Skew.adaptiveBuckets(uniform, Seq("k"), targetRowsPerBucket = 100L) === 1)
+  }
+
   test("the hot key actually fans out across salt buckets") {
     val ss = spark; import ss.implicits._
     val fact = (1 to 9000).map(i => (1L, i.toLong)).toDF("k", "row_id")

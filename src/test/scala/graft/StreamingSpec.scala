@@ -189,6 +189,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("watermark boundary law: a window closes iff end <= max(ts) - delay, to the millisecond") {
+    // Pins the open/closed boundary the q49 oracle reasons about
+    // (`ws + 10 min <= mx - 10 min`): events land exactly at, 1 ms
+    // under, and 1 ms over the watermark that matches the [09:55,10:05)
+    // window end, so a future Spark upgrade flipping <= to < (or a
+    // drift in the ms floor) fails loudly here instead of silently
+    // desyncing the gate's oracle.
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamJobs.slidingWindowSales(
+      ms.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("t_wm_edge")
+      .outputMode("append").start()
+    def emitted(): Set[String] = spark.table("t_wm_edge")
+      .select(date_format($"window.start", "HH:mm:ss").as("s"))
+      .collect().map(_.getString(0)).toSet
+    try {
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      assert(emitted() === Set.empty) // watermark 09:50 — everything open
+      // watermark 10:04:59.999 — 1 ms BELOW the [09:55,10:05) end: open
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 10:14:59.999"), "a", 1.0))
+      q.processAllAvailable()
+      assert(emitted() === Set.empty)
+      // watermark exactly 10:05:00.000 == end: closes (end <= watermark)
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 10:15:00.0"), "a", 1.0))
+      q.processAllAvailable()
+      assert(emitted() === Set("09:55:00"))
+      // 1 ms past the boundary: no re-emission, nothing else closes
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 10:15:00.001"), "a", 1.0))
+      q.processAllAvailable()
+      assert(emitted() === Set("09:55:00"))
+    } finally q.stop()
+  }
+
   test("native session_window streaming agg equals the batch q35 shape (complete mode)") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
