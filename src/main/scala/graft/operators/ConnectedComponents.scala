@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * an executor loss mid-run fails the job (blocks are not recomputable
   * once lineage is cut). Right for this sandbox and for any cluster job
   * cheap enough to retry; a many-hour CC run on a real cluster should
-  * instead set a `sparkContext.setCheckpointDir` on durable storage and
-  * use reliable `checkpoint()` at the same two call sites. On
+  * pass `reliable = true` (and `sparkContext.setCheckpointDir` on
+  * durable storage first), which swaps in reliable `checkpoint()` at
+  * the same two call sites. On
   * non-convergence within `maxIters` the call THROWS — a silent
   * truncation here would hand wrong cluster labels downstream (the
   * round-4 verdict's scale-killer), and with the O(log² n) bound a cap
@@ -109,16 +110,21 @@ object ConnectedComponents {
     * under the undirected `edges` (a two-column DataFrame of endpoints;
     * ids referenced by edges should appear in `nodes`). Returns the node
     * column unchanged plus `label` = the component's minimum id;
-    * isolated nodes label themselves.
+    * isolated nodes label themselves. `reliable = true` swaps
+    * `localCheckpoint` for durable `checkpoint()` (see class doc).
     */
-  def labels(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def labels(
+      nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 50, reliable: Boolean = false): DataFrame = {
     require(nodes.columns.length == 1,
       s"nodes must have exactly one id column, got ${nodes.columns.mkString(",")}")
     require(edges.columns.length == 2,
       s"edges must have exactly two endpoint columns, got ${edges.columns.mkString(",")}")
     val idCol = nodes.columns.head
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
 
-    var e = canonical(edges).localCheckpoint()
+    var e = materialize(canonical(edges))
     var fp = fingerprint(e)
     // stars are exactly the JOINT fixpoint of the two operations, so
     // convergence = two consecutive unchanged rounds (one of each kind);
@@ -130,7 +136,7 @@ object ConnectedComponents {
     var useLarge = true
     var iters = 0
     while (stable < 2 && iters < maxIters) {
-      val next = (if (useLarge) largeStar(e) else smallStar(e)).localCheckpoint()
+      val next = materialize(if (useLarge) largeStar(e) else smallStar(e))
       val nfp = fingerprint(next)
       stable = if (nfp == fp) stable + 1 else 0
       e = next

@@ -819,7 +819,20 @@ object LlmQueries {
     * join. nprobe=1 keeps the oracle exact; recall raises by probing
     * more cells exactly as q30 does for LSH.
     */
-  def q32AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  def q32AnnIvf(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, dir, nprobe = 1)
+
+  /** q32's body generalized to `nprobe` probed cells per query (IVF's
+    * recall knob, the cell-space analogue of q30's Hamming-1 probing):
+    * each query ranks the members of its `nprobe` nearest centroids'
+    * cells. Members hold exactly one cell and probe cells are distinct,
+    * so candidates never duplicate and no dedup stage is needed. The
+    * driver gate runs nprobe=1 (oracle-exact); the LlmQueriesSpec recall
+    * law runs nprobe=2 and asserts recall dominance over nprobe=1 —
+    * probing a second cell only ever widens the exact-scored candidate
+    * set.
+    */
+  def annIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     import graft.operators.TopK
     // localCheckpoint: scan+scale+norms feed assignment, the member side,
@@ -834,14 +847,20 @@ object LlmQueries {
       .select($"vec_id", $"cid",
         VectorOps.cosineFromParts(
           VectorOps.dotL($"v", $"cv"), $"nsq", $"cn").as("ccos"))
+      .localCheckpoint()
     val cells = TopK.perKey(cellScores,
         keys = Seq($"vec_id"), order = Seq($"ccos".desc, $"cid".asc), k = 1)
       .select($"vec_id", $"cid".as("cell"))
     // materialize the assignment once: both the member side and the query
     // side read it, and without this the O(N·K) argmin subtree plans twice
     val member = sv.join(cells, "vec_id").localCheckpoint()
-    val q = member.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qn"), $"cell")
+    // a query's probe list = its nprobe nearest centroids; for nprobe=1
+    // that is exactly its own assigned cell (same ordering, same top-1)
+    val probes = TopK.perKey(cellScores.filter($"vec_id" % 50 === 0),
+        keys = Seq($"vec_id"), order = Seq($"ccos".desc, $"cid".asc), k = nprobe)
+      .select($"vec_id".as("qid"), $"cid".as("cell"))
+    val q = probes.join(
+      sv.select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qn")), "qid")
     val scored = member.join(q, Seq("cell"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"cell", $"vec_id".as("neighbor_id"),

@@ -118,11 +118,14 @@ class LlmQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val single = pairs(LlmQueries.q19AnnLsh(spark, sf))
     val multi = pairs(LlmQueries.q30AnnMultiprobe(spark, sf))
     val ivf = pairs(LlmQueries.q32AnnIvf(spark, sf))
+    val ivf2 = pairs(LlmQueries.annIvf(spark, sf, nprobe = 2))
     def recall(ann: Set[(Long, Long)]) = (ann & exact).size.toDouble / exact.size
-    val (rSingle, rMulti, rIvf) = (recall(single), recall(multi), recall(ivf))
-    info(f"recall@3 vs exact: single-probe LSH=$rSingle%.3f multi-probe LSH=$rMulti%.3f IVF(nprobe=1)=$rIvf%.3f")
+    val (rSingle, rMulti, rIvf, rIvf2) =
+      (recall(single), recall(multi), recall(ivf), recall(ivf2))
+    info(f"recall@3 vs exact: single-probe LSH=$rSingle%.3f multi-probe LSH=$rMulti%.3f IVF(nprobe=1)=$rIvf%.3f IVF(nprobe=2)=$rIvf2%.3f")
     assert(rMulti >= rSingle) // probing Hamming-1 buckets never loses recall
     assert(multi.size >= single.size) // candidate superset -> >= results
+    assert(rIvf2 >= rIvf) // a second probed cell only widens candidates
     // Absolute floors (numbers + context in COVERAGE.md). The testdata
     // embeddings are structure-free random vectors (within-label and
     // cross-label mean cosine both ≈ 0), so the no-structure baseline for

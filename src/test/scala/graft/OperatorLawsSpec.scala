@@ -157,4 +157,18 @@ class OperatorLawsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = ccLabels(Seq(3L, 7L, 11L), Nil)
     assert(got === Map(3L -> 3L, 7L -> 7L, 11L -> 11L))
   }
+
+  test("ConnectedComponents reliable-checkpoint mode matches localCheckpoint mode") {
+    val ss = spark; import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val nodes = (0L until 32L)
+    val edges = (0L until 16L).map(i => (i, i + 1)) ++ Seq((20L, 25L), (25L, 30L))
+    val durable = ConnectedComponents.labels(
+        nodes.toDF("id"), edges.toDF("src", "dst"), reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable === ccLabels(nodes, edges))
+    // the durable path actually wrote checkpoint data
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
 }
