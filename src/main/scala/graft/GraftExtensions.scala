@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.{RowNumberToTopKRule, TopKColumnPruningRule, TopKStrategy}
 
-import graft.functions.LongVecDot
+import graft.functions.{AvroDecode, AvroEncode, LongVecDot}
 
 /** Session extension registering the engine's custom Catalyst surface, so
   * SQL users get it without touching the Scala API:
@@ -18,7 +18,10 @@ import graft.functions.LongVecDot
   * }}}
   *
   * Currently: `long_vec_dot` ([[graft.functions.LongVecDot]], the
-  * codegen'd exact integer dot product behind q18/q19/q28/q30) and the
+  * codegen'd exact integer dot product behind q18/q19/q28/q30),
+  * `graft_to_avro`/`graft_from_avro` ([[graft.functions.AvroEncode]]/
+  * [[graft.functions.AvroDecode]], the Catalyst Avro codec with the
+  * schema as a literal argument), and the
   * planner strategy for the native top-k-per-key operator
   * ([[org.apache.spark.sql.graftbridge.TopKPerKey]], used through
   * [[graft.operators.TopK]]). These are the (c)-tier extension points of
@@ -43,6 +46,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "long_vec_dot takes exactly 2 arguments")
         LongVecDot(children.head, children(1))
+      }))
+    // SQL surface for the Catalyst Avro codec: the schema argument must
+    // be a foldable string (a literal or something constant-folding
+    // reduces to one) — it shapes the expression's data type, which SQL
+    // analysis needs before any row exists.
+    def schemaArg(e: Expression, fn: String): String = {
+      require(e.foldable && e.dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"$fn: the Avro schema argument must be a string literal")
+      e.eval().toString
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_to_avro"),
+      new ExpressionInfo(
+        classOf[AvroEncode].getName, null, "graft_to_avro",
+        "graft_to_avro(struct, schemaJson) - encode a struct to Avro binary",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_to_avro takes exactly 2 arguments")
+        AvroEncode(children.head, schemaArg(children(1), "graft_to_avro"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_from_avro"),
+      new ExpressionInfo(
+        classOf[AvroDecode].getName, null, "graft_from_avro",
+        "graft_from_avro(binary, schemaJson[, permissive]) - decode Avro binary to a struct",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "graft_from_avro takes 2 or 3 arguments")
+        val permissive = children.length == 3 && {
+          val p = children(2)
+          require(p.foldable && p.dataType ==
+            org.apache.spark.sql.types.BooleanType,
+            "graft_from_avro: permissive must be a boolean literal")
+          p.eval().asInstanceOf[Boolean]
+        }
+        AvroDecode(children.head, schemaArg(children(1), "graft_from_avro"), permissive)
       }))
   }
 }

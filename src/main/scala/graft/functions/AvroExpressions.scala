@@ -228,7 +228,9 @@ case class AvroEncode(child: Expression, jsonSchema: String)
 case class AvroDecode(child: Expression, jsonSchema: String, permissive: Boolean)
   extends UnaryExpression with AvroExpressionSupport {
 
-  override def dataType: DataType = AvroCodec.structTypeFor(jsonSchema)
+  // cached: the planner calls dataType many times per analysis pass and
+  // deriving it re-parses the Avro schema JSON
+  @transient override lazy val dataType: DataType = AvroCodec.structTypeFor(jsonSchema)
   override def prettyName: String = "graft_from_avro"
   // corrupt bytes decode to null in permissive mode regardless of child
   override def nullable: Boolean = child.nullable || permissive

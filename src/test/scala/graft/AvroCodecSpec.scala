@@ -238,6 +238,35 @@ class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("graft_to_avro / graft_from_avro are SQL-callable via GraftExtensions") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions())
+        .appName("avro-sql-spec")
+        .getOrCreate()
+      val schema = """{"type":"record","name":"S","fields":[
+        |{"name":"id","type":"long"},{"name":"tag","type":"string"}]}""".stripMargin
+      val r = ext.sql(
+        s"""SELECT d.id, d.tag FROM (SELECT graft_from_avro(
+           |  graft_to_avro(named_struct('id', 5L, 'tag', 'ok'), '$schema'),
+           |  '$schema') AS d)""".stripMargin).head
+      assert(r.getLong(0) === 5L && r.getString(1) === "ok")
+      // non-literal schema argument is rejected at analysis, not at runtime
+      val err = intercept[Exception] {
+        ext.sql("SELECT graft_to_avro(named_struct('id', 1L), cast(rand() AS STRING))")
+      }
+      assert(err.getMessage.contains("string literal"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("encoded bytes are deterministic and schema-stable") {
     val st = AvroCodec.structTypeFor(schemaJson)
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
