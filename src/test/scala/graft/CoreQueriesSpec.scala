@@ -38,6 +38,31 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("q02's broadcast POLICY: only the explicitly-hinted dims broadcast when stats can't") {
+    // At sf0.001 the stats-based planner legally broadcasts orders and
+    // customer too (they fit the threshold) — scale-adaptive and fine.
+    // The POLICY the scaladocs promise is what must survive 100 TB,
+    // where stats broadcast nothing: with the auto threshold disabled,
+    // exactly the two explicit broadcast() hints (nation=25, region=5)
+    // remain, and the fact chain (lineitem/orders/customer) shuffles.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    val plan = try {
+      spark.conf.set(key, "-1")
+      SparkEntry.queries("q02_top_nation_revenue")(spark, sf)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(key, old)
+    val broadcastScans = plan.split("BroadcastExchange").drop(1)
+      .flatMap(_.split("\n").find(_.contains("FileScan")))
+    assert(broadcastScans.length === 2, plan)
+    assert(broadcastScans.count(_.contains("nation.parquet")) === 1, plan)
+    assert(broadcastScans.count(_.contains("region.parquet")) === 1, plan)
+    Seq("lineitem", "orders", "customer").foreach { fact =>
+      assert(!broadcastScans.exists(_.contains(s"$fact.parquet")),
+        s"$fact must never broadcast\n$plan")
+    }
+  }
+
   test("q03 latest-event dedup keeps exactly one row per user") {
     val df = SparkEntry.queries("q03_latest_event_per_user")(spark, sf)
     assert(df.count() === df.select("user_id").distinct().count())
