@@ -159,8 +159,6 @@ private[graft] trait AvroExpressionSupport { self: UnaryExpression =>
   // kept per-thread so no synchronization sits on the record hot path.
   @transient protected lazy val writerTl: ThreadLocal[GenericDatumWriter[GenericRecord]] =
     ThreadLocal.withInitial(() => new GenericDatumWriter[GenericRecord](avroSchema))
-  @transient protected lazy val readerTl: ThreadLocal[GenericDatumReader[GenericRecord]] =
-    ThreadLocal.withInitial(() => new GenericDatumReader[GenericRecord](avroSchema))
   @transient protected lazy val outTl: ThreadLocal[ByteArrayOutputStream] =
     ThreadLocal.withInitial(() => new ByteArrayOutputStream())
   @transient protected lazy val encTl: ThreadLocal[BinaryEncoder] =
@@ -224,8 +222,20 @@ case class AvroEncode(child: Expression, jsonSchema: String)
   * `permissive = true` mirrors spark-avro's PERMISSIVE mode (malformed
   * record → null row, the right default for 100 TB ingestion); default is
   * FAILFAST like the reference's pipelines.
+  *
+  * Schema evolution: when `writerJsonSchema` is set, bytes are resolved
+  * from the writer's schema to `jsonSchema` (the reader's) under Avro's
+  * standard resolution rules — reordered fields match by name, fields
+  * added in the reader fill from their defaults, fields dropped by the
+  * reader are skipped. This is the registry-evolution story the
+  * reference delegates to Apicurio (ref `10_create_schemas.py` registers
+  * versioned subjects): a consumer pinned to schema v2 keeps reading a
+  * topic whose tail was produced under v1. Output type is always the
+  * READER's schema.
   */
-case class AvroDecode(child: Expression, jsonSchema: String, permissive: Boolean)
+case class AvroDecode(
+    child: Expression, jsonSchema: String, permissive: Boolean,
+    writerJsonSchema: Option[String] = None)
   extends UnaryExpression with AvroExpressionSupport {
 
   // cached: the planner calls dataType many times per analysis pass and
@@ -241,6 +251,17 @@ case class AvroDecode(child: Expression, jsonSchema: String, permissive: Boolean
       s"$prettyName requires a binary argument, got ${other.sql}")
   }
 
+  // resolving reader: decodes writer-schema bytes, emits reader-schema
+  // records (Avro schema-resolution: by-name matching, reader defaults)
+  @transient private lazy val resolvingReaderTl: ThreadLocal[GenericDatumReader[GenericRecord]] =
+    ThreadLocal.withInitial { () =>
+      writerJsonSchema match {
+        case Some(w) => new GenericDatumReader[GenericRecord](
+          new Schema.Parser().parse(w), avroSchema)
+        case None => new GenericDatumReader[GenericRecord](avroSchema)
+      }
+    }
+
   @transient private lazy val fromAvro: Any => Any =
     AvroCatalystConverters.avroToCatalyst(avroSchema)
 
@@ -254,7 +275,7 @@ case class AvroDecode(child: Expression, jsonSchema: String, permissive: Boolean
   private def decodeStrict(bytes: Array[Byte]): InternalRow = {
     val dec = DecoderFactory.get().binaryDecoder(bytes, decTl.get())
     decTl.set(dec)
-    fromAvro(readerTl.get().read(null, dec)).asInstanceOf[InternalRow]
+    fromAvro(resolvingReaderTl.get().read(null, dec)).asInstanceOf[InternalRow]
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -297,4 +318,14 @@ object AvroExpressions {
   /** Avro binary column → struct (codegen path; SURVEY F3). */
   def fromAvro(data: Column, avroJson: String, permissive: Boolean = false): Column =
     ColumnBridge.column(AvroDecode(ColumnBridge.expression(data), avroJson, permissive))
+
+  /** Schema-evolving decode: bytes written under `writerJson` resolved to
+    * `readerJson` (see [[AvroDecode]] — by-name matching, reader
+    * defaults, dropped fields skipped). Output type is the reader's.
+    */
+  def fromAvroEvolved(
+      data: Column, readerJson: String, writerJson: String,
+      permissive: Boolean = false): Column =
+    ColumnBridge.column(AvroDecode(
+      ColumnBridge.expression(data), readerJson, permissive, Some(writerJson)))
 }

@@ -173,4 +173,28 @@ object StreamJobs {
           .write.mode("append").parquet(path)
       }
       .start()
+
+  /** Watermarked stream–stream interval join (beyond the reference,
+    * which only joins stream-to-static — SURVEY J1): correlate two live
+    * event streams on a key within an event-time window, e.g. attribute
+    * a conversion to the impression that preceded it by ≤ `window`.
+    *
+    * Both sides are watermarked and the join condition bounds each
+    * side's event time relative to the other
+    * (`r_ts ∈ [l_ts, l_ts + window]`), which is exactly what
+    * `StreamingSymmetricHashJoin` needs to compute per-side state
+    * watermarks and EVICT buffered rows — without the interval bound,
+    * stream-stream state grows forever. State per side ≈ its watermark
+    * delay + interval span of events, independent of stream length: the
+    * 100 TB correctness condition. Columns are prefixed `l_`/`r_` by the
+    * caller so no ambiguity games are needed.
+    */
+  def streamStreamCorrelate(
+      left: DataFrame, right: DataFrame, window: String = "10 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("l_ts", delay)
+    val r = right.withWatermark("r_ts", delay)
+    l.join(r, expr(
+      s"l_k = r_k AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $window"))
+  }
 }

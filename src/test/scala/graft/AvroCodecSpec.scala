@@ -238,6 +238,33 @@ class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("expression codec: schema evolution resolves writer v1 bytes to reader v2") {
+    import graft.functions.AvroExpressions
+    val ss = spark; import ss.implicits._
+    val v1 = """{"type":"record","name":"E","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"tag","type":"string"},
+      |{"name":"legacy","type":"int"}]}""".stripMargin
+    // v2: reordered (tag first), `legacy` dropped, `score` added w/ default
+    val v2 = """{"type":"record","name":"E","fields":[
+      |{"name":"tag","type":"string"},
+      |{"name":"id","type":"long"},
+      |{"name":"score","type":"double","default":1.5}]}""".stripMargin
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7L, "x", 99), Row(8L, "y", 100))),
+      AvroCodec.structTypeFor(v1))
+    val wire = df.select(AvroExpressions.toAvro(
+      struct(col("id"), col("tag"), col("legacy")), v1).as("b"))
+    val out = wire.select(AvroExpressions.fromAvroEvolved($"b", v2, v1).as("d"))
+      .select($"d.tag", $"d.id", $"d.score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set(("x", 7L, 1.5), ("y", 8L, 1.5)))
+    // and without evolution the v1 bytes still decode under v1 exactly
+    val plain = wire.select(AvroExpressions.fromAvro($"b", v1).as("d"))
+      .select($"d.legacy").collect().map(_.getInt(0)).toSet
+    assert(plain === Set(99, 100))
+  }
+
   test("graft_to_avro / graft_from_avro are SQL-callable via GraftExtensions") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

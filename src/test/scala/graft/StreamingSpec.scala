@@ -225,6 +225,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates within the window and evicts state") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamJobs.streamStreamCorrelate(
+      imps.toDF().toDF("l_k", "l_ts", "l_tag"),
+      clicks.toDF().toDF("r_k", "r_ts", "r_tag"))
+    val q = joined.writeStream
+      .format("memory").queryName("t_ss_join").outputMode("append").start()
+    try {
+      assert(joined.queryExecution.analyzed.toString.nonEmpty && joined.isStreaming)
+      imps.addData((1L, t(10, 0), "i1"), (2L, t(10, 0), "i2"))
+      clicks.addData(
+        (1L, t(10, 5), "c-in"),    // within [10:00, 10:10] on key 1 -> match
+        (2L, t(10, 20), "c-late"), // outside the 10-min window -> no match
+        (3L, t(10, 5), "c-nokey")) // no impression for key 3 -> no match
+      q.processAllAvailable()
+      val out = spark.table("t_ss_join")
+        .select($"l_k", $"l_tag", $"r_tag")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(out === Set((1L, "i1", "c-in")))
+      // eviction evidence: advance both watermarks far past 10:10; a
+      // click that WOULD match impression i1's window is now below the
+      // watermark, its buffered partner evicted — no new output row
+      imps.addData((9L, t(12, 0), "i-adv"))
+      clicks.addData((9L, t(12, 0), "c-adv"))
+      q.processAllAvailable()
+      clicks.addData((1L, t(10, 6), "c-too-late"))
+      q.processAllAvailable()
+      val n = spark.table("t_ss_join").count()
+      assert(n === 2L) // i1/c-in plus the i-adv/c-adv advance pair, nothing else
+      // the engine ran the stateful symmetric hash join operator
+      val ops = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      assert(ops.contains("symmetricHashJoin"), ops.toString)
+    } finally q.stop()
+  }
+
   test("native session_window streaming agg equals the batch q35 shape (complete mode)") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
