@@ -171,6 +171,14 @@ private[graft] trait AvroExpressionSupport { self: UnaryExpression =>
   * Input struct fields are matched to the Avro record's fields by NAME
   * (the same contract [[AvroCodec.rowToRecord]] enforced per row), with
   * the name→ordinal resolution hoisted to analysis time.
+  *
+  * Precision note: Avro's `timestamp-millis` logical type stores whole
+  * milliseconds, so encoding a Catalyst `TimestampType` (epoch-MICROS)
+  * floor-divides by 1000 and silently truncates sub-millisecond
+  * precision — an arbitrary microsecond-precision column does NOT
+  * round-trip exactly (same semantics as spark-avro). Use a long column
+  * of epoch-micros against an Avro `long` field when exact round-trips
+  * matter.
   */
 case class AvroEncode(child: Expression, jsonSchema: String)
   extends UnaryExpression with AvroExpressionSupport {
@@ -180,11 +188,34 @@ case class AvroEncode(child: Expression, jsonSchema: String)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case st: StructType =>
-      val want = AvroCodec.structTypeFor(jsonSchema).fieldNames.toSet
-      val got = st.fieldNames.toSet
-      if (want.subsetOf(got)) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName input struct is missing Avro record fields ${(want -- got).mkString(",")}")
+      val want = AvroCodec.structTypeFor(jsonSchema)
+      val missing = want.fieldNames.toSet -- st.fieldNames.toSet
+      if (missing.nonEmpty) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName input struct is missing Avro record fields ${missing.mkString(",")}")
+      else {
+        // name presence alone let e.g. an int column feed a long Avro
+        // field through analysis, only to ClassCastException executor-side
+        // catalogString ignores nullability (legitimately looser on the
+        // Catalyst side — null handling is dynamic in the encoder), and
+        // TIMESTAMP/TIMESTAMP_NTZ unify (identical epoch-micros physical
+        // representation, so no executor-side cast risk)
+        def norm(dt: DataType): DataType = dt match {
+          case TimestampNTZType     => TimestampType
+          case ArrayType(et, n)     => ArrayType(norm(et), n)
+          case MapType(k, v, n)     => MapType(norm(k), norm(v), n)
+          case StructType(fs)       =>
+            StructType(fs.map(f => f.copy(dataType = norm(f.dataType))))
+          case other                => other
+        }
+        val mismatched = want.fields.collect {
+          case f if norm(st(f.name).dataType).catalogString !=
+                    norm(f.dataType).catalogString =>
+            s"${f.name} (expected ${f.dataType.sql}, got ${st(f.name).dataType.sql})"
+        }
+        if (mismatched.isEmpty) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName input struct field types do not match the Avro schema: ${mismatched.mkString("; ")}")
+      }
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a struct argument, got ${other.sql}")
   }

@@ -39,9 +39,15 @@ object BucketedLake {
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
     val spark = df.sparkSession
+    // the orphan-location cleanup below derives warehouse/<table>, which
+    // only holds for unqualified names in the default database — a
+    // qualified db.table would clean (or worse, delete) the wrong path
+    require(!table.contains('.'),
+      s"writeBucketed takes an unqualified table name in the default database, got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val loc = new org.apache.hadoop.fs.Path(
+      warehouse, table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(buckets, col(key))

@@ -184,6 +184,29 @@ class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(norm(back) === norm(df))
   }
 
+  test("expression codec: encode rejects mismatched field types at analysis") {
+    import graft.functions.AvroExpressions
+    val simple = """{"type":"record","name":"S","fields":[
+      |{"name":"id","type":"long"},{"name":"tag","type":"string"}]}""".stripMargin
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5, "ok"))), // id is INT, schema wants long
+      StructType(Seq(
+        StructField("id", IntegerType), StructField("tag", StringType))))
+    // pre-round-7 this passed analysis and threw ClassCastException on an
+    // executor; now the mismatch is a named analysis-time error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(AvroExpressions.toAvro(struct(col("id"), col("tag")), simple)).collect()
+    }
+    assert(e.getMessage.contains("id") && e.getMessage.toLowerCase.contains("type"))
+    // the fix must not over-reject: TIMESTAMP_NTZ feeding timestamp-millis
+    // is representation-identical and stays legal (q20's orders path)
+    val tsSchema = """{"type":"record","name":"W","fields":[
+      |{"name":"at","type":{"type":"long","logicalType":"timestamp-millis"}}]}""".stripMargin
+    val ntz = spark.sql("SELECT TIMESTAMP_NTZ'2024-06-01 12:00:00' AS at")
+    assert(ntz.select(AvroExpressions.toAvro(struct(col("at")), tsSchema))
+      .head.getAs[Array[Byte]](0).nonEmpty)
+  }
+
   test("expression codec: encode matches struct fields by name, not position") {
     import graft.functions.AvroExpressions
     val simple = """{"type":"record","name":"S","fields":[
