@@ -96,9 +96,87 @@ object StreamGateQueries {
       |GROUP BY ws, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** q52 — watermarked stream–stream interval join through the REAL
+    * streaming engine (`StreamingSymmetricHashJoin`), gating
+    * [[StreamJobs.streamStreamCorrelate]] (whose state-eviction law lives
+    * in StreamingSpec): every `purchase` is correlated with each same-user
+    * `click` in the preceding 10 minutes. The reference only ever joins
+    * stream-to-static (ref `08_streaming_read_kafka_join_window.py:94`);
+    * correlating two live streams is the generalization a 100 TB
+    * event pipeline needs (impression→conversion attribution).
+    *
+    * Harness: both sides are file streams over the events topic dump
+    * (q49's pattern), all data arrives in the single AvailableNow
+    * micro-batch, and inner-join matches emit in that same batch — so
+    * the gated result equals the batch interval join, which is exactly
+    * the DuckDB oracle. The interval bound (`r_ts ∈ [l_ts, l_ts+10m]`)
+    * plus both watermarks is what lets the join compute per-side state
+    * watermarks and EVICT buffered rows — bounded state independent of
+    * stream length, pinned separately by StreamingSpec's eviction law.
+    *
+    * Oracle parity: Spark reads the TIMESTAMP(NANOS) parquet as ns longs
+    * and truncates to micros; the oracle mirrors by CASTing to DuckDB's
+    * µs TIMESTAMP before any comparison, so boundary pairs landing in
+    * the same microsecond agree bit-exactly on both sides.
+    */
+  def q52StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def side(kind: String, p: String): DataFrame = s.readStream
+      .schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .filter($"event_type" === kind)
+      .select(
+        $"event_id".as(s"${p}_id"),
+        $"user_id".as(s"${p}_k"),
+        timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+    val joined = StreamJobs.streamStreamCorrelate(
+      side("click", "l"), side("purchase", "r"),
+      window = "10 minutes", delay = "10 minutes")
+    val out = Files.createTempDirectory("graft-q52-out").toString
+    val ck = Files.createTempDirectory("graft-q52-ck").toString
+    val query = joined
+      .select(
+        $"l_id".as("click_id"), $"r_id".as("purchase_id"),
+        $"l_k".as("user_id"),
+        date_format($"l_ts", "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format($"r_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+      .writeStream
+      .queryName("q52_stream_stream_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    s.read.parquet(out).orderBy($"click_id", $"purchase_id")
+  }
+
+  val q52Oracle: String =
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+      |  a.user_id AS user_id,
+      |  strftime(CAST(a.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_time,
+      |  strftime(CAST(b.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_time
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+      |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q49_append_window_sales" -> (q49AppendWindowSales _))
+    "q49_append_window_sales" -> (q49AppendWindowSales _),
+    "q52_stream_stream_join" -> (q52StreamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
-    "q49_append_window_sales" -> q49Oracle)
+    "q49_append_window_sales" -> q49Oracle,
+    "q52_stream_stream_join" -> q52Oracle)
 }
