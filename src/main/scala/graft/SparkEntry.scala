@@ -92,5 +92,8 @@ object SparkEntry {
     "q50_salted_enrich",
     // appended round 6: bucketed-lake join (write cost is the gate's
     // setup; timing it keeps the layout honest about its ingest price)
-    "q51_bucketed_join")
+    "q51_bucketed_join",
+    // appended round 7: bucket-pruned point lookup (same setup-write
+    // caveat as q51; the lookup itself reads 1 of 8 bucket files)
+    "q53_bucket_pruned_lookup")
 }

@@ -53,9 +53,48 @@ object LakeQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** q53 — bucket-pruned point lookup, the OTHER half of the bucketed
+    * layout's payoff (q51 pins the zero-exchange join): an equality
+    * filter on the bucket column hashes the literal to its bucket id, so
+    * the scan reads ONLY that bucket's file — `SelectedBucketsCount:
+    * 1 out of 8` in the plan, pinned by BucketingSpec. At 100 TB this is
+    * the difference between a full-table scan and reading 1/buckets of
+    * it for every needle query (entity lookups, debugging, GDPR
+    * point-reads). Oracle = the plain filter SQL: pruning must change
+    * the plan, never the answer. The table write is the gate's setup
+    * cost, identical in role to q51's.
+    */
+  def q53BucketPrunedLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DisableUnnecessaryBucketedScan only keeps a bucketed scan for a
+    // downstream join/agg's distribution — it doesn't know about bucket
+    // PRUNING, so a bare point lookup would fall back to scanning all
+    // files. Turning auto-bucketed-scan off restores pruning; sticky on
+    // the session (like Tables.events' nanosAsLong) and benign: scans
+    // then always honor the bucket layout, which q51's join needs anyway.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    BucketedLake.writeBucketed(Tables.lineitem(s, dir), "graft_lineitem_pt", 8, "l_orderkey")
+    s.table("graft_lineitem_pt")
+      .filter($"l_orderkey" === 1)
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"l_quantity", $"l_extendedprice", $"l_returnflag",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"))
+      .orderBy($"l_linenumber")
+  }
+
+  val q53Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  l_quantity, l_extendedprice, l_returnflag,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      |FROM lineitem WHERE l_orderkey = 1
+      |ORDER BY l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q51_bucketed_join" -> (q51BucketedJoin _))
+    "q51_bucketed_join" -> (q51BucketedJoin _),
+    "q53_bucket_pruned_lookup" -> (q53BucketPrunedLookup _))
 
   val oracles: Map[String, String] = Map(
-    "q51_bucketed_join" -> q51Oracle)
+    "q51_bucketed_join" -> q51Oracle,
+    "q53_bucket_pruned_lookup" -> q53Oracle)
 }
