@@ -15,6 +15,8 @@ import graft.functions.{AvroCodec, AvroExpressions}
   * per record.
   */
 object AvroBench {
+  // the deprecated UDF pair is exactly what this tool benchmarks against
+  @scala.annotation.nowarn("cat=deprecation")
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 2000000L
     val spark = SparkSession.builder()

@@ -67,23 +67,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_to_avro takes exactly 2 arguments")
         AvroEncode(children.head, schemaArg(children(1), "graft_to_avro"))
       }))
+    // Arg shapes: (bin, reader) | (bin, reader, permissive: bool) |
+    // (bin, reader, writer: string) | (bin, reader, writer, permissive).
+    // A STRING third argument is the writer schema (schema evolution:
+    // bytes produced under the writer's schema resolve to the reader's —
+    // the registry-evolution story, see AvroDecode scaladoc); a BOOLEAN
+    // third argument is the permissive flag, as before.
     ext.injectFunction((
       new FunctionIdentifier("graft_from_avro"),
       new ExpressionInfo(
         classOf[AvroDecode].getName, null, "graft_from_avro",
-        "graft_from_avro(binary, schemaJson[, permissive]) - decode Avro binary to a struct",
+        "graft_from_avro(binary, readerSchemaJson[, writerSchemaJson][, permissive]) - decode Avro binary to a struct",
         ""),
       (children: Seq[Expression]) => {
-        require(children.length == 2 || children.length == 3,
-          "graft_from_avro takes 2 or 3 arguments")
-        val permissive = children.length == 3 && {
-          val p = children(2)
-          require(p.foldable && p.dataType ==
+        require(children.length >= 2 && children.length <= 4,
+          "graft_from_avro takes 2 to 4 arguments")
+        def permissiveArg(e: Expression): Boolean = {
+          require(e.foldable && e.dataType ==
             org.apache.spark.sql.types.BooleanType,
             "graft_from_avro: permissive must be a boolean literal")
-          p.eval().asInstanceOf[Boolean]
+          e.eval().asInstanceOf[Boolean]
         }
-        AvroDecode(children.head, schemaArg(children(1), "graft_from_avro"), permissive)
+        val reader = schemaArg(children(1), "graft_from_avro")
+        children.length match {
+          case 2 => AvroDecode(children.head, reader, permissive = false)
+          case 3 if children(2).dataType ==
+              org.apache.spark.sql.types.BooleanType =>
+            AvroDecode(children.head, reader, permissiveArg(children(2)))
+          case 3 => AvroDecode(children.head, reader, permissive = false,
+            Some(schemaArg(children(2), "graft_from_avro")))
+          case _ => AvroDecode(children.head, reader,
+            permissiveArg(children(3)),
+            Some(schemaArg(children(2), "graft_from_avro")))
+        }
       }))
   }
 }

@@ -179,7 +179,14 @@ object AvroCodec {
     }
   }
 
-  /** `to_avro`-equivalent: a struct column → Avro binary (SURVEY F4). */
+  /** `to_avro`-equivalent: a struct column → Avro binary (SURVEY F4).
+    * Kept only as [[graft.AvroBench]]'s comparison baseline and a spec
+    * subject — every engine query path uses the ~3.6× faster Catalyst
+    * expression (pinned by AvroUdfRetirementSpec + the q20 plan
+    * assertion).
+    */
+  @deprecated("use the codegen Catalyst expression AvroExpressions.toAvro; " +
+    "this per-row UDF pair survives only as AvroBench's baseline", "round 7")
   def toAvroUdf(avroJson: String): UserDefinedFunction = {
     val codec = new Codec(avroJson)
     udf(new JUdf1[Row, Array[Byte]] {
@@ -193,7 +200,12 @@ object AvroCodec {
     * the right default for 100 TB ingestion where one corrupt topic
     * record must not kill the job. Default is FAILFAST (strict), like
     * the reference's pipelines.
+    *
+    * Deprecated like [[toAvroUdf]]: engine paths use
+    * [[AvroExpressions.fromAvro]] (codegen, no Row round trip).
     */
+  @deprecated("use the codegen Catalyst expression AvroExpressions.fromAvro; " +
+    "this per-row UDF pair survives only as AvroBench's baseline", "round 7")
   def fromAvroUdf(avroJson: String, permissive: Boolean = false): UserDefinedFunction = {
     val codec = new Codec(avroJson)
     udf(new JUdf1[Array[Byte], Row] {

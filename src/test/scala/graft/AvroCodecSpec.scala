@@ -10,7 +10,10 @@ import graft.functions.AvroCodec
 
 /** Avro codec laws: schema derivation (S5), lossless round trips (F3/F4)
   * including nulls, nested records, arrays, bytes, and timestamp-millis.
+  * (nowarn: the deprecated UDF pair is deliberately exercised here as
+  * the parity baseline for the Catalyst expressions.)
   */
+@scala.annotation.nowarn("cat=deprecation")
 class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -311,6 +314,27 @@ class AvroCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
         ext.sql("SELECT graft_to_avro(named_struct('id', 1L), cast(rand() AS STRING))")
       }
       assert(err.getMessage.contains("string literal"))
+
+      // schema-evolution decode via the 3-arg string form: v1-written
+      // bytes resolved under a v2 reader (field reorder + default-filled
+      // `score` + dropped `legacy`) — the SQL twin of fromAvroEvolved
+      val v1 = """{"type":"record","name":"E","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"tag","type":"string"},
+        |{"name":"legacy","type":"int"}]}""".stripMargin.replace("\n", "")
+      val v2 = """{"type":"record","name":"E","fields":[
+        |{"name":"tag","type":"string"},
+        |{"name":"id","type":"long"},
+        |{"name":"score","type":"double","default":1.5}]}""".stripMargin.replace("\n", "")
+      val ev = ext.sql(
+        s"""SELECT d.tag, d.id, d.score FROM (SELECT graft_from_avro(
+           |  graft_to_avro(named_struct('id', 7L, 'tag', 'x', 'legacy', 99), '$v1'),
+           |  '$v2', '$v1') AS d)""".stripMargin).head
+      assert(ev.getString(0) === "x" && ev.getLong(1) === 7L && ev.getDouble(2) === 1.5)
+      // 4-arg form: writer schema + permissive — corrupt bytes null out
+      val nulls = ext.sql(
+        s"SELECT graft_from_avro(X'FF', '$v2', '$v1', true) AS d").head
+      assert(nulls.isNullAt(0))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
