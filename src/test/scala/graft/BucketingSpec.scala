@@ -81,6 +81,54 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("one-file-per-bucket + legacy outputOrdering flag: SMJ plans with zero Sorts") {
+    // The last step of the bucketed-lake story: writeBucketed also
+    // sortBy(key)s each bucket and its repartition-first discipline
+    // guarantees ONE file per bucket — the precondition for Spark to
+    // trust per-bucket sort order (SPARK-28595, exposed behind the
+    // legacy flag). With it on, the co-located SMJ needs neither an
+    // Exchange NOR a Sort on either side: at 100 TB that deletes the
+    // per-partition sort (the remaining CPU+spill cost q51 pays) from
+    // every recurring join on the layout.
+    val ss = spark; import ss.implicits._
+    graft.operators.BucketedLake.writeBucketed(
+      Tables.lineitem(spark, sf), "li_sorted_bkt", 4, "l_orderkey")
+    graft.operators.BucketedLake.writeBucketed(
+      Tables.orders(spark, sf), "o_sorted_bkt", 4, "o_orderkey")
+    // def, not val: QueryExecution caches on the DataFrame, and the
+    // flagged and unflagged plans must be derived independently
+    def joined = spark.table("li_sorted_bkt")
+      .join(spark.table("o_sorted_bkt"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"o_orderstatus", $"l_extendedprice")
+    withFlag("spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(!plan.contains("Sort ["), plan) // scan order satisfies the SMJ
+      // semantics unchanged vs the sorting plan
+      val flagged = joined.collect().map(_.toString).sorted.toSeq
+      val control = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"o_orderstatus", $"l_extendedprice")
+        .collect().map(_.toString).sorted.toSeq
+      assert(flagged === control && flagged.nonEmpty)
+    }
+    // without the flag the same join re-sorts both sides (the control
+    // that the assertion above measured the flag, not the layout)
+    val unflagged = joined.queryExecution.executedPlan.toString
+    assert(unflagged.contains("Sort ["), unflagged)
+  }
+
+  private def withFlag(key: String, value: String)(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q53 gate: equality filter on the bucket column scans exactly one bucket") {
     val df = graft.queries.LakeQueries.q53BucketPrunedLookup(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
