@@ -188,13 +188,24 @@ object StreamJobs {
     * delay + interval span of events, independent of stream length: the
     * 100 TB correctness condition. Columns are prefixed `l_`/`r_` by the
     * caller so no ambiguity games are needed.
+    *
+    * `joinType = "left_outer"` answers the other attribution question —
+    * every impression, converted or NOT: an unmatched left row emits
+    * null-padded only once the watermark passes `l_ts + window` (no
+    * future right row can match), i.e. outer results are late by design
+    * by up to delay + window. Same bounded-state argument; the time
+    * bound on the right's event time is what makes outer legal in
+    * Spark's model (pinned by StreamingSpec's outer-emission law).
     */
   def streamStreamCorrelate(
       left: DataFrame, right: DataFrame, window: String = "10 minutes",
-      delay: String = "10 minutes"): DataFrame = {
+      delay: String = "10 minutes", joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"stream-stream correlate supports inner/left_outer, got $joinType")
     val l = left.withWatermark("l_ts", delay)
     val r = right.withWatermark("r_ts", delay)
     l.join(r, expr(
-      s"l_k = r_k AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $window"))
+      s"l_k = r_k AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $window"),
+      joinType)
   }
 }

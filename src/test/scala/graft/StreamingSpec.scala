@@ -264,6 +264,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: null-padded rows emit only after the watermark closes the interval") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamJobs.streamStreamCorrelate(
+      imps.toDF().toDF("l_k", "l_ts", "l_tag"),
+      clicks.toDF().toDF("r_k", "r_ts", "r_tag"),
+      joinType = "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("t_ss_louter").outputMode("append").start()
+    try {
+      def rows() = spark.table("t_ss_louter")
+        .select($"l_tag", $"r_tag")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      imps.addData((1L, t(10, 0), "i-unmatched"), (2L, t(10, 0), "i-matched"))
+      clicks.addData((2L, t(10, 5), "c2"))
+      q.processAllAvailable()
+      // the inner match emits immediately; the unmatched impression does
+      // NOT — a click for key 1 could still arrive inside [10:00, 10:10]
+      assert(rows() === Set(("i-matched", Some("c2"))))
+      // advance both watermarks past 10:10: no future click can match
+      // i-unmatched, so its null-padded row is emitted on eviction
+      imps.addData((9L, t(12, 0), "i-adv"))
+      clicks.addData((9L, t(12, 0), "c-adv"))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        ("i-matched", Some("c2")),
+        ("i-adv", Some("c-adv")),
+        ("i-unmatched", None)))
+    } finally q.stop()
+  }
+
   test("native session_window streaming agg equals the batch q35 shape (complete mode)") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
