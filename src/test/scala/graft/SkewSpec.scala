@@ -85,6 +85,52 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Skew.adaptiveBuckets(uniform, Seq("k"), targetRowsPerBucket = 100L) === 1)
   }
 
+  test("AQE skew-join splits the hot partition at runtime (the case manual salting need not cover)") {
+    // Skew.saltedJoin's scaladoc claims it is the fallback for what AQE's
+    // runtime skew split CANNOT reach (streaming micro-batches, skewed
+    // aggs). This pins the complementary half: for a plain batch
+    // sort-merge join, AQE alone detects the hot partition and splits it
+    // — so at 100 TB the default plan self-heals and the salt is
+    // reserved for the genuinely uncovered shapes.
+    val ss = spark; import ss.implicits._
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink the detection thresholds to fixture scale: a partition is
+      // skewed if > max(threshold, factor x median) — the hot key's
+      // partition clears both, the uniform ones clear neither
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // keep AQE from pre-coalescing everything into one partition,
+      // which would hide the skew from the detector
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val fact = ((1 to 80000).map(i => (1L, i.toLong)) ++
+        (1 to 4000).map(i => ((i % 40) + 2L, 100000L + i))).toDF("k", "row_id")
+      val other = (1L to 41L).flatMap(k => (1 to 50).map(i => (k, k * 1000 + i)))
+        .toDF("k", "payload")
+      val joined = fact.join(other, Seq("k"))
+      // execute THIS QueryExecution (count() would build its own and
+      // leave this AdaptiveSparkPlan un-finalized), then read the final
+      // adaptive plan off it
+      val qe = joined.queryExecution
+      val n = qe.toRdd.count()
+      assert(n === 80000L * 50 + 4000 * 50)
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(1000))
+      assert(finalPlan.contains("skew=true"), finalPlan.take(4000))
+    }
+  }
+
   test("the hot key actually fans out across salt buckets") {
     val ss = spark; import ss.implicits._
     val fact = (1 to 9000).map(i => (1L, i.toLong)).toDF("k", "row_id")
