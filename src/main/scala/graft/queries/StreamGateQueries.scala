@@ -172,11 +172,91 @@ object StreamGateQueries {
       |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** q54 — q52's LEFT-OUTER twin: every click, converted or not. Outer
+    * emission timing is the interesting semantics (pinned in-process by
+    * StreamingSpec's outer-emission law): an unmatched click emits
+    * null-padded only when the watermark proves no purchase can still
+    * match, i.e. `l_ts + window <= final watermark`. The global
+    * watermark is the MIN over both input watermarks — each side
+    * advances to its own `max(side ts) - delay`, so under the
+    * AvailableNow harness the final watermark is
+    * `least(max click ts, max purchase ts) - delay` (at sf0.001 the
+    * click side lags the purchase side by ~4 h and is the binding one).
+    * The gated set is: all inner matches, plus null-padded rows exactly
+    * for unmatched clicks whose interval closed — later clicks stay
+    * withheld in state, correctly absent from both sides. The oracle
+    * reproduces that set with a plain LEFT JOIN filtered by the same
+    * boundary arithmetic (the q49 pattern lifted to joins).
+    */
+  def q54StreamStreamLeftOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def side(kind: String, p: String): DataFrame = s.readStream
+      .schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .filter($"event_type" === kind)
+      .select(
+        $"event_id".as(s"${p}_id"),
+        $"user_id".as(s"${p}_k"),
+        timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+    val joined = StreamJobs.streamStreamCorrelate(
+      side("click", "l"), side("purchase", "r"),
+      window = "10 minutes", delay = "10 minutes", joinType = "left_outer")
+    val out = Files.createTempDirectory("graft-q54-out").toString
+    val ck = Files.createTempDirectory("graft-q54-ck").toString
+    val query = joined
+      .select(
+        $"l_id".as("click_id"), $"r_id".as("purchase_id"),
+        $"l_k".as("user_id"),
+        date_format($"l_ts", "yyyy-MM-dd HH:mm:ss").as("click_time"))
+      .writeStream
+      .queryName("q54_stream_stream_left_outer")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    s.read.parquet(out).orderBy($"click_id", $"purchase_id")
+  }
+
+  /** Matched rows always emit; null-padded rows only for clicks whose
+    * interval is closed by the final GLOBAL watermark — the min of the
+    * two per-side watermarks, `least(max click, max purchase) - 10 min`.
+    */
+  val q54Oracle: String =
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+      |  a.user_id AS user_id,
+      |  strftime(CAST(a.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_time
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE,
+      |  (SELECT least(
+      |     max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END),
+      |     max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END))
+      |     AS wm_base FROM events) m
+      |WHERE b.event_id IS NOT NULL
+      |   OR CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+      |      <= m.wm_base - INTERVAL 10 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
-    "q52_stream_stream_join" -> (q52StreamStreamJoin _))
+    "q52_stream_stream_join" -> (q52StreamStreamJoin _),
+    "q54_stream_stream_left_outer" -> (q54StreamStreamLeftOuter _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
-    "q52_stream_stream_join" -> q52Oracle)
+    "q52_stream_stream_join" -> q52Oracle,
+    "q54_stream_stream_left_outer" -> q54Oracle)
 }
