@@ -250,13 +250,86 @@ object StreamGateQueries {
       |      <= m.wm_base - INTERVAL 10 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** q55 — the FULL-outer stream–stream interval join: every click and
+    * every purchase, matched where possible. Pins BOTH eviction
+    * boundaries at once (q54 pins only the left's): an unmatched click
+    * emits null-padded when `l_ts + window <= watermark` (no future
+    * purchase can land inside its interval), an unmatched purchase when
+    * `r_ts <= watermark` (any future click would carry `l_ts >
+    * watermark > r_ts` and the join needs `r_ts >= l_ts`). Watermark =
+    * min of the per-side watermarks, as q54 established. Output order
+    * coalesces the nullable ids (Spark sorts NULLS FIRST, DuckDB NULLS
+    * LAST — never ORDER BY a nullable column in a gate).
+    */
+  def q55StreamStreamFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def side(kind: String, p: String): DataFrame = s.readStream
+      .schema(schema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .filter($"event_type" === kind)
+      .select(
+        $"event_id".as(s"${p}_id"),
+        $"user_id".as(s"${p}_k"),
+        timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+    val joined = StreamJobs.streamStreamCorrelate(
+      side("click", "l"), side("purchase", "r"),
+      window = "10 minutes", delay = "10 minutes", joinType = "full_outer")
+    val out = Files.createTempDirectory("graft-q55-out").toString
+    val ck = Files.createTempDirectory("graft-q55-ck").toString
+    val query = joined
+      .select(
+        $"l_id".as("click_id"), $"r_id".as("purchase_id"),
+        coalesce($"l_k", $"r_k").as("user_id"))
+      .writeStream
+      .queryName("q55_stream_stream_full_outer")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    s.read.parquet(out)
+      .orderBy(coalesce($"click_id", lit(-1L)), coalesce($"purchase_id", lit(-1L)))
+  }
+
+  val q55Oracle: String =
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+      |  coalesce(a.user_id, b.user_id) AS user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE,
+      |  (SELECT least(
+      |     max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END),
+      |     max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END))
+      |     AS wm_base FROM events) m
+      |WHERE (a.event_id IS NOT NULL AND b.event_id IS NOT NULL)
+      |   OR (b.event_id IS NULL
+      |       AND CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+      |           <= m.wm_base - INTERVAL 10 MINUTE)
+      |   OR (a.event_id IS NULL
+      |       AND CAST(b.ts AS TIMESTAMP) <= m.wm_base - INTERVAL 10 MINUTE)
+      |ORDER BY coalesce(click_id, -1), coalesce(purchase_id, -1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
-    "q54_stream_stream_left_outer" -> (q54StreamStreamLeftOuter _))
+    "q54_stream_stream_left_outer" -> (q54StreamStreamLeftOuter _),
+    "q55_stream_stream_full_outer" -> (q55StreamStreamFullOuter _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
     "q52_stream_stream_join" -> q52Oracle,
-    "q54_stream_stream_left_outer" -> q54Oracle)
+    "q54_stream_stream_left_outer" -> q54Oracle,
+    "q55_stream_stream_full_outer" -> q55Oracle)
 }

@@ -189,19 +189,24 @@ object StreamJobs {
     * 100 TB correctness condition. Columns are prefixed `l_`/`r_` by the
     * caller so no ambiguity games are needed.
     *
-    * `joinType = "left_outer"` answers the other attribution question —
-    * every impression, converted or NOT: an unmatched left row emits
-    * null-padded only once the watermark passes `l_ts + window` (no
-    * future right row can match), i.e. outer results are late by design
-    * by up to delay + window. Same bounded-state argument; the time
-    * bound on the right's event time is what makes outer legal in
-    * Spark's model (pinned by StreamingSpec's outer-emission law).
+    * Outer modes answer the other attribution questions — every
+    * impression, converted or NOT (`left_outer`), every conversion,
+    * attributed or not (`right_outer`), or both (`full_outer`). An
+    * unmatched row emits null-padded only once the GLOBAL watermark (min
+    * of the two per-side watermarks) proves no partner can still arrive:
+    * for a left row that is `l_ts + window <= watermark`, for a right
+    * row `r_ts <= watermark` (any later left row would already be above
+    * the watermark). Outer results are late by design by up to
+    * delay + window. Same bounded-state argument; the interval bounds on
+    * BOTH event times relative to each other are what make every outer
+    * mode legal in Spark's model (pinned by StreamingSpec's
+    * outer-emission laws and the q54/q55 oracles).
     */
   def streamStreamCorrelate(
       left: DataFrame, right: DataFrame, window: String = "10 minutes",
       delay: String = "10 minutes", joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"stream-stream correlate supports inner/left_outer, got $joinType")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+      s"stream-stream correlate supports inner/left_outer/right_outer/full_outer, got $joinType")
     val l = left.withWatermark("l_ts", delay)
     val r = right.withWatermark("r_ts", delay)
     l.join(r, expr(

@@ -298,6 +298,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join: both sides' null-padded rows emit on their own eviction boundaries") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamJobs.streamStreamCorrelate(
+      imps.toDF().toDF("l_k", "l_ts", "l_tag"),
+      clicks.toDF().toDF("r_k", "r_ts", "r_tag"),
+      joinType = "full_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("t_ss_fouter").outputMode("append").start()
+    try {
+      def rows() = spark.table("t_ss_fouter")
+        .select($"l_tag", $"r_tag")
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+      imps.addData((1L, t(10, 0), "i-unmatched"), (2L, t(10, 0), "i-matched"))
+      clicks.addData(
+        (2L, t(10, 5), "c-matched"),
+        (3L, t(10, 5), "c-unmatched")) // no impression for key 3
+      q.processAllAvailable()
+      // only the inner match emits: both unmatched rows might still pair
+      assert(rows() === Set((Some("i-matched"), Some("c-matched"))))
+      // advance both watermarks: i-unmatched's interval [10:00,10:10] is
+      // closed AND c-unmatched at 10:05 is below the watermark — both
+      // null-padded rows emit, each on its own side's boundary rule
+      imps.addData((9L, t(12, 0), "i-adv"))
+      clicks.addData((9L, t(12, 0), "c-adv"))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        (Some("i-matched"), Some("c-matched")),
+        (Some("i-adv"), Some("c-adv")),
+        (Some("i-unmatched"), None),
+        (None, Some("c-unmatched"))))
+    } finally q.stop()
+  }
+
   test("native session_window streaming agg equals the batch q35 shape (complete mode)") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
