@@ -335,6 +335,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("right-outer stream-stream join mirrors left-outer null-padding") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamJobs.streamStreamCorrelate(
+      imps.toDF().toDF("l_k", "l_ts", "l_tag"),
+      clicks.toDF().toDF("r_k", "r_ts", "r_tag"),
+      joinType = "right_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("t_ss_router").outputMode("append").start()
+    try {
+      imps.addData((2L, t(10, 0), "i2"))
+      clicks.addData((2L, t(10, 5), "c-matched"), (3L, t(10, 5), "c-unmatched"))
+      q.processAllAvailable()
+      imps.addData((9L, t(12, 0), "i-adv"))
+      clicks.addData((9L, t(12, 0), "c-adv"))
+      q.processAllAvailable()
+      val out = spark.table("t_ss_router")
+        .select($"l_tag", $"r_tag")
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+      assert(out === Set(
+        (Some("i2"), Some("c-matched")),
+        (Some("i-adv"), Some("c-adv")),
+        (None, Some("c-unmatched"))))
+    } finally q.stop()
+  }
+
   test("native session_window streaming agg equals the batch q35 shape (complete mode)") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
