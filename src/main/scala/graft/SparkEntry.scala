@@ -95,5 +95,9 @@ object SparkEntry {
     "q51_bucketed_join",
     // appended round 7: bucket-pruned point lookup (same setup-write
     // caveat as q51; the lookup itself reads 1 of 8 bucket files)
-    "q53_bucket_pruned_lookup")
+    "q53_bucket_pruned_lookup",
+    // appended round 7: corpus source-balancing ops (map-side hash
+    // sampling; q57 additionally exercises the native top-k operator)
+    "q56_stratified_sample",
+    "q57_source_cap")
 }

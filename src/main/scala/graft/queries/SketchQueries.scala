@@ -137,13 +137,102 @@ object SketchQueries {
        |ORDER BY split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q56
+
+  private val TwoPow60D = 1152921504606846976.0 // 2^60 as double
+
+  /** q56 — deterministic per-source stratified sampling: each source
+    * gets its own keep-rate (derived here from the source number,
+    * `(1 + n mod 9) / 10` ∈ [0.1, 0.9] — in production a config map),
+    * and a document is kept iff its id-hash uniform
+    * `u = md5(doc_id)₆₀bits / 2^60` falls under the rate. Source
+    * re-balancing is a core corpus-prep op (down-weight crawl dumps,
+    * keep curated sources); hashing the ID makes the sample a
+    * deterministic function of the row — re-runs, re-shards, and
+    * incremental appends select the same documents, no RNG state, no
+    * `sample()` nondeterminism. Pure map-side + one small agg; the gate
+    * pins every source's kept count and id-extremes so a drifted
+    * sampler fails loudly.
+    */
+  def q56StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = (lit(1) +
+      regexp_extract($"source", "(\\d+)", 1).cast("int") % 9) / lit(10.0)
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(TwoPow60D)
+    Tables.documents(s, dir)
+      .withColumn("keep", u < rate)
+      .filter($"keep")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_chars").cast("long").as("kept_chars"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"))
+      .orderBy($"source")
+  }
+
+  val q56Oracle: String = {
+    val h = duckHex("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM documents
+       |WHERE CAST($h AS DOUBLE) / 1152921504606846976.0
+       |      < (1 + (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 9)) / 10.0
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q57
+
+  private val CapK = 10
+
+  /** q57 — per-source uniform cap: keep at most [[CapK]] documents per
+    * source, chosen uniformly-at-random but DETERMINISTICALLY — rank by
+    * the same id-hash uniform as q56 and keep the smallest K. The other
+    * half of source balancing (q56 thins by rate; this hard-caps
+    * heavy-tailed sources), and a fresh use of the native top-k-per-key
+    * operator ([[graft.operators.TopK.perKey]]): map-side k-truncation
+    * per source before the exchange, so at 100 TB a billion-doc source
+    * ships only K candidates per input partition instead of its whole
+    * partition to the shuffle.
+    */
+  def q57SourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TopK
+    val docs = Tables.documents(s, dir)
+      .withColumn("sample_key",
+        conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+    TopK.perKey(docs,
+        keys = Seq($"source"),
+        order = Seq($"sample_key".asc, $"doc_id".asc), k = CapK)
+      .select($"source", $"doc_id", $"sample_key")
+      .orderBy($"source", $"sample_key", $"doc_id")
+  }
+
+  val q57Oracle: String = {
+    val h = duckHex("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+    s"""SELECT source, doc_id, sample_key FROM (
+       |  SELECT source, doc_id, $h AS sample_key,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY $h, doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $CapK
+       |ORDER BY source, sample_key, doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_kmv_distinct" -> (q36KmvDistinct _),
-    "q37_hash_split"   -> (q37HashSplit _))
+    "q37_hash_split"   -> (q37HashSplit _),
+    "q56_stratified_sample" -> (q56StratifiedSample _),
+    "q57_source_cap"   -> (q57SourceCap _))
 
   val oracles: Map[String, String] = Map(
     "q36_kmv_distinct" -> q36Oracle,
-    "q37_hash_split"   -> q37Oracle)
+    "q37_hash_split"   -> q37Oracle,
+    "q56_stratified_sample" -> q56Oracle,
+    "q57_source_cap"   -> q57Oracle)
 }
