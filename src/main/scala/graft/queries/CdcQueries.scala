@@ -62,26 +62,27 @@ object CdcQueries {
       |ORDER BY user_id""".stripMargin
 
   /** q33 — q24's lifecycle driven through Structured Streaming: the same
-    * changelog thirds, but batches 1 and 2 arrive as a `MemoryStream`
-    * (the Kafka-wire stand-in) and land via the checkpointed
+    * changelog thirds, but batches 1 and 2 arrive through a FILE STREAM
+    * (the topic-dump stand-in: each third is appended to the incoming
+    * directory as one file, and `maxFilesPerTrigger=1` makes each file
+    * its own micro-batch) and land via the checkpointed
     * `foreachBatch → CdcTable.upsert` sink — the reference's continuous
     * DeltaStreamer model (`deltastreamer_jobs_bulk.sh --continuous`).
     * The answer is the same `_rt` snapshot, and the ORACLE IS q24's:
     * batch and streaming ingestion of the same changelog must converge
     * to the same table (the merge is micro-batch-boundary-invariant by
-    * the CdcMerge laws). The MemoryStream rows pass through the driver —
-    * inherent to the test harness source, not the operator: in
-    * production the source is Kafka partitions and `upsert` appends
-    * executor-side, exactly as here.
+    * the CdcMerge laws). Fully distributed end to end — the incoming
+    * thirds are written executor-side and re-enter through the real
+    * FileStreamSource; no row ever passes through the driver. (The
+    * per-third `coalesce(1)` only pins one file = one micro-batch for
+    * the gate's determinism; production would stream the real topic.)
     */
   def q33CdcStreamUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val path = scratch(s"q33_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     // fresh table AND fresh checkpoint: a stale checkpoint would mark the
-    // (new) MemoryStream's offsets as already committed and skip batches
+    // incoming files' offsets as already committed and skip batches
     locally {
       val p = java.nio.file.Paths.get(path)
       if (java.nio.file.Files.exists(p)) {
@@ -105,14 +106,16 @@ object CdcQueries {
       orderingCols = Seq("__source_ts_ms", "event_id"),
       partitionCol = "event_type")
     table.bulkInsert(changelog.filter($"event_id" % 3 === 0))
-    val incoming = changelog.filter($"event_id" % 3 =!= 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getString(3), r.getString(4), r.getLong(5), r.getString(6)))
-    val ms = MemoryStream[(Long, Long, Double, String, String, Long, String)]
-    ms.addData(incoming.filter(_._2 % 3 == 1).toIndexedSeq)
-    ms.addData(incoming.filter(_._2 % 3 == 2).toIndexedSeq)
-    val stream = ms.toDF().toDF("user_id", "event_id", "value",
-      "__op", "__deleted", "__source_ts_ms", "event_type")
+    // the incoming "topic": thirds 1 and 2 appended as one file each
+    val incomingDir = s"$path/_incoming"
+    changelog.filter($"event_id" % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(incomingDir)
+    changelog.filter($"event_id" % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(incomingDir)
+    val stream = s.readStream
+      .schema(changelog.schema)
+      .option("maxFilesPerTrigger", "1") // one incoming file = one micro-batch
+      .parquet(incomingDir)
     val query = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
