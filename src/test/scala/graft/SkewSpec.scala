@@ -78,6 +78,20 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.select(plainCols: _*).collect().map(_.toString).sorted.toSeq === plain)
   }
 
+  test("adaptiveBuckets multi-key estimation keeps adversarial keys distinct") {
+    val ss = spark; import ss.implicits._
+    // ("a b", "c") and ("a", "b c") concatenate identically under a
+    // space separator — a merged estimation key would see one 8000-row
+    // hot key and over-split. The NUL separator keeps them distinct:
+    // hottest is 4000 rows -> target 1000 => ~4 buckets, not ~8.
+    val fact = ((1 to 4000).map(i => ("a b", "c", i.toLong)) ++
+      (1 to 4000).map(i => ("a", "b c", 100000L + i)))
+      .toDF("k1", "k2", "row_id")
+    val buckets = Skew.adaptiveBuckets(fact, Seq("k1", "k2"), targetRowsPerBucket = 1000L)
+    assert(buckets >= 4 && buckets <= 5, s"got $buckets")
+    assert(buckets < 8, s"adversarial keys merged in estimation: got $buckets")
+  }
+
   test("adaptiveBuckets returns 1 when no key clears the heavy-hitter support") {
     val ss = spark; import ss.implicits._
     // 10k distinct keys, one row each — no candidate above 1% support
