@@ -4,32 +4,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{TextOps, TopK}
+import graft.operators.{Sampling, TextOps, TopK}
 
 /** Sketch and dataset-utility operators with EXACT cross-engine oracles:
-  * the sketches are built from md5-derived uniform hashes, so unlike
-  * `approx_count_distinct`/t-digest (whose sketch layouts are
+  * the sketches are built from md5-derived uniform hashes
+  * ([[graft.operators.Sampling]] — ONE definition shared by every gate
+  * here and mirrored on the oracle side by its `duck*` spellings), so
+  * unlike `approx_count_distinct`/t-digest (whose sketch layouts are
   * engine-private) every intermediate value reproduces bit-for-bit in
   * DuckDB. The estimator error is therefore part of the verified
   * contract, not noise.
   */
 object SketchQueries {
 
-  /** DuckDB spelling of "decode `n` hex chars of `hexCol` starting at
-    * 1-based `from` into a BIGINT" (no hex-string→int cast in DuckDB;
-    * the strpos polynomial is exact). Keep n ≤ 15 so the value fits the
-    * signed 64-bit range.
-    */
-  private def duckHex(hexCol: String, from: Int, n: Int): String =
-    (0 until n).map { k =>
-      val pow = 1L << (4 * (n - 1 - k))
-      s"(strpos('0123456789abcdef', substring($hexCol, ${from + k}, 1)) - 1) * $pow"
-    }.mkString("(", " + ", ")")
-
   // ---------------------------------------------------------------- q36
 
   private val KmvK = 32
-  private val TwoPow60 = 1152921504606846976L // 2^60
 
   /** q36 — KMV (k-minimum-values) distinct-count sketch per event type:
     * hash each user to a uniform u ∈ [0,1) (md5 → 60-bit int / 2^60),
@@ -49,8 +39,7 @@ object SketchQueries {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val hashed = ev.select($"event_type",
-        (conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
-          .cast("long").cast("double") / lit(TwoPow60.toDouble)).as("u"))
+        Sampling.uniform01($"user_id").as("u"))
       .distinct()
     val kept = TopK.perKey(hashed,
       keys = Seq($"event_type"), order = Seq($"u".asc), k = KmvK)
@@ -70,10 +59,10 @@ object SketchQueries {
   }
 
   val q36Oracle: String = {
-    val h = duckHex("md5(CAST(user_id AS VARCHAR))", 1, 15)
+    val u = Sampling.duckUniform01("CAST(user_id AS VARCHAR)")
     s"""WITH hashed AS (
        |  SELECT DISTINCT event_type,
-       |    CAST($h AS DOUBLE) / $TwoPow60 AS u
+       |    $u AS u
        |  FROM events),
        |rk AS (
        |  SELECT event_type, u,
@@ -109,8 +98,7 @@ object SketchQueries {
     */
   def q37HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket = conv(substring(md5(TextOps.normText($"text")), 1, 15), 16, 10)
-      .cast("long") % 100
+    val bucket = Sampling.hash60(TextOps.normText($"text")) % 100
     Tables.documents(s, dir)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -123,7 +111,7 @@ object SketchQueries {
   }
 
   val q37Oracle: String = {
-    val h = duckHex("md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))", 1, 15)
+    val h = Sampling.duckHash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")
     s"""SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
@@ -138,8 +126,6 @@ object SketchQueries {
   }
 
   // ---------------------------------------------------------------- q56
-
-  private val TwoPow60D = 1152921504606846976.0 // 2^60 as double
 
   /** q56 — deterministic per-source stratified sampling: each source
     * gets its own keep-rate (derived here from the source number,
@@ -158,8 +144,7 @@ object SketchQueries {
     import s.implicits._
     val rate = (lit(1) +
       regexp_extract($"source", "(\\d+)", 1).cast("int") % 9) / lit(10.0)
-    val u = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(TwoPow60D)
+    val u = Sampling.uniform01($"doc_id")
     Tables.documents(s, dir)
       .withColumn("keep", u < rate)
       .filter($"keep")
@@ -172,12 +157,12 @@ object SketchQueries {
   }
 
   val q56Oracle: String = {
-    val h = duckHex("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+    val u = Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
     s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
        |FROM documents
-       |WHERE CAST($h AS DOUBLE) / 1152921504606846976.0
+       |WHERE $u
        |      < (1 + (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 9)) / 10.0
        |GROUP BY source
        |ORDER BY source""".stripMargin
@@ -201,9 +186,7 @@ object SketchQueries {
     import s.implicits._
     import graft.operators.TopK
     val docs = Tables.documents(s, dir)
-      .withColumn("sample_key",
-        conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long"))
+      .withColumn("sample_key", Sampling.hash60($"doc_id"))
     TopK.perKey(docs,
         keys = Seq($"source"),
         order = Seq($"sample_key".asc, $"doc_id".asc), k = CapK)
@@ -212,7 +195,7 @@ object SketchQueries {
   }
 
   val q57Oracle: String = {
-    val h = duckHex("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+    val h = Sampling.duckHash60("CAST(doc_id AS VARCHAR)")
     s"""SELECT source, doc_id, sample_key FROM (
        |  SELECT source, doc_id, $h AS sample_key,
        |    row_number() OVER (PARTITION BY source
