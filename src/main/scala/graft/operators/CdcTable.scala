@@ -68,21 +68,43 @@ class CdcTable(
 
   /** Append a change batch to the log (delta commit / `--op UPSERT
     * --continuous` per-trigger write). O(batch) I/O, no base rewrite.
+    *
+    * Additive schema evolution (the Hudi DeltaStreamer contract this
+    * table models: schema-provider indirection lets successive runs carry
+    * evolved schemas — ref `hudi/debezium_hudi_demo/deltastreamer_artists_
+    * file_based_schema.properties:21-24`): a batch may carry MORE columns
+    * than the base (new columns null-back-fill old rows at read) or FEWER
+    * (a dropped column reads as null for the batch's images). Only the
+    * merge-critical columns are mandatory — key, ordering, and partition
+    * columns must be present in every change image.
     */
-  def upsert(batch: DataFrame): Unit =
+  def upsert(batch: DataFrame): Unit = {
+    val required = (keyCols ++ orderingCols :+ partitionCol).distinct
+    val missing = required.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"change batch is missing merge-critical column(s) ${missing.mkString(",")}")
     batch.write.mode(SaveMode.Append).parquet(logDir)
+  }
 
   /** `_ro` view: the compacted base only — fast, possibly stale. */
   def readOptimized: DataFrame = spark.read.parquet(baseDir)
 
-  /** `_rt` view: base ∪ pending log merged at read, latest image per key. */
+  /** `_rt` view: base ∪ pending log merged at read, latest image per key.
+    *
+    * Schema = base ∪ log columns: the log is read with `mergeSchema` (log
+    * batches may themselves have evolved between commits) and unioned by
+    * NAME with null back-fill on both sides, so a column added by a later
+    * change batch surfaces immediately with nulls on not-yet-touched rows
+    * — the same read-side union Hudi's real-time view performs. The
+    * column ORDER is the base's, with evolved columns appended.
+    */
   def realTime(mode: CdcMerge.DeleteMode = CdcMerge.Rewrite): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val base = readOptimized
     val all =
       if (hasLog)
         base.unionByName(
-          spark.read.parquet(logDir).select(base.columns.map(col): _*))
+          spark.read.option("mergeSchema", "true").parquet(logDir),
+          allowMissingColumns = true)
       else base
     merge(all, mode)
   }

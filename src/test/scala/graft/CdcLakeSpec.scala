@@ -120,6 +120,50 @@ class CdcLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rt === Map(1L -> "one-v2", 2L -> "two"))
   }
 
+  test("additive schema evolution: new column null-back-fills, old-schema batch still merges") {
+    val ss = spark; import ss.implicits._
+    val t = newTable()
+    t.bulkInsert(img(
+      (1L, "A", "American", "false", 10L),
+      (2L, "B", "British", "false", 10L)))
+    // a later DeltaStreamer run evolves the changelog: `genre` appears
+    t.upsert(Seq(
+        (2L, "B2", "British", "false", 20L, "painting"),
+        (3L, "C", "Canadian", "false", 20L, "sculpture"))
+      .toDF("artist_id", "name", "nationality", "__deleted", "__source_ts_ms", "genre"))
+    val rt = t.realTime()
+    assert(rt.columns.contains("genre"))
+    val byId = rt.select($"artist_id", $"name", $"genre").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    // untouched row back-fills null; upserted/inserted rows carry values
+    assert(byId === Map(
+      1L -> (("A", None)),
+      2L -> (("B2", Some("painting"))),
+      3L -> (("C", Some("sculpture")))))
+
+    // compaction folds the evolved schema into the base (compare under a
+    // FIXED column projection: the hive-partitioned rewrite moves the
+    // partition column last, so raw row strings reorder across compact)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] = rowSet(df.select(
+      $"artist_id", $"name", $"nationality", $"__deleted", $"__source_ts_ms", $"genre"))
+    val before = canon(t.realTime())
+    t.compact()
+    assert(t.readOptimized.columns.contains("genre"))
+    assert(canon(t.realTime()) === before)
+
+    // a batch still on the OLD schema (no genre) keeps merging: its
+    // images read with genre = null — dropped-column tolerance
+    t.upsert(img((2L, "B3", "British", "false", 30L)))
+    val r2 = t.realTime().filter($"artist_id" === 2L)
+      .select($"name", $"genre").head()
+    assert(r2.getString(0) === "B3" && r2.isNullAt(1))
+
+    // merge-critical columns (key/ordering/partition) can never be dropped
+    intercept[IllegalArgumentException] {
+      t.upsert(Seq((9L, "Z")).toDF("artist_id", "name"))
+    }
+  }
+
   test("merge laws: idempotence, incremental == full, stale batch cannot regress") {
     val ss = spark; import ss.implicits._
     val rowGen = for {
