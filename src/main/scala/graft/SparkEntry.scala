@@ -37,10 +37,12 @@ object SparkEntry {
     * cross-round bench total stays comparable: queries added in later
     * rounds must be appended here deliberately, never implicitly.
     */
-  // q33 (streaming CDC), q49 (append-mode streaming), and q52/q54
-  // (stream-stream joins) are deliberately absent: their wall time is
-  // dominated by the streaming harness (MemoryStream/foreachBatch,
-  // checkpoint + micro-batch scheduling), not engine work.
+  // The streaming-harness gates — q33 (streaming CDC), q49 (append-mode
+  // streaming), q52/q54/q55/q59 (stream-stream join modes), q58
+  // (sessionization), q60 (chained stateful), q61 (stream dedup) — are
+  // deliberately absent: their wall time is dominated by the harness
+  // (file-stream setup, checkpoint + micro-batch scheduling), not
+  // engine work.
   val benchQueries: Seq[String] = Seq(
     "q01_pricing_summary",
     "q02_top_nation_revenue",

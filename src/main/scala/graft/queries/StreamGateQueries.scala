@@ -2,11 +2,12 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.Confs.withConf
 import graft.streaming.StreamJobs
 
 /** Driver-gated streaming queries: the append-mode watermark path run
@@ -36,12 +37,13 @@ object StreamGateQueries {
     * 10 minutes of the stream) stay in state and are correctly absent
     * from both sides.
     */
-  def q49AppendWindowSales(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q49AppendWindowSales(s: SparkSession, dir: String): DataFrame = withConf(s,
     // events.ts is parquet TIMESTAMP(NANOS) (see Tables.events): the
     // streaming schema declares the nanos long and converts with an
-    // integral div — ns-since-epoch exceeds double precision.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral div — ns-since-epoch exceeds double precision. Scoped:
+    // the stream starts (and clones the conf) inside this block.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
     val raw = s.readStream
       .schema(StructType(Seq(
         StructField("event_id", LongType),
@@ -119,9 +121,9 @@ object StreamGateQueries {
     * µs TIMESTAMP before any comparison, so boundary pairs landing in
     * the same microsecond agree bit-exactly on both sides.
     */
-  def q52StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  def q52StreamStreamJoin(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType),
@@ -188,9 +190,9 @@ object StreamGateQueries {
     * reproduces that set with a plain LEFT JOIN filtered by the same
     * boundary arithmetic (the q49 pattern lifted to joins).
     */
-  def q54StreamStreamLeftOuter(s: SparkSession, dir: String): DataFrame = {
+  def q54StreamStreamLeftOuter(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType),
@@ -261,9 +263,9 @@ object StreamGateQueries {
     * coalesces the nullable ids (Spark sorts NULLS FIRST, DuckDB NULLS
     * LAST — never ORDER BY a nullable column in a gate).
     */
-  def q55StreamStreamFullOuter(s: SparkSession, dir: String): DataFrame = {
+  def q55StreamStreamFullOuter(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType),
@@ -321,15 +323,295 @@ object StreamGateQueries {
       |       AND CAST(b.ts AS TIMESTAMP) <= m.wm_base - INTERVAL 10 MINUTE)
       |ORDER BY coalesce(click_id, -1), coalesce(purchase_id, -1)""".stripMargin
 
+  /** The events topic-dump schema shared by every gate here (the ts
+    * column is the raw TIMESTAMP(NANOS) long — see q49's scaladoc).
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream over the events dump with ts normalized to µs. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(eventsSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** q58 — custom-state streaming sessionization through the REAL engine
+    * (`FlatMapGroupsWithStateExec` + event-time timeout), gating
+    * [[StreamJobs.sessionize]] — the one stateful operator whose
+    * streaming path previously met only an in-process law (StreamingSpec;
+    * the gated q35 covers batch `session_window`, a different code path).
+    *
+    * Emission model under the AvailableNow harness: all events arrive in
+    * the single data micro-batch, so each user's events are processed
+    * ts-sorted in one group call — every session CLOSED BY A GAP (a later
+    * in-batch event > 6 h after it) emits immediately; the user's final
+    * session stays in state with an event-time timeout at `last + gap`.
+    * The watermark then advances to `max(ts) − 10 min` (ms-floored) and
+    * the no-data batch fires timeouts STRICTLY below it (Spark evicts on
+    * `timeoutTimestamp < watermark`), closing final sessions with
+    * `last + gap < watermark`; later final sessions stay open in state,
+    * correctly absent from both sides. The oracle reproduces exactly
+    * that set with gaps-and-islands SQL: every non-final island, plus
+    * final islands whose timeout the watermark passed.
+    *
+    * Precision: [[StreamJobs.UserSession]] bounds are `java.sql.Timestamp`
+    * built from `getTime` (whole ms), and the timeout clock is ms too, so
+    * the oracle works entirely in `epoch_ms` — the same ns→µs→ms floor on
+    * both sides.
+    */
+  def q58StreamingSessionize(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    val events = eventsStream(s, dir)
+      .select($"user_id", $"ts", $"value")
+      .withWatermark("ts", "10 minutes")
+    val sessions = StreamJobs.sessionize(events, gapMinutes = 360)
+    val out = Files.createTempDirectory("graft-q58-out").toString
+    val ck = Files.createTempDirectory("graft-q58-ck").toString
+    val query = sessions.toDF()
+      .select($"user_id",
+        unix_millis($"session_start").as("session_start_ms"),
+        unix_millis($"session_end").as("session_end_ms"),
+        $"events".as("n_events"))
+      .writeStream
+      .queryName("q58_streaming_sessionize")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
+  }
+
+  private val GapMs = 360L * 60000    // 6-hour session gap
+  private val DelayMs = 10L * 60000   // watermark delay
+
+  val q58Oracle: String =
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+      |m AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN lag(ms) OVER w IS NULL
+      |           OR ms - lag(ms) OVER w > $GapMs THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |sess AS (
+      |  SELECT user_id, ms,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, sid,
+      |    min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+      |    count(*) AS n_events,
+      |    max(sid) OVER (PARTITION BY user_id) AS last_sid
+      |  FROM sess GROUP BY user_id, sid),
+      |w AS (SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) - $DelayMs AS wm FROM events)
+      |SELECT user_id, session_start_ms, session_end_ms, n_events
+      |FROM g, w
+      |WHERE sid < last_sid OR session_end_ms + $GapMs < wm
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
+  /** q59 — the RIGHT-outer stream–stream interval join, completing the
+    * join-mode quartet (inner q52, left q54, full q55): every purchase,
+    * attributed or not. An unmatched purchase emits null-padded when
+    * `r_ts <= watermark` — any future click carries `l_ts > watermark ≥
+    * r_ts` and the join needs `r_ts >= l_ts`, so no partner can still
+    * arrive (the boundary q55 pinned on its right side, now isolated).
+    * Watermark = min of the per-side watermarks, as q54 established.
+    */
+  def q59StreamStreamRightOuter(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    def side(kind: String, p: String): DataFrame = eventsStream(s, dir)
+      .filter($"event_type" === kind)
+      .select(
+        $"event_id".as(s"${p}_id"),
+        $"user_id".as(s"${p}_k"),
+        $"ts".as(s"${p}_ts"))
+    val joined = StreamJobs.streamStreamCorrelate(
+      side("click", "l"), side("purchase", "r"),
+      window = "10 minutes", delay = "10 minutes", joinType = "right_outer")
+    val out = Files.createTempDirectory("graft-q59-out").toString
+    val ck = Files.createTempDirectory("graft-q59-ck").toString
+    val query = joined
+      .select(
+        $"l_id".as("click_id"), $"r_id".as("purchase_id"),
+        $"r_k".as("user_id"),
+        date_format($"r_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+      .writeStream
+      .queryName("q59_stream_stream_right_outer")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    s.read.parquet(out)
+      .orderBy(coalesce($"click_id", lit(-1L)), $"purchase_id")
+  }
+
+  /** Matched rows always emit; null-padded rows only for purchases at or
+    * below the final global watermark (q55's right-side clause, mirrored
+    * from q54's left-side one).
+    */
+  val q59Oracle: String =
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+      |  b.user_id AS user_id,
+      |  strftime(CAST(b.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_time
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE,
+      |  (SELECT least(
+      |     max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END),
+      |     max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END))
+      |     AS wm_base FROM events) m
+      |WHERE a.event_id IS NOT NULL
+      |   OR CAST(b.ts AS TIMESTAMP) <= m.wm_base - INTERVAL 10 MINUTE
+      |ORDER BY coalesce(click_id, -1), purchase_id""".stripMargin
+
+  /** q60 — CHAINED stateful operators in one streaming query: the q52
+    * interval join feeding a tumbling-window aggregation, the shape of
+    * every real attribution pipeline (correlate impression→conversion,
+    * then aggregate conversions per window) and the composition nothing
+    * previously exercised. Spark 3.4+ supports this in append mode via
+    * per-operator watermark propagation: the join's OUTPUT watermark is
+    * the min of its per-side state-eviction watermarks — here the left
+    * side may buffer rows back to `wm − 10 min`, so the downstream agg
+    * sees `wm − 10 min` and closes windows with
+    * `end <= least(max click, max purchase) − 10 min − 10 min`. The
+    * oracle reproduces that boundary; the gate additionally requires the
+    * runtime to report BOTH stateful operators (symmetric hash join +
+    * streaming agg) in the executed query's progress.
+    */
+  def q60JoinThenWindow(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    def side(kind: String, p: String, extra: Column*): DataFrame = eventsStream(s, dir)
+      .filter($"event_type" === kind)
+      .select(Seq(
+        $"event_id".as(s"${p}_id"),
+        $"user_id".as(s"${p}_k"),
+        $"ts".as(s"${p}_ts")) ++ extra: _*)
+    val joined = StreamJobs.streamStreamCorrelate(
+      side("click", "l"),
+      side("purchase", "r", $"value".as("r_value")),
+      window = "10 minutes", delay = "10 minutes")
+    val agg = joined
+      .groupBy(window($"r_ts", "10 minutes"))
+      .agg(
+        count(lit(1)).as("n_attributed"),
+        sum($"r_value".cast(DecimalType(12, 2))).cast("double").as("attributed_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        $"n_attributed", $"attributed_value")
+    val out = Files.createTempDirectory("graft-q60-out").toString
+    val ck = Files.createTempDirectory("graft-q60-ck").toString
+    val query = agg.writeStream
+      .queryName("q60_join_then_window")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.size == 2,
+      s"q60 must execute two chained stateful operators, got $stateful")
+    s.read.parquet(out).orderBy($"window_start")
+  }
+
+  val q60Oracle: String =
+    """WITH j AS (
+      |  SELECT b.ts AS r_ts, b.value AS r_value
+      |  FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |    ON a.user_id = b.user_id
+      |   AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+      |   AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE),
+      |m AS (SELECT least(
+      |    max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END),
+      |    max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END))
+      |    AS wm_base FROM events)
+      |SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  strftime(tb + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+      |  count(*) AS n_attributed,
+      |  CAST(sum(CAST(r_value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+      |FROM (SELECT time_bucket(INTERVAL '10 minutes', CAST(r_ts AS TIMESTAMP)) AS tb,
+      |             r_value FROM j) t, m
+      |WHERE tb + INTERVAL 10 MINUTE <= m.wm_base - INTERVAL 20 MINUTE
+      |GROUP BY tb
+      |ORDER BY window_start""".stripMargin
+
+  /** q61 — streaming ingest dedup via `dropDuplicatesWithinWatermark`
+    * (ST7's streaming-NATIVE form: the reference dedups downstream with
+    * the W3 latest-wins window over a batch read — ref
+    * `07_batch_read_kafka_kafka_dedupe.py:65-75` — which re-reads the
+    * whole topic; the streaming form keeps one state row per key inside
+    * the watermark horizon and drops re-deliveries at ingest, the right
+    * shape for at-least-once sources at 100 TB). Each distinct key emits
+    * exactly once per state lifetime; with all data in one AvailableNow
+    * batch the gated set is exactly the distinct keys. Only the KEY
+    * columns are projected: which physical row emits first is
+    * arrival-order-dependent, the key itself is not. The state-EVICTION
+    * boundary (a duplicate arriving after the watermark passed its key's
+    * horizon is NOT suppressed) is pinned in-process by StreamingSpec,
+    * where a second batch can be delivered after the watermark moves.
+    */
+  def q61StreamDedup(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    val deduped = eventsStream(s, dir)
+      .select($"user_id", $"event_type", $"ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+    val out = Files.createTempDirectory("graft-q61-out").toString
+    val ck = Files.createTempDirectory("graft-q61-ck").toString
+    val query = deduped.writeStream
+      .queryName("q61_stream_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    s.read.parquet(out).orderBy($"user_id", $"event_type")
+  }
+
+  val q61Oracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
     "q54_stream_stream_left_outer" -> (q54StreamStreamLeftOuter _),
-    "q55_stream_stream_full_outer" -> (q55StreamStreamFullOuter _))
+    "q55_stream_stream_full_outer" -> (q55StreamStreamFullOuter _),
+    "q58_streaming_sessionize" -> (q58StreamingSessionize _),
+    "q59_stream_stream_right_outer" -> (q59StreamStreamRightOuter _),
+    "q60_join_then_window" -> (q60JoinThenWindow _),
+    "q61_stream_dedup" -> (q61StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
     "q52_stream_stream_join" -> q52Oracle,
     "q54_stream_stream_left_outer" -> q54Oracle,
-    "q55_stream_stream_full_outer" -> q55Oracle)
+    "q55_stream_stream_full_outer" -> q55Oracle,
+    "q58_streaming_sessionize" -> q58Oracle,
+    "q59_stream_stream_right_outer" -> q59Oracle,
+    "q60_join_then_window" -> q60Oracle,
+    "q61_stream_dedup" -> q61Oracle)
 }

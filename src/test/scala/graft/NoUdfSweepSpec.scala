@@ -16,9 +16,9 @@ import org.scalatest.BeforeAndAfterAll
   * individual hot paths; this sweep pins the RULE, so a convenience
   * UDF slipping into any future query fails the suite by name.
   *
-  * Streaming-harness gates (q33/q49/q52/q54/q55) are skipped: their
-  * builders run a full streaming query on construction, and their plans
-  * are pinned by their own specs + oracles.
+  * Streaming-harness gates (q33/q49/q52/q54/q55/q58-q61) are skipped:
+  * their builders run a full streaming query on construction, and their
+  * plans are pinned by their own specs + oracles.
   */
 class NoUdfSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -43,7 +43,9 @@ class NoUdfSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val streamingHarness =
     Set("q33_cdc_stream_upsert", "q49_append_window_sales",
       "q52_stream_stream_join", "q54_stream_stream_left_outer",
-      "q55_stream_stream_full_outer")
+      "q55_stream_stream_full_outer", "q58_streaming_sessionize",
+      "q59_stream_stream_right_outer", "q60_join_then_window",
+      "q61_stream_dedup")
 
   test("no batch gate query's plan contains a ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {

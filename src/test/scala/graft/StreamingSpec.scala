@@ -419,6 +419,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: suppresses within the horizon, re-emits after state eviction") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = ms.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory").queryName("t_dedup_wm")
+      .outputMode("append").start()
+    try {
+      // k=1 delivered twice in-batch and once in the next batch, all
+      // within the watermark horizon -> exactly one emission
+      ms.addData((1L, t(10, 0)), (1L, t(10, 1)), (2L, t(10, 0)))
+      q.processAllAvailable()
+      ms.addData((1L, t(10, 5))) // watermark 09:51 < k=1 expiry 10:10/11
+      q.processAllAvailable()
+      // advance the watermark far past every existing key's expiry ...
+      ms.addData((9L, t(12, 0)))
+      q.processAllAvailable()
+      ms.addData((8L, t(12, 1))) // batch running AT watermark 11:50 evicts k=1
+      q.processAllAvailable()
+      // ... so a re-delivery of k=1 is NOT suppressed: dedup-within-
+      // watermark guarantees single emission only inside the horizon —
+      // and state is therefore bounded by the horizon, never all-time
+      ms.addData((1L, t(11, 58)))
+      q.processAllAvailable()
+      val perKey = spark.table("t_dedup_wm").groupBy($"k").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perKey === Map(1L -> 2L, 2L -> 1L, 9L -> 1L, 8L -> 1L))
+    } finally q.stop()
+  }
+
   test("script-12 twin: Avro-coded stream decodes, aggregates, and re-encodes (F3/F4 streaming)") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
