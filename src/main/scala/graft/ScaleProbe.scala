@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe main: measures how the most expensive verified queries
+  * scale from sf0.1 (1×) to a deterministic 10× replica of it, turning
+  * the "these plans survive a scale-up" claim from plan audit into a
+  * measured exponent. Not part of the driver gates — run manually; the
+  * ratios are recorded in COVERAGE.md.
+  *
+  * Fixture (seedless, fully deterministic): each probed table is the
+  * union of 10 shards of the sf0.1 original with ids shifted per shard.
+  * Document TEXT is per-shard `translate`d over a 10-letter alphabet
+  * rotation, which (a) preserves length, token boundaries, and the
+  * WITHIN-shard duplicate/near-duplicate structure exactly (a bijective
+  * character map preserves shingle equality), while (b) making copies of
+  * the same document DISSIMILAR across shards — so dup/near-dup work
+  * grows linearly with data, instead of every document gaining 9
+  * artificial near-duplicates (which would measure a quadratically
+  * harder problem, not a 10× bigger one).
+  */
+object ScaleProbe {
+
+  private val Probes = Seq(
+    "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
+    "q51_bucketed_join", "q43_top_terms")
+
+  private val Shards = 10
+
+  private def buildFixture(spark: SparkSession, base: String, out: String): Unit = {
+    import spark.implicits._
+    val alpha = "abcdefghij"
+    def rot(k: Int): String = alpha.drop(k) + alpha.take(k)
+
+    val docs = Tables.documents(spark, base)
+    val docs10 = (0 until Shards).map { k =>
+      docs.select(
+        ($"doc_id" + lit(k * 10000000L)).as("doc_id"),
+        (if (k == 0) $"text" else translate($"text", alpha, rot(k))).as("text"),
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionByName _)
+    docs10.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val li = Tables.lineitem(spark, base)
+    val li10 = (0 until Shards).map { k =>
+      li.withColumn("l_orderkey", $"l_orderkey" + lit(k * 1000000000L))
+    }.reduce(_ unionByName _)
+    li10.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val ord = Tables.orders(spark, base)
+    val ord10 = (0 until Shards).map { k =>
+      ord.withColumn("o_orderkey", $"o_orderkey" + lit(k * 1000000000L))
+    }.reduce(_ unionByName _)
+    ord10.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fixture = "target/scale10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildFixture(spark, base, fixture)
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm codegen/classloading so pass 1 of the probe isn't a JVM probe
+    Probes.foreach(time(_, "/root/testdata/sf0.001"))
+
+    val rows = Probes.map { name =>
+      val t1 = (1 to passes).map(_ => time(name, base)).min
+      val t10 = (1 to passes).map(_ => time(name, fixture)).min
+      val ratio = t10 / t1
+      val exponent = math.log(ratio) / math.log(10.0)
+      System.err.println(f"$name%-22s 1x=$t1%7.2fs 10x=$t10%7.2fs ratio=$ratio%5.2f exp=$exponent%4.2f")
+      s"""{"query":"$name","t1_sec":${f"$t1%.3f"},"t10_sec":${f"$t10%.3f"},"ratio":${f"$ratio%.3f"},"exponent":${f"$exponent%.3f"}}"""
+    }
+    println("[" + rows.mkString(",") + "]")
+    spark.stop()
+  }
+}
