@@ -38,11 +38,11 @@ object SparkEntry {
     * rounds must be appended here deliberately, never implicitly.
     */
   // The streaming-harness gates — q33 (streaming CDC), q49 (append-mode
-  // streaming), q52/q54/q55/q59 (stream-stream join modes), q58
-  // (sessionization), q60 (chained stateful), q61 (stream dedup) — are
-  // deliberately absent: their wall time is dominated by the harness
-  // (file-stream setup, checkpoint + micro-batch scheduling), not
-  // engine work.
+  // streaming), q52/q54/q55/q59 (stream-stream join modes), q58/q62
+  // (sessionization, v1 and transformWithState), q60 (chained
+  // stateful), q61 (stream dedup) — are deliberately absent: their wall
+  // time is dominated by the harness (file-stream setup, checkpoint +
+  // micro-batch scheduling), not engine work.
   val benchQueries: Seq[String] = Seq(
     "q01_pricing_summary",
     "q02_top_nation_revenue",

@@ -420,6 +420,43 @@ object StreamGateQueries {
       |WHERE sid < last_sid OR session_end_ms + $GapMs < wm
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  /** q62 — q58's sessionization re-run through Spark 4's arbitrary-state
+    * v2 engine path: `transformWithState` (`TransformWithStateExec`,
+    * explicit event-time timers) on the RocksDB state store provider —
+    * the memory-bounded, changelog-checkpointed backend a 100 TB
+    * deployment would run, and the provider TWS requires. Same oracle as
+    * q58: two independent state APIs and two state backends must land on
+    * byte-identical session sets, or one of them is wrong. Expired-timer
+    * semantics pinned in passing: TWS timers fire strictly below the
+    * eviction watermark, matching `GroupStateTimeout`'s boundary.
+    */
+  def q62SessionizeTws(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    import s.implicits._
+    val events = eventsStream(s, dir)
+      .select($"user_id", $"ts", $"value")
+      .withWatermark("ts", "10 minutes")
+    val sessions = StreamJobs.sessionizeTws(events, gapMinutes = 360)
+    val out = Files.createTempDirectory("graft-q62-out").toString
+    val ck = Files.createTempDirectory("graft-q62-ck").toString
+    val query = sessions.toDF()
+      .select($"user_id",
+        unix_millis($"session_start").as("session_start_ms"),
+        unix_millis($"session_end").as("session_end_ms"),
+        $"events".as("n_events"))
+      .writeStream
+      .queryName("q62_sessionize_tws")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
+  }
+
   /** q59 — the RIGHT-outer stream–stream interval join, completing the
     * join-mode quartet (inner q52, left q54, full q55): every purchase,
     * attributed or not. An unmatched purchase emits null-padded when
@@ -603,7 +640,8 @@ object StreamGateQueries {
     "q58_streaming_sessionize" -> (q58StreamingSessionize _),
     "q59_stream_stream_right_outer" -> (q59StreamStreamRightOuter _),
     "q60_join_then_window" -> (q60JoinThenWindow _),
-    "q61_stream_dedup" -> (q61StreamDedup _))
+    "q61_stream_dedup" -> (q61StreamDedup _),
+    "q62_sessionize_tws" -> (q62SessionizeTws _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -613,5 +651,7 @@ object StreamGateQueries {
     "q58_streaming_sessionize" -> q58Oracle,
     "q59_stream_stream_right_outer" -> q59Oracle,
     "q60_join_then_window" -> q60Oracle,
-    "q61_stream_dedup" -> q61Oracle)
+    "q61_stream_dedup" -> q61Oracle,
+    // two state APIs (FMGWS v1 / TWS v2) + two backends must agree
+    "q62_sessionize_tws" -> q58Oracle)
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 /** The reference's Structured Streaming job shapes (SURVEY §2j, §3 E2),
@@ -143,6 +143,94 @@ object StreamJobs {
             closed.reverseIterator
           }
       }
+  }
+
+  /** [[sessionize]] re-expressed on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor`): the same per-user
+    * gap-session semantics, driven by EXPLICIT event-time timers instead
+    * of `GroupState.setTimeoutTimestamp`. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`), which is itself the 100 TB
+    * state answer — memory-bounded off-heap state with changelog
+    * checkpointing — so the TWS path doubles as the engine's RocksDB
+    * exercise; StreamingSpec separately pins that the v1 operators
+    * produce identical results under both providers.
+    *
+    * Timer discipline: exactly one live timer per key — every update
+    * deletes the previous `last + gap` timer before registering the new
+    * one, so a firing timer always refers to the CURRENT session and
+    * [[SessionProcessor.handleExpiredTimer]] can close unconditionally.
+    * Scale shape is identical to [[sessionize]]: one fixed-size state
+    * row per active user, watermark-driven eviction, groupBy on the
+    * pipeline's ubiquitous user key.
+    */
+  def sessionizeTws(events: DataFrame, gapMinutes: Int): Dataset[UserSession] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp], $"value".as[Double])
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The [[sessionizeTws]] state machine. Public only because Spark
+    * serializes the processor into the streaming query.
+    */
+  class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Double), UserSession] {
+
+    @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def closed(user: Long, s: SessionState): UserSession =
+      UserSession(user, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.events, s.sales)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.map { case (_, ts, v) => (ts.getTime, v) }.toSeq.sortBy(_._1)
+      var out = List.empty[UserSession]
+      var cur = if (session.exists()) {
+        val s = session.get()
+        getHandle.deleteTimer(s.last + gapMs) // superseded below
+        Some(s)
+      } else None
+      sorted.foreach { case (ts, v) =>
+        cur match {
+          case Some(s) if ts - s.last <= gapMs =>
+            cur = Some(SessionState(s.start, math.max(s.last, ts),
+              s.events + 1, s.sales + v))
+          case Some(s) =>
+            out ::= closed(user, s)
+            cur = Some(SessionState(ts, ts, 1, v))
+          case None =>
+            cur = Some(SessionState(ts, ts, 1, v))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
+      // stale timers are deleted on every update, so a firing timer
+      // always refers to the live session: close and evict
+      val out =
+        if (session.exists()) Iterator.single(closed(user, session.get()))
+        else Iterator.empty
+      session.clear()
+      out
+    }
   }
 
   /** Kafka-like checkpointed topic sink (ref `06_streaming_read_kafka_kafka.py:105-112`:

@@ -419,6 +419,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("transformWithState sessionization equals flatMapGroupsWithState on the same feed") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // the q58 fixture shape: gap-split burst, watermark-closed tail,
+    // still-open user — the three emission cases
+    val feed = Seq(
+      (1L, t(10, 0), 1.0), (1L, t(10, 10), 2.0), (2L, t(10, 5), 5.0),
+      (1L, t(11, 0), 4.0), (3L, t(13, 0), 9.0))
+    def run(tws: Boolean): Set[String] = {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      ms.addData(feed: _*)
+      val events = ms.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "1 minute")
+      val sessions =
+        if (tws) graft.streaming.StreamJobs.sessionizeTws(events, gapMinutes = 30)
+        else graft.streaming.StreamJobs.sessionize(events, gapMinutes = 30)
+      val name = if (tws) "t_sess_tws" else "t_sess_v1"
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect().map(_.toString).toSet
+    }
+    // v1 on the default (HDFS-backed) provider; v2 requires RocksDB —
+    // two state APIs and two backends landing on the same session set
+    val v1 = run(tws = false)
+    withConf("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
+      assert(run(tws = true) === v1)
+    }
+    assert(v1.nonEmpty && !v1.exists(_.contains("[3,")), s"user 3 must stay open: $v1")
+  }
+
+  test("state-backend independence: v1 sessionize identical under HDFS-backed and RocksDB providers") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(): Set[String] = {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      ms.addData((1L, t(9, 0), 1.0), (1L, t(9, 5), 2.0), (2L, t(9, 1), 3.0),
+        (1L, t(10, 30), 4.0), (9L, t(12, 0), 0.0))
+      val events = ms.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "1 minute")
+      val q = graft.streaming.StreamJobs.sessionize(events, gapMinutes = 30)
+        .writeStream.format("memory").queryName("t_sess_backend")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table("t_sess_backend").collect().map(_.toString).toSet
+    }
+    val default = run()
+    withConf("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
+      assert(run() === default)
+    }
+    assert(default.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark: suppresses within the horizon, re-emits after state eviction") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
