@@ -484,6 +484,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     withConf("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
       assert(run() === default)
     }
+    // ... and under RocksDB's changelog checkpointing (incremental
+    // changelog upload instead of full snapshots — the recovery-cost
+    // answer at large state): a durability-strategy flag, so it must
+    // never change results either
+    withConf(
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true") {
+      assert(run() === default)
+    }
     assert(default.nonEmpty)
   }
 
