@@ -464,6 +464,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v1.nonEmpty && !v1.exists(_.contains("[3,")), s"user 3 must stay open: $v1")
   }
 
+  test("transformWithState restores state AND timers from a RocksDB checkpoint across restarts") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    withConf("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val events = ms.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "1 minute")
+      val sessions = graft.streaming.StreamJobs.sessionizeTws(events, gapMinutes = 30)
+      val out = Files.createTempDirectory("tws-resume-out").toString
+      val ck = Files.createTempDirectory("tws-resume-ck").toString
+      def runOnce(): Unit = {
+        val q = sessions.toDF().writeStream
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck).format("parquet").start(out)
+        q.awaitTermination()
+      }
+      // run 1: user 5's first burst closes by in-batch gap (emits now);
+      // users 1/2/5 leave OPEN sessions + registered timers in state
+      ms.addData((5L, t(9, 0), 1.0), (5L, t(9, 45), 1.0),
+        (1L, t(10, 0), 1.0), (2L, t(10, 5), 2.0))
+      runOnce()
+      // run 2, SAME checkpoint: user 1 gets NO new input — its session can
+      // only emit if the run-1 timer was restored; user 2's session must
+      // extend the RESTORED state (3 events would mean a fresh session);
+      // user 9 advances the watermark past everyone and stays open itself
+      ms.addData((2L, t(10, 20), 3.0), (9L, t(13, 0), 0.0))
+      runOnce()
+      val got = spark.read.parquet(out)
+        .select($"user_id", date_format($"session_start", "HH:mm").as("s"),
+          date_format($"session_end", "HH:mm").as("e"), $"events", $"sales")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got === Set(
+        (5L, "09:00", "09:00", 1L, 1.0), // run 1, closed by gap
+        (5L, "09:45", "09:45", 1L, 1.0), // run 2, restored timer
+        (1L, "10:00", "10:00", 1L, 1.0), // run 2, restored timer (no new input)
+        (2L, "10:05", "10:20", 2L, 5.0)  // run 2, restored state extended
+      ))
+    }
+  }
+
   test("state-backend independence: v1 sessionize identical under HDFS-backed and RocksDB providers") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
