@@ -39,7 +39,7 @@ object SparkEntry {
     */
   // The streaming-harness gates — q33 (streaming CDC), q49 (append-mode
   // streaming), q52/q54/q55/q59 (stream-stream join modes), q58/q62
-  // (sessionization, v1 and transformWithState), q60 (chained
+  // (sessionization, v1 and transformWithState), q60/q63 (chained
   // stateful), q61 (stream dedup) — are deliberately absent: their wall
   // time is dominated by the harness (file-stream setup, checkpoint +
   // micro-batch scheduling), not engine work.

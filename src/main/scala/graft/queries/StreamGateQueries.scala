@@ -592,6 +592,62 @@ object StreamGateQueries {
       |GROUP BY tb
       |ORDER BY window_start""".stripMargin
 
+  /** q63 — THREE chained stateful operators in one append-mode query:
+    * at-least-once ingest dedup (`dropDuplicatesWithinWatermark` on the
+    * purchase id) → stream–stream interval join → tumbling-window
+    * aggregation. This is the canonical shape of a production
+    * attribution pipeline (dedup re-deliveries at ingest, correlate,
+    * aggregate) and extends q60's two-operator composition to the full
+    * chain. On the driver's exactly-once topic dump the dedup stage is a
+    * SEMANTIC no-op (event ids are unique), which is precisely what
+    * makes the oracle expressible: the result must equal q60's — while
+    * the runtime must now report all THREE stateful operators, and the
+    * dedup's output watermark must propagate through the join unchanged
+    * (dedup adds no event-time delay, so the q60 window boundary holds
+    * verbatim; a propagation bug shifts the closed-window set and fails
+    * the hash).
+    */
+  def q63DedupJoinWindow(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    def side(kind: String, p: String, extra: Column*): DataFrame = eventsStream(s, dir)
+      .filter($"event_type" === kind)
+      .select(Seq(
+        $"event_id".as(s"${p}_id"),
+        $"user_id".as(s"${p}_k"),
+        $"ts".as(s"${p}_ts")) ++ extra: _*)
+    val clicks = side("click", "l").withWatermark("l_ts", "10 minutes")
+    val purchases = side("purchase", "r", $"value".as("r_value"))
+      .withWatermark("r_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("r_id") // stateful op 1: ingest dedup
+    val joined = clicks.join(purchases, expr( // stateful op 2: interval join
+      "l_k = r_k AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 10 minutes"))
+    val agg = joined // stateful op 3: windowed aggregation
+      .groupBy(window($"r_ts", "10 minutes"))
+      .agg(
+        count(lit(1)).as("n_attributed"),
+        sum($"r_value".cast(DecimalType(12, 2))).cast("double").as("attributed_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        $"n_attributed", $"attributed_value")
+    val out = Files.createTempDirectory("graft-q63-out").toString
+    val ck = Files.createTempDirectory("graft-q63-ck").toString
+    val query = agg.writeStream
+      .queryName("q63_dedup_join_window")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.size == 3,
+      s"q63 must execute three chained stateful operators, got $stateful")
+    s.read.parquet(out).orderBy($"window_start")
+  }
+
   /** q61 — streaming ingest dedup via `dropDuplicatesWithinWatermark`
     * (ST7's streaming-NATIVE form: the reference dedups downstream with
     * the W3 latest-wins window over a batch read — ref
@@ -641,7 +697,8 @@ object StreamGateQueries {
     "q59_stream_stream_right_outer" -> (q59StreamStreamRightOuter _),
     "q60_join_then_window" -> (q60JoinThenWindow _),
     "q61_stream_dedup" -> (q61StreamDedup _),
-    "q62_sessionize_tws" -> (q62SessionizeTws _))
+    "q62_sessionize_tws" -> (q62SessionizeTws _),
+    "q63_dedup_join_window" -> (q63DedupJoinWindow _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -653,5 +710,8 @@ object StreamGateQueries {
     "q60_join_then_window" -> q60Oracle,
     "q61_stream_dedup" -> q61Oracle,
     // two state APIs (FMGWS v1 / TWS v2) + two backends must agree
-    "q62_sessionize_tws" -> q58Oracle)
+    "q62_sessionize_tws" -> q58Oracle,
+    // dedup on unique ids is a no-op and adds no event-time delay: the
+    // 3-op chain must reproduce the 2-op chain's result exactly
+    "q63_dedup_join_window" -> q60Oracle)
 }
