@@ -233,6 +233,82 @@ object StreamJobs {
     }
   }
 
+  /** A per-user running profile emitted by [[profileTws]] after each
+    * micro-batch that touches the user: event counts per type and the
+    * top-[[ProfileProcessor.TopK]] values seen so far.
+    */
+  case class UserProfile(
+      user_id: Long, n_events: Long, type_counts: Map[String, Long],
+      top_values: Seq[Double])
+
+  /** Per-user running profile on the remaining two arbitrary-state v2
+    * primitives (q62's sessionizer covers `ValueState` + timers):
+    *
+    *  - `MapState[String, Long]` for per-event-type counts — each map
+    *    entry is its OWN state-store row, so updating one type touches
+    *    one row instead of read-modify-writing a whole serialized map
+    *    blob per event (the FMGWS shape). At 100 TB this is the
+    *    difference between O(1) and O(|map|) state I/O per update, and
+    *    it admits unbounded type cardinality per key.
+    *  - `ListState[Double]` for the running top-k values — appended and
+    *    trimmed to k, never rewritten wholesale.
+    *
+    * Output (update-style): one profile snapshot per (user, batch that
+    * touched the user); the LAST snapshot per user is the current
+    * profile — the same re-emission + latest-wins contract as the
+    * complete-mode topic sink (W3 dedups downstream). Pinned by
+    * StreamingSpec against a straight-Scala reference model across
+    * multiple batches.
+    */
+  def profileTws(events: DataFrame): Dataset[UserProfile] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .select($"user_id".as[Long], $"event_type".as[String], $"value".as[Double])
+      .groupByKey(_._1)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  object ProfileProcessor { val TopK = 3 }
+
+  /** The [[profileTws]] state machine (public: Spark serializes it). */
+  class ProfileProcessor
+    extends StatefulProcessor[Long, (Long, String, Double), UserProfile] {
+    import ProfileProcessor.TopK
+
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var top: org.apache.spark.sql.streaming.ListState[Double] = _
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      top = getHandle.getListState[Double](
+        "top_values", Encoders.scalaDouble, TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "n_events", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String, Double)],
+        timerValues: TimerValues): Iterator[UserProfile] = {
+      var n = if (total.exists()) total.get() else 0L
+      var topNow = top.get().toSeq
+      rows.foreach { case (_, tpe, v) =>
+        n += 1
+        counts.updateValue(tpe,
+          (if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L) + 1L)
+        topNow = (topNow :+ v).sorted(Ordering[Double].reverse).take(TopK)
+      }
+      total.update(n)
+      top.put(topNow.toArray)
+      val snapshot = counts.iterator().map { case (k, v) => k -> v }.toMap
+      Iterator.single(UserProfile(user, n, snapshot, topNow))
+    }
+  }
+
   /** Kafka-like checkpointed topic sink (ref `06_streaming_read_kafka_kafka.py:105-112`:
     * complete-mode aggregate → `to_json` → Kafka topic with
     * `checkpointLocation`). Modeled as an append-only parquet "topic

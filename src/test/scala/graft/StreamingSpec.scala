@@ -506,6 +506,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MapState/ListState profile processor equals the reference model across batches") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withConf("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
+      val batch1 = Seq((1L, "click", 5.0), (1L, "view", 1.0), (2L, "click", 9.0))
+      val batch2 = Seq((1L, "click", 7.0), (1L, "click", 2.0), (1L, "buy", 8.0),
+        (3L, "view", 4.0))
+      val ms = MemoryStream[(Long, String, Double)]
+      val profiles = graft.streaming.StreamJobs.profileTws(
+        ms.toDF().toDF("user_id", "event_type", "value"))
+      val q = profiles.toDF().writeStream.format("memory").queryName("t_profiles")
+        .outputMode("update").start()
+      try {
+        ms.addData(batch1: _*); q.processAllAvailable()
+        ms.addData(batch2: _*); q.processAllAvailable()
+        // re-emission + latest-wins: the LAST snapshot per user is current.
+        // Order snapshots by n_events (monotonic per user) — batch order
+        // inside the memory table is not guaranteed
+        val rows = spark.table("t_profiles")
+          .as[(Long, Long, Map[String, Long], Seq[Double])].collect()
+        val latest = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+        // straight-Scala reference model over the full feed
+        val all = batch1 ++ batch2
+        all.groupBy(_._1).foreach { case (u, evs) =>
+          val (_, n, tc, tv) = latest(u)
+          assert(n === evs.size.toLong, s"user $u count")
+          assert(tc === evs.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong },
+            s"user $u type_counts")
+          assert(tv === evs.map(_._3).sorted(Ordering[Double].reverse).take(3),
+            s"user $u top_values")
+        }
+        // MapState grew per-entry across batches: user 1 accumulated three
+        // distinct types over two batches, counted exactly once each event
+        assert(latest(1L)._3 === Map("click" -> 3L, "view" -> 1L, "buy" -> 1L))
+        // users untouched by batch 2 do NOT re-emit in it (update semantics)
+        assert(rows.count(_._1 == 2L) === 1)
+      } finally q.stop()
+    }
+  }
+
   test("state-backend independence: v1 sessionize identical under HDFS-backed and RocksDB providers") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
