@@ -21,7 +21,14 @@ object Verify {
       else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // deterministic name order; SPARK_GRAFT_REVERSE=1 runs the sweep
+    // backwards — gates must not be order-coupled (all confs are scoped,
+    // graft.Confs), and the reversed sweep is the proof
+    val ordered = {
+      val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (sys.env.contains("SPARK_GRAFT_REVERSE")) qs.reverse else qs
+    }
+    ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
