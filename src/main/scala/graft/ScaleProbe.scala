@@ -24,7 +24,7 @@ object ScaleProbe {
 
   private val Probes = Seq(
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
-    "q51_bucketed_join", "q43_top_terms")
+    "q51_bucketed_join", "q43_top_terms", "q16_neardup_lsh")
 
   private val Shards = 10
 
@@ -72,7 +72,18 @@ object ScaleProbe {
 
     buildFixture(spark, base, fixture)
 
+    // measurement hygiene: queries like dedup-clusters localCheckpoint
+    // RDDs and cache intermediates — left in the JVM they inflate the
+    // NEXT measurement (observed: a CC probe right before another query
+    // tripled its reading). Scrub all persisted state between runs.
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
+
     def time(name: String, dir: String): Double = {
+      scrub()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -82,9 +93,14 @@ object ScaleProbe {
     // warm codegen/classloading so pass 1 of the probe isn't a JVM probe
     Probes.foreach(time(_, "/root/testdata/sf0.001"))
 
+    // interleave (1x, 10x) within each pass so a load spike or heap
+    // phase hits both sides of a ratio, not one; min-of-passes per side
+    val samples: Seq[Seq[(String, Double, Double)]] = (1 to passes).map { _ =>
+      Probes.map(name => (name, time(name, base), time(name, fixture)))
+    }
     val rows = Probes.map { name =>
-      val t1 = (1 to passes).map(_ => time(name, base)).min
-      val t10 = (1 to passes).map(_ => time(name, fixture)).min
+      val t1 = samples.map(_.find(_._1 == name).get._2).min
+      val t10 = samples.map(_.find(_._1 == name).get._3).min
       val ratio = t10 / t1
       val exponent = math.log(ratio) / math.log(10.0)
       System.err.println(f"$name%-22s 1x=$t1%7.2fs 10x=$t10%7.2fs ratio=$ratio%5.2f exp=$exponent%4.2f")
