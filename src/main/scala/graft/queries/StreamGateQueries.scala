@@ -688,6 +688,65 @@ object StreamGateQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q64 — the MapState/ListState profile processor ([[StreamJobs
+    * .profileTws]]) driver-gated, so every arbitrary-state v2 primitive
+    * is oracle-checked (q62 covers ValueState + timers): per-user
+    * event-type counts from `MapState` and running top-3 values from
+    * `ListState`, on RocksDB. Update-mode output can't hit the parquet
+    * sink directly, so the gate writes through `foreachBatch` (the
+    * topic-sink pattern); under AvailableNow all data lands in one
+    * batch, so each user emits exactly one snapshot — the final profile
+    * — which the oracle recomputes with plain grouped SQL. The map
+    * explodes to (event_type, n_type) rows and the top-k list flattens
+    * to columns, keeping the comparison in exact scalar types.
+    */
+  def q64UserProfile(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    import s.implicits._
+    val events = eventsStream(s, dir)
+      .select($"user_id", $"event_type", $"value")
+    val profiles = StreamJobs.profileTws(events)
+    val out = Files.createTempDirectory("graft-q64-out").toString
+    val ck = Files.createTempDirectory("graft-q64-ck").toString
+    val query = profiles.toDF().writeStream
+      .queryName("q64_user_profile")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select($"user_id", $"n_events",
+            explode($"type_counts").as(Seq("event_type", "n_type")),
+            element_at($"top_values", 1).as("top1"),
+            element_at($"top_values", 2).as("top2"),
+            element_at($"top_values", 3).as("top3"))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .select($"user_id", $"event_type", $"n_type", $"n_events",
+        $"top1", $"top2", $"top3")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q64Oracle: String =
+    """WITH tv AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    (array_agg(value ORDER BY value DESC))[1] AS top1,
+      |    (array_agg(value ORDER BY value DESC))[2] AS top2,
+      |    (array_agg(value ORDER BY value DESC))[3] AS top3
+      |  FROM events GROUP BY user_id),
+      |tc AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_type
+      |  FROM events GROUP BY user_id, event_type)
+      |SELECT tc.user_id, tc.event_type, tc.n_type, tv.n_events,
+      |  tv.top1, tv.top2, tv.top3
+      |FROM tc JOIN tv ON tv.user_id = tc.user_id
+      |ORDER BY tc.user_id, tc.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
@@ -698,7 +757,8 @@ object StreamGateQueries {
     "q60_join_then_window" -> (q60JoinThenWindow _),
     "q61_stream_dedup" -> (q61StreamDedup _),
     "q62_sessionize_tws" -> (q62SessionizeTws _),
-    "q63_dedup_join_window" -> (q63DedupJoinWindow _))
+    "q63_dedup_join_window" -> (q63DedupJoinWindow _),
+    "q64_user_profile" -> (q64UserProfile _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -713,5 +773,6 @@ object StreamGateQueries {
     "q62_sessionize_tws" -> q58Oracle,
     // dedup on unique ids is a no-op and adds no event-time delay: the
     // 3-op chain must reproduce the 2-op chain's result exactly
-    "q63_dedup_join_window" -> q60Oracle)
+    "q63_dedup_join_window" -> q60Oracle,
+    "q64_user_profile" -> q64Oracle)
 }

@@ -45,7 +45,8 @@ class NoUdfSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q52_stream_stream_join", "q54_stream_stream_left_outer",
       "q55_stream_stream_full_outer", "q58_streaming_sessionize",
       "q59_stream_stream_right_outer", "q60_join_then_window",
-      "q61_stream_dedup", "q62_sessionize_tws", "q63_dedup_join_window")
+      "q61_stream_dedup", "q62_sessionize_tws", "q63_dedup_join_window",
+      "q64_user_profile")
 
   test("no batch gate query's plan contains a ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
