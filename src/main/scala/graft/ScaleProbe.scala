@@ -4,21 +4,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-probe main: measures how the most expensive verified queries
-  * scale from sf0.1 (1×) to a deterministic 10× replica of it, turning
-  * the "these plans survive a scale-up" claim from plan audit into a
-  * measured exponent. Not part of the driver gates — run manually; the
-  * ratios are recorded in COVERAGE.md.
+  * scale from sf0.1 (1×) to a deterministic N× replica of it
+  * (`SPARK_GRAFT_PROBE_SHARDS`, default 10; run 10 AND 100 for a
+  * two-decade exponent), turning the "these plans survive a scale-up"
+  * claim from plan audit into a measured exponent. Not part of the
+  * driver gates — run manually; ratios are recorded in COVERAGE.md.
   *
   * Fixture (seedless, fully deterministic): each probed table is the
-  * union of 10 shards of the sf0.1 original with ids shifted per shard.
-  * Document TEXT is per-shard `translate`d over a 10-letter alphabet
-  * rotation, which (a) preserves length, token boundaries, and the
-  * WITHIN-shard duplicate/near-duplicate structure exactly (a bijective
-  * character map preserves shingle equality), while (b) making copies of
-  * the same document DISSIMILAR across shards — so dup/near-dup work
-  * grows linearly with data, instead of every document gaining 9
+  * union of N shards of the sf0.1 original with ids shifted per shard.
+  * Document TEXT is per-shard `translate`d through a composite
+  * two-alphabet rotation, which (a) preserves length, token boundaries,
+  * and the WITHIN-shard duplicate/near-duplicate structure exactly (a
+  * bijective character map preserves shingle equality), while (b) making
+  * copies of the same document DISSIMILAR across shards — so dup/near-dup
+  * work grows linearly with data, instead of every document gaining N−1
   * artificial near-duplicates (which would measure a quadratically
-  * harder problem, not a 10× bigger one).
+  * harder problem, not an N× bigger one).
   */
 object ScaleProbe {
 
@@ -26,38 +27,48 @@ object ScaleProbe {
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
     "q51_bucketed_join", "q43_top_terms", "q16_neardup_lsh")
 
-  private val Shards = 10
+  private val Shards =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_SHARDS", "10").toInt
 
   private def buildFixture(spark: SparkSession, base: String, out: String): Unit = {
     import spark.implicits._
-    val alpha = "abcdefghij"
-    def rot(k: Int): String = alpha.drop(k) + alpha.take(k)
+    require(Shards <= 100, "the composite rotation is distinct for k < 100")
+    // composite bijective character map, distinct for every shard k<100:
+    // rotate "a..j" by k mod 10 and "k..t" by k/10 — shards can never
+    // share a mapping, so cross-shard copies of a document stay
+    // dissimilar at ANY shard count (a single 10-letter rotation would
+    // collide at k and k+10)
+    val a1 = "abcdefghij"; val a2 = "klmnopqrst"
+    def rot(a: String, r: Int): String = a.drop(r % 10) + a.take(r % 10)
+    def shuffled(k: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (k == 0) c
+      else translate(c, a1 + a2, rot(a1, k % 10) + rot(a2, k / 10))
 
     val docs = Tables.documents(spark, base)
-    val docs10 = (0 until Shards).map { k =>
+    val docsN = (0 until Shards).map { k =>
       docs.select(
         ($"doc_id" + lit(k * 10000000L)).as("doc_id"),
-        (if (k == 0) $"text" else translate($"text", alpha, rot(k))).as("text"),
+        shuffled(k, $"text").as("text"),
         $"lang", $"source", $"n_chars")
     }.reduce(_ unionByName _)
-    docs10.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    docsN.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val li = Tables.lineitem(spark, base)
-    val li10 = (0 until Shards).map { k =>
+    val liN = (0 until Shards).map { k =>
       li.withColumn("l_orderkey", $"l_orderkey" + lit(k * 1000000000L))
     }.reduce(_ unionByName _)
-    li10.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    liN.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     val ord = Tables.orders(spark, base)
-    val ord10 = (0 until Shards).map { k =>
+    val ordN = (0 until Shards).map { k =>
       ord.withColumn("o_orderkey", $"o_orderkey" + lit(k * 1000000000L))
     }.reduce(_ unionByName _)
-    ord10.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    ordN.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
   }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val fixture = "target/scale10"
+    val fixture = s"target/scale$Shards"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
     val spark = SparkSession.builder()
@@ -102,9 +113,9 @@ object ScaleProbe {
       val t1 = samples.map(_.find(_._1 == name).get._2).min
       val t10 = samples.map(_.find(_._1 == name).get._3).min
       val ratio = t10 / t1
-      val exponent = math.log(ratio) / math.log(10.0)
-      System.err.println(f"$name%-22s 1x=$t1%7.2fs 10x=$t10%7.2fs ratio=$ratio%5.2f exp=$exponent%4.2f")
-      s"""{"query":"$name","t1_sec":${f"$t1%.3f"},"t10_sec":${f"$t10%.3f"},"ratio":${f"$ratio%.3f"},"exponent":${f"$exponent%.3f"}}"""
+      val exponent = math.log(ratio) / math.log(Shards.toDouble)
+      System.err.println(f"$name%-22s 1x=$t1%7.2fs ${Shards}x=$t10%7.2fs ratio=$ratio%5.2f exp=$exponent%4.2f")
+      s"""{"query":"$name","shards":$Shards,"t1_sec":${f"$t1%.3f"},"tN_sec":${f"$t10%.3f"},"ratio":${f"$ratio%.3f"},"exponent":${f"$exponent%.3f"}}"""
     }
     println("[" + rows.mkString(",") + "]")
     spark.stop()
