@@ -25,7 +25,11 @@ object ScaleProbe {
 
   private val Probes = Seq(
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
-    "q51_bucketed_join", "q43_top_terms", "q16_neardup_lsh")
+    "q51_bucketed_join", "q43_top_terms", "q16_neardup_lsh",
+    // events-side workloads: per-key window dedup, native session
+    // windows, and the KMV sketch (whose state must stay k per group
+    // no matter how the input grows)
+    "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
 
   private val Shards =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_SHARDS", "10").toInt
@@ -64,6 +68,18 @@ object ScaleProbe {
       ord.withColumn("o_orderkey", $"o_orderkey" + lit(k * 1000000000L))
     }.reduce(_ unionByName _)
     ordN.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // events: read RAW (ts stays the nanos long under the session's
+    // nanosAsLong, and the rewrite stores it as a plain int64 —
+    // Tables.events' `ts div 1000` keeps working on the fixture).
+    // user_id shifts per shard so DISTINCT USERS scale with the data —
+    // the dimension that grows state for windows/sketches/sessions.
+    val ev = Tables(spark, base, "events")
+    val evN = (0 until Shards).map { k =>
+      ev.withColumn("event_id", $"event_id" + lit(k * 1000000000000L))
+        .withColumn("user_id", $"user_id" + lit(k * 100000000L))
+    }.reduce(_ unionByName _)
+    evN.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
