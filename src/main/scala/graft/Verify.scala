@@ -24,9 +24,15 @@ object Verify {
     // deterministic name order; SPARK_GRAFT_REVERSE=1 runs the sweep
     // backwards — gates must not be order-coupled (all confs are scoped,
     // graft.Confs), and the reversed sweep is the proof
+    // SPARK_GRAFT_ONLY=q58_...,q61_... restricts the sweep (and the
+    // dumped oracle set, keeping check_oracle.py consistent) for fast
+    // local iteration on a few gates; the driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_(name))
     val ordered = {
-      val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-      if (sys.env.contains("SPARK_GRAFT_REVERSE")) qs.reverse else qs
+      val qs = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
+      if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1")) qs.reverse else qs
     }
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -47,7 +53,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,10 +1,12 @@
 package graft.queries
 
 import java.nio.file.Files
+import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.Confs.withConf
@@ -36,6 +38,14 @@ object StreamGateQueries {
     * or before `max(ts) - 10 min` are kept — late-open windows (the last
     * 10 minutes of the stream) stay in state and are correctly absent
     * from both sides.
+    *
+    * Multi-batch harness ([[stageTimeSplit]]): the dump arrives as ≥ 4
+    * time-ordered micro-batches, so open-window state accumulates across
+    * batches and the watermark advance CLOSES windows mid-stream, batch
+    * by batch — each window still emits exactly once, and the union of
+    * per-batch emissions is the same final-watermark-closed set (windows
+    * are disjoint per (start, type) and close monotonically), so the
+    * oracle is unchanged.
     */
   def q49AppendWindowSales(s: SparkSession, dir: String): DataFrame = withConf(s,
     // events.ts is parquet TIMESTAMP(NANOS) (see Tables.events): the
@@ -44,21 +54,7 @@ object StreamGateQueries {
     // the stream starts (and clones the conf) inside this block.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val raw = s.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType))))
-      // the topic dump is a bare parquet file. FileStreamSource force-sets
-      // basePath to the source path when it is NOT a glob — and a file
-      // basePath is rejected — so the path must stay a glob, with the
-      // table directory supplied as the explicit basePath
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = stagedStream(s, stageTimeSplit(s, dir, "q49"))
     val out = Files.createTempDirectory("graft-q49-out").toString
     val ck = Files.createTempDirectory("graft-q49-ck").toString
     val query = StreamJobs.slidingWindowSales(events)
@@ -74,6 +70,7 @@ object StreamGateQueries {
       .format("parquet")
       .start(out)
     query.awaitTermination()
+    requireMultiBatch(query, "q49")
     s.read.parquet(out).orderBy($"window_start", $"event_type")
   }
 
@@ -107,11 +104,16 @@ object StreamGateQueries {
     * correlating two live streams is the generalization a 100 TB
     * event pipeline needs (impression→conversion attribution).
     *
-    * Harness: both sides are file streams over the events topic dump
-    * (q49's pattern), all data arrives in the single AvailableNow
-    * micro-batch, and inner-join matches emit in that same batch — so
-    * the gated result equals the batch interval join, which is exactly
-    * the DuckDB oracle. The interval bound (`r_ts ∈ [l_ts, l_ts+10m]`)
+    * Harness: both sides stream the SAME staged time-split files
+    * ([[stageTimeSplit]], ≥ 4 micro-batches), so unmatched rows are
+    * genuinely BUFFERED ACROSS batches and evicted by the advancing
+    * watermark. An inner match emits in the purchase's arrival batch —
+    * `l_ts ≤ r_ts` and time-ordered files mean the click is already
+    * buffered (its eviction horizon `wm − interval` can't have passed a
+    * still-matchable click) or co-arrives — so every interval match
+    * emits exactly once and the gated result equals the batch interval
+    * join, which is exactly the DuckDB oracle.
+    * The interval bound (`r_ts ∈ [l_ts, l_ts+10m]`)
     * plus both watermarks is what lets the join compute per-side state
     * watermarks and EVICT buffered rows — bounded state independent of
     * stream length, pinned separately by StreamingSpec's eviction law.
@@ -124,22 +126,13 @@ object StreamGateQueries {
   def q52StreamStreamJoin(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    def side(kind: String, p: String): DataFrame = s.readStream
-      .schema(schema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
+    val staged = stageTimeSplit(s, dir, "q52")
+    def side(kind: String, p: String): DataFrame = stagedStream(s, staged)
       .filter($"event_type" === kind)
       .select(
         $"event_id".as(s"${p}_id"),
         $"user_id".as(s"${p}_k"),
-        timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+        $"ts".as(s"${p}_ts"))
     val joined = StreamJobs.streamStreamCorrelate(
       side("click", "l"), side("purchase", "r"),
       window = "10 minutes", delay = "10 minutes")
@@ -159,6 +152,7 @@ object StreamGateQueries {
       .format("parquet")
       .start(out)
     query.awaitTermination()
+    requireMultiBatch(query, "q52")
     s.read.parquet(out).orderBy($"click_id", $"purchase_id")
   }
 
@@ -193,22 +187,13 @@ object StreamGateQueries {
   def q54StreamStreamLeftOuter(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    def side(kind: String, p: String): DataFrame = s.readStream
-      .schema(schema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
+    val staged = stageTimeSplit(s, dir, "q54")
+    def side(kind: String, p: String): DataFrame = stagedStream(s, staged)
       .filter($"event_type" === kind)
       .select(
         $"event_id".as(s"${p}_id"),
         $"user_id".as(s"${p}_k"),
-        timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+        $"ts".as(s"${p}_ts"))
     val joined = StreamJobs.streamStreamCorrelate(
       side("click", "l"), side("purchase", "r"),
       window = "10 minutes", delay = "10 minutes", joinType = "left_outer")
@@ -227,6 +212,7 @@ object StreamGateQueries {
       .format("parquet")
       .start(out)
     query.awaitTermination()
+    requireMultiBatch(query, "q54")
     s.read.parquet(out).orderBy($"click_id", $"purchase_id")
   }
 
@@ -266,22 +252,13 @@ object StreamGateQueries {
   def q55StreamStreamFullOuter(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    def side(kind: String, p: String): DataFrame = s.readStream
-      .schema(schema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
+    val staged = stageTimeSplit(s, dir, "q55")
+    def side(kind: String, p: String): DataFrame = stagedStream(s, staged)
       .filter($"event_type" === kind)
       .select(
         $"event_id".as(s"${p}_id"),
         $"user_id".as(s"${p}_k"),
-        timestamp_micros(expr("ts div 1000")).as(s"${p}_ts"))
+        $"ts".as(s"${p}_ts"))
     val joined = StreamJobs.streamStreamCorrelate(
       side("click", "l"), side("purchase", "r"),
       window = "10 minutes", delay = "10 minutes", joinType = "full_outer")
@@ -299,6 +276,7 @@ object StreamGateQueries {
       .format("parquet")
       .start(out)
     query.awaitTermination()
+    requireMultiBatch(query, "q55")
     s.read.parquet(out)
       .orderBy(coalesce($"click_id", lit(-1L)), coalesce($"purchase_id", lit(-1L)))
   }
@@ -342,24 +320,96 @@ object StreamGateQueries {
       .parquet(s"$dir/events*.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Stage the events topic dump as `n` TIME-ORDERED, NON-OVERLAPPING
+    * parquet files under a fresh directory, named and modification-stamped
+    * in ascending event-time order so `FileStreamSource` +
+    * `maxFilesPerTrigger=1` delivers them oldest-first, ONE FILE PER
+    * MICRO-BATCH — q33's trickle harness (and the reference's drip
+    * producer, `04_incremental_sales_kafka.py:17,91`) lifted to the
+    * stateful gates, so cross-batch state accumulation and per-batch
+    * watermark advance are exercised under the SAME oracles.
+    *
+    * Equal-frequency `ntile` over `(ts, event_id)` keeps every split
+    * non-empty (≥ n data micro-batches at every SF) and non-overlapping
+    * in event time, which is the invariant the oracles lean on: a later
+    * file can never deliver a row at or below the watermark established
+    * by an earlier one, so nothing is late-dropped and the final emitted
+    * set is decided by the FINAL watermark alone — batch-layout-invariant.
+    * (The one-partition window sort is gate scaffolding, not engine work:
+    * a real topic already arrives in ingestion order.)
+    */
+  private def stageTimeSplit(
+      s: SparkSession, dir: String, tag: String, n: Int = 4): String = {
+    import s.implicits._
+    val staged = Files.createTempDirectory(s"graft-$tag-src")
+    val slices = s.read.option("basePath", dir).parquet(s"$dir/events*.parquet")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .withColumn("_slice", ntile(n).over(Window.orderBy($"ts", $"event_id")))
+    (1 to n).foreach { i =>
+      val part = Files.createTempDirectory(s"graft-$tag-part")
+      slices.filter($"_slice" === i).drop("_slice")
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = part.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .head.toPath
+      val dst = staged.resolve(f"events-$i%04d.parquet")
+      Files.move(src, dst)
+      // deterministic strictly-increasing mod times: FileStreamSource
+      // orders new files by timestamp, so file i IS micro-batch i
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    staged.toString
+  }
+
+  /** File-stream over a staged time-split dir: one file per micro-batch,
+    * ts normalized to µs (the staged files carry the raw nanos long).
+    */
+  private def stagedStream(s: SparkSession, staged: String): DataFrame =
+    s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** A multi-batch gate must actually exercise cross-batch state: require
+    * ≥ 3 micro-batches WITH INPUT ROWS in the executed query's progress
+    * (a regression to single-batch delivery fails the gate loudly, not by
+    * silently weakening what it proves).
+    */
+  private def requireMultiBatch(query: StreamingQuery, name: String): Unit = {
+    val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"$name must process >= 3 data micro-batches, got $dataBatches")
+  }
+
   /** q58 — custom-state streaming sessionization through the REAL engine
     * (`FlatMapGroupsWithStateExec` + event-time timeout), gating
     * [[StreamJobs.sessionize]] — the one stateful operator whose
     * streaming path previously met only an in-process law (StreamingSpec;
     * the gated q35 covers batch `session_window`, a different code path).
     *
-    * Emission model under the AvailableNow harness: all events arrive in
-    * the single data micro-batch, so each user's events are processed
-    * ts-sorted in one group call — every session CLOSED BY A GAP (a later
-    * in-batch event > 6 h after it) emits immediately; the user's final
-    * session stays in state with an event-time timeout at `last + gap`.
-    * The watermark then advances to `max(ts) − 10 min` (ms-floored) and
-    * the no-data batch fires timeouts STRICTLY below it (Spark evicts on
+    * Emission model under the MULTI-BATCH harness (events staged as ≥ 4
+    * time-ordered files, one per micro-batch — [[stageTimeSplit]]): a
+    * user's session EXTENDS ACROSS BATCHES through its state row; a
+    * session closed by an in-batch gap emits in that batch; and the
+    * per-batch watermark advance can fire a session's timeout MID-STREAM.
+    * All three paths land on the batch gaps-and-islands split because the
+    * staged files don't overlap in time: a timeout fires only when
+    * `last + gap < wm ≤ max(delivered ts) − delay`, and every later event
+    * for that user carries `ts > wm > last + gap` — so a mid-stream
+    * timer close IS an island boundary, and conversely a continuing
+    * session (`ts' − last ≤ gap`) can never see its timer fire first
+    * (that would need `ts' ≤ last + gap < wm`, i.e. a late row, which
+    * time-ordered files exclude). After the last file the watermark
+    * reaches `max(ts) − 10 min` (ms-floored) and the no-data batch fires
+    * remaining timeouts STRICTLY below it (Spark evicts on
     * `timeoutTimestamp < watermark`), closing final sessions with
     * `last + gap < watermark`; later final sessions stay open in state,
     * correctly absent from both sides. The oracle reproduces exactly
     * that set with gaps-and-islands SQL: every non-final island, plus
-    * final islands whose timeout the watermark passed.
+    * final islands whose timeout the watermark passed — the result is
+    * batch-layout-invariant, and the gate requires ≥ 3 data micro-batches
+    * so the cross-batch paths are actually taken.
     *
     * Precision: [[StreamJobs.UserSession]] bounds are `java.sql.Timestamp`
     * built from `getTime` (whole ms), and the timeout clock is ms too, so
@@ -369,7 +419,7 @@ object StreamGateQueries {
   def q58StreamingSessionize(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val events = eventsStream(s, dir)
+    val events = stagedStream(s, stageTimeSplit(s, dir, "q58"))
       .select($"user_id", $"ts", $"value")
       .withWatermark("ts", "10 minutes")
     val sessions = StreamJobs.sessionize(events, gapMinutes = 360)
@@ -388,6 +438,7 @@ object StreamGateQueries {
       .format("parquet")
       .start(out)
     query.awaitTermination()
+    requireMultiBatch(query, "q58")
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
@@ -428,14 +479,17 @@ object StreamGateQueries {
     * q58: two independent state APIs and two state backends must land on
     * byte-identical session sets, or one of them is wrong. Expired-timer
     * semantics pinned in passing: TWS timers fire strictly below the
-    * eviction watermark, matching `GroupStateTimeout`'s boundary.
+    * eviction watermark, matching `GroupStateTimeout`'s boundary. Runs
+    * q58's multi-batch harness too, so explicit-timer state survives
+    * REAL RocksDB commit/load cycles between micro-batches (q58's
+    * scaladoc carries the layout-invariance argument).
     */
   def q62SessionizeTws(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
     import s.implicits._
-    val events = eventsStream(s, dir)
+    val events = stagedStream(s, stageTimeSplit(s, dir, "q62"))
       .select($"user_id", $"ts", $"value")
       .withWatermark("ts", "10 minutes")
     val sessions = StreamJobs.sessionizeTws(events, gapMinutes = 360)
@@ -454,6 +508,7 @@ object StreamGateQueries {
       .format("parquet")
       .start(out)
     query.awaitTermination()
+    requireMultiBatch(query, "q62")
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
@@ -468,7 +523,8 @@ object StreamGateQueries {
   def q59StreamStreamRightOuter(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    def side(kind: String, p: String): DataFrame = eventsStream(s, dir)
+    val staged = stageTimeSplit(s, dir, "q59")
+    def side(kind: String, p: String): DataFrame = stagedStream(s, staged)
       .filter($"event_type" === kind)
       .select(
         $"event_id".as(s"${p}_id"),
@@ -492,6 +548,7 @@ object StreamGateQueries {
       .format("parquet")
       .start(out)
     query.awaitTermination()
+    requireMultiBatch(query, "q59")
     s.read.parquet(out)
       .orderBy(coalesce($"click_id", lit(-1L)), $"purchase_id")
   }
@@ -530,11 +587,24 @@ object StreamGateQueries {
     * oracle reproduces that boundary; the gate additionally requires the
     * runtime to report BOTH stateful operators (symmetric hash join +
     * streaming agg) in the executed query's progress.
+    *
+    * Multi-batch harness: both sides stream the SAME staged time-split
+    * files ([[stageTimeSplit]]), each side paced to one file per
+    * micro-batch, so join state (buffered unmatched rows) and agg state
+    * (open windows) genuinely carry ACROSS batches while the watermark
+    * advances per batch. Layout-invariance: a match emits in the
+    * purchase's arrival batch (`l_ts ≤ r_ts` and files are time-ordered,
+    * so the click is already buffered or co-arrives), where
+    * `r_ts > current wm ≥ the agg's propagated watermark` — the row's
+    * window is still open, nothing is ever late at the second stateful
+    * operator, and the final closed-window set is decided by the final
+    * watermark alone, same as the single-batch run.
     */
   def q60JoinThenWindow(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    def side(kind: String, p: String, extra: Column*): DataFrame = eventsStream(s, dir)
+    val staged = stageTimeSplit(s, dir, "q60")
+    def side(kind: String, p: String, extra: Column*): DataFrame = stagedStream(s, staged)
       .filter($"event_type" === kind)
       .select(Seq(
         $"event_id".as(s"${p}_id"),
@@ -567,6 +637,7 @@ object StreamGateQueries {
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.size == 2,
       s"q60 must execute two chained stateful operators, got $stateful")
+    requireMultiBatch(query, "q60")
     s.read.parquet(out).orderBy($"window_start")
   }
 
@@ -610,7 +681,8 @@ object StreamGateQueries {
   def q63DedupJoinWindow(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    def side(kind: String, p: String, extra: Column*): DataFrame = eventsStream(s, dir)
+    val staged = stageTimeSplit(s, dir, "q63")
+    def side(kind: String, p: String, extra: Column*): DataFrame = stagedStream(s, staged)
       .filter($"event_type" === kind)
       .select(Seq(
         $"event_id".as(s"${p}_id"),
@@ -645,6 +717,7 @@ object StreamGateQueries {
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.size == 3,
       s"q63 must execute three chained stateful operators, got $stateful")
+    requireMultiBatch(query, "q63")
     s.read.parquet(out).orderBy($"window_start")
   }
 
@@ -655,20 +728,32 @@ object StreamGateQueries {
     * whole topic; the streaming form keeps one state row per key inside
     * the watermark horizon and drops re-deliveries at ingest, the right
     * shape for at-least-once sources at 100 TB). Each distinct key emits
-    * exactly once per state lifetime; with all data in one AvailableNow
-    * batch the gated set is exactly the distinct keys. Only the KEY
-    * columns are projected: which physical row emits first is
-    * arrival-order-dependent, the key itself is not. The state-EVICTION
-    * boundary (a duplicate arriving after the watermark passed its key's
-    * horizon is NOT suppressed) is pinned in-process by StreamingSpec,
-    * where a second batch can be delivered after the watermark moves.
+    * exactly once per state lifetime. Only the KEY columns are
+    * projected: which physical row emits first is
+    * arrival-order-dependent, the key itself is not.
+    *
+    * Multi-batch harness + HORIZON SIZING: the dump arrives as ≥ 4
+    * time-ordered micro-batches ([[stageTimeSplit]]), so dedup state
+    * genuinely persists and suppresses re-deliveries ACROSS batches while
+    * the watermark advances between them. The horizon is the operator's
+    * one real tuning knob, and it must cover the source's maximum
+    * re-delivery lag: a key's state lives until the watermark passes its
+    * first-seen ts + delay, and a duplicate arriving after that EMITS
+    * AGAIN (the eviction boundary StreamingSpec pins in-process with
+    * controlled per-batch watermarks). The fixture's duplicates span the
+    * dump's whole 29-day window, so the gate sets a 35-day horizon —
+    * under-sizing it would make the emitted set depend on which batch
+    * boundary the watermark crossed first, i.e. not oracle-expressible.
+    * State stays horizon-bounded, never stream-length-bounded: at 100 TB
+    * you size the delay to the producer's re-delivery window, not to the
+    * topic's retention.
     */
   def q61StreamDedup(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val deduped = eventsStream(s, dir)
+    val deduped = stagedStream(s, stageTimeSplit(s, dir, "q61"))
       .select($"user_id", $"event_type", $"ts")
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", "35 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select($"user_id", $"event_type")
     val out = Files.createTempDirectory("graft-q61-out").toString
@@ -681,6 +766,7 @@ object StreamGateQueries {
       .format("parquet")
       .start(out)
     query.awaitTermination()
+    requireMultiBatch(query, "q61")
     s.read.parquet(out).orderBy($"user_id", $"event_type")
   }
 
@@ -699,6 +785,11 @@ object StreamGateQueries {
     * — which the oracle recomputes with plain grouped SQL. The map
     * explodes to (event_type, n_type) rows and the top-k list flattens
     * to columns, keeping the comparison in exact scalar types.
+    * (Deliberately single-batch: update-mode re-emits a user's profile in
+    * EVERY batch that touches the user, so a multi-batch feed emits
+    * interim snapshots — latest-wins compaction downstream, not a fixed
+    * oracle set; the cross-batch MapState/ListState accumulation is
+    * pinned by StreamingSpec's multi-batch law instead.)
     */
   def q64UserProfile(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
@@ -719,9 +810,12 @@ object StreamGateQueries {
         batch
           .select($"user_id", $"n_events",
             explode($"type_counts").as(Seq("event_type", "n_type")),
-            element_at($"top_values", 1).as("top1"),
-            element_at($"top_values", 2).as("top2"),
-            element_at($"top_values", 3).as("top3"))
+            // try_element_at: a user with fewer than k events has a short
+            // top_values list, and ANSI element_at would throw where the
+            // oracle's (array_agg(...))[k] yields NULL
+            try_element_at($"top_values", lit(1)).as("top1"),
+            try_element_at($"top_values", lit(2)).as("top2"),
+            try_element_at($"top_values", lit(3)).as("top3"))
           .write.mode("append").parquet(out)
       }
       .start()

@@ -16,7 +16,7 @@ import org.scalatest.BeforeAndAfterAll
   * individual hot paths; this sweep pins the RULE, so a convenience
   * UDF slipping into any future query fails the suite by name.
   *
-  * Streaming-harness gates (q33/q49/q52/q54/q55/q58-q61) are skipped:
+  * Streaming-harness gates (q33/q49/q52/q54/q55/q58–q64) are skipped:
   * their builders run a full streaming query on construction, and their
   * plans are pinned by their own specs + oracles.
   */
