@@ -85,6 +85,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.flatMap(_._4).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, med, _, None) => med }.sum
+    // min_total (sum of per-query minima) rides the headline so a
+    // co-tenant-stalled run is self-adjudicating from the 4 KB stdout
+    // tail alone: BENCH_r08 reported a 494.98 s median-total whose own
+    // detail showed a ~55 s min-sum — total >> min_total means load
+    // skew, not a code regression (re-run on a quiet box to confirm)
+    val minTotal = results.collect { case (_, _, mn, None) => mn }.sum
     // 1-minute system load BEFORE this bench's own threads inflate it is
     // gone by now, so report the current one: co-tenant contention on the
     // bench box has been observed to move totals 3-5x between runs
@@ -95,11 +101,11 @@ object Bench {
     // final stdout line carries just the headline (≤ ~300 bytes); the
     // full per-query median/min maps go to a detail file and stderr.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_detail.json"), detail)
     System.err.println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

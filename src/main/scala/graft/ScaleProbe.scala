@@ -23,12 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val Probes = Seq(
+  private val AllProbes = Seq(
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
     "q51_bucketed_join", "q43_top_terms", "q16_neardup_lsh",
     // events-side workloads: per-key window dedup, native session
     // windows, and the KMV sketch (whose state must stay k per group
     // no matter how the input grows)
+    "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
+
+  // SPARK_GRAFT_PROBE_QUERIES=q03_...,q35_... probes a subset (and the
+  // fixture builder then materializes only the tables that subset reads
+  // — a 100x document corpus is expensive to write for an events-only run)
+  private val Probes = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(AllProbes)
+
+  private val DocProbes = Set(
+    "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
+    "q43_top_terms", "q16_neardup_lsh")
+  private val SalesProbes = Set("q51_bucketed_join")
+  private val EventProbes = Set(
     "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
 
   private val Shards =
@@ -48,38 +62,44 @@ object ScaleProbe {
       if (k == 0) c
       else translate(c, a1 + a2, rot(a1, k % 10) + rot(a2, k / 10))
 
-    val docs = Tables.documents(spark, base)
-    val docsN = (0 until Shards).map { k =>
-      docs.select(
-        ($"doc_id" + lit(k * 10000000L)).as("doc_id"),
-        shuffled(k, $"text").as("text"),
-        $"lang", $"source", $"n_chars")
-    }.reduce(_ unionByName _)
-    docsN.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (Probes.exists(DocProbes)) {
+      val docs = Tables.documents(spark, base)
+      val docsN = (0 until Shards).map { k =>
+        docs.select(
+          ($"doc_id" + lit(k * 10000000L)).as("doc_id"),
+          shuffled(k, $"text").as("text"),
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionByName _)
+      docsN.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
-    val li = Tables.lineitem(spark, base)
-    val liN = (0 until Shards).map { k =>
-      li.withColumn("l_orderkey", $"l_orderkey" + lit(k * 1000000000L))
-    }.reduce(_ unionByName _)
-    liN.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (Probes.exists(SalesProbes)) {
+      val li = Tables.lineitem(spark, base)
+      val liN = (0 until Shards).map { k =>
+        li.withColumn("l_orderkey", $"l_orderkey" + lit(k * 1000000000L))
+      }.reduce(_ unionByName _)
+      liN.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    val ord = Tables.orders(spark, base)
-    val ordN = (0 until Shards).map { k =>
-      ord.withColumn("o_orderkey", $"o_orderkey" + lit(k * 1000000000L))
-    }.reduce(_ unionByName _)
-    ordN.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val ord = Tables.orders(spark, base)
+      val ordN = (0 until Shards).map { k =>
+        ord.withColumn("o_orderkey", $"o_orderkey" + lit(k * 1000000000L))
+      }.reduce(_ unionByName _)
+      ordN.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
 
-    // events: read RAW (ts stays the nanos long under the session's
-    // nanosAsLong, and the rewrite stores it as a plain int64 —
-    // Tables.events' `ts div 1000` keeps working on the fixture).
-    // user_id shifts per shard so DISTINCT USERS scale with the data —
-    // the dimension that grows state for windows/sketches/sessions.
-    val ev = Tables(spark, base, "events")
-    val evN = (0 until Shards).map { k =>
-      ev.withColumn("event_id", $"event_id" + lit(k * 1000000000000L))
-        .withColumn("user_id", $"user_id" + lit(k * 100000000L))
-    }.reduce(_ unionByName _)
-    evN.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (Probes.exists(EventProbes)) {
+      // events: read RAW (ts stays the nanos long under the session's
+      // nanosAsLong, and the rewrite stores it as a plain int64 —
+      // Tables.events' `ts div 1000` keeps working on the fixture).
+      // user_id shifts per shard so DISTINCT USERS scale with the data —
+      // the dimension that grows state for windows/sketches/sessions.
+      val ev = Tables(spark, base, "events")
+      val evN = (0 until Shards).map { k =>
+        ev.withColumn("event_id", $"event_id" + lit(k * 1000000000000L))
+          .withColumn("user_id", $"user_id" + lit(k * 100000000L))
+      }.reduce(_ unionByName _)
+      evN.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -117,8 +137,14 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm codegen/classloading so pass 1 of the probe isn't a JVM probe
-    Probes.foreach(time(_, "/root/testdata/sf0.001"))
+    // warm codegen/classloading so pass 1 of the probe isn't a JVM probe;
+    // derived from the configured base (sibling sf0.001 when present) so
+    // a relocated SPARK_GRAFT_SF_DIR doesn't crash the warm-up
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", {
+      val sib = java.nio.file.Paths.get(base).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(sib)) sib.toString else base
+    })
+    Probes.foreach(time(_, warmDir))
 
     // interleave (1x, 10x) within each pass so a load spike or heap
     // phase hits both sides of a ratio, not one; min-of-passes per side

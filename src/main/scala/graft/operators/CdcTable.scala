@@ -1,13 +1,15 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** A Hudi-MoR-style upsertable lake table (SURVEY K10/S6/ST9; ref
   * `hudi/debezium_hudi_demo/`): a compacted, hive-partitioned parquet
-  * **base** plus an append-only parquet **log** of pending change images.
+  * **base** plus an append-only **log** of pending change-image commits.
   *
   *  - [[upsert]] appends a change batch to the log — the cheap write path,
   *    Hudi's delta commit; it is the `foreachBatch` body for a streaming
@@ -16,12 +18,37 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    compaction, exactly the Hudi read-optimized contract.
   *  - [[realTime]] (`_rt`) merges base ∪ log at read with the W3
   *    last-write-wins window — the Hudi real-time contract.
-  *  - [[compact]] folds the log into a rewritten base and clears it.
+  *  - [[compact]] folds the log into a rewritten base.
   *
   * Storage keeps Debezium *rewrite-mode* images: tombstones stay as rows
   * flagged `__deleted='true'` (the reference demos query them:
   * `moma_debezium_hudi_demo.ipynb` cells 17-20); readers choose
   * [[CdcMerge.Drop]] when they want hard-delete visibility.
+  *
+  * == Concurrency: versioned base + atomic pointer (mini-timeline) ==
+  *
+  * The base lives at `base_v<N>` and the log as per-commit `delta_<seq>`
+  * dirs; a one-line pointer file (`_meta`: live base version + the seq
+  * the base has folded) is committed with an ATOMIC rename, which is the
+  * linearization point of every table-state change — the Hudi timeline
+  * contract in miniature. A reader resolves the pointer ONCE when its
+  * DataFrame is built and from then on holds immutable files: compaction
+  * writes a NEW `base_v<N+1>` and never touches the version a reader may
+  * hold, so a `realTime()` plan built before a concurrent [[compact]]
+  * still executes correctly after it (pinned by CdcLakeSpec's snapshot
+  * law). Superseded artifacts (the previous base version, already-folded
+  * deltas) are retained for ONE more table-state change and cleaned by
+  * the next one — the Hudi cleaner's retain-N-commits policy with N=1:
+  * readers must materialize within one compaction cycle, after which
+  * their snapshot may be garbage-collected. WRITES stay single-writer
+  * ([[bulkInsert]]/[[upsert]]/[[compact]] must not race each other),
+  * Hudi's own default; only reader-vs-compaction is lock-free.
+  *
+  * Crash safety: a crash before the pointer commit leaves the old
+  * pointer → the old base + log remain the readable truth (the orphan
+  * `base_v<N+1>` is overwritten by the next attempt); a crash after
+  * leaves the new state committed and only superseded artifacts behind.
+  * A missing base can never be observed.
   *
   * Scale notes: the merge shuffles once, globally, on the record key —
   * GLOBAL_BLOOM semantics (`deltastreamer_artists_file_based_schema
@@ -39,35 +66,79 @@ class CdcTable(
     orderingCols: Seq[String],
     partitionCol: String) {
 
-  private val baseDir = s"$root/base"
   private val logDir = s"$root/log"
+  private val metaFile = Paths.get(s"$root/_meta")
 
-  private def merge(df: DataFrame, mode: CdcMerge.DeleteMode): DataFrame =
-    CdcMerge.mergeByKey(keyCols, orderingCols, deleteMode = mode)(df)
+  private def baseDir(v: Long): String = s"$root/base_v$v"
 
-  private def hasLog: Boolean = {
+  /** (live base version, log seq folded into it); (0, 0) = no base yet. */
+  private def meta: (Long, Long) =
+    if (Files.exists(metaFile)) {
+      val Array(v, c) = Files.readString(metaFile).trim.split(" ").map(_.toLong)
+      (v, c)
+    } else (0L, 0L)
+
+  /** Atomic pointer commit — the linearization point of bulkInsert and
+    * compact: readers see the old (base, fold point) or the new one,
+    * never an intermediate.
+    */
+  private def commitMeta(v: Long, c: Long): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(s"$root/_meta.tmp")
+    Files.writeString(tmp, s"$v $c")
+    Files.move(tmp, metaFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deltaSeq(p: Path): Long =
+    p.getFileName.toString.stripPrefix("delta_").toLong
+
+  private def deltaDirs: Seq[Path] = {
     val p = Paths.get(logDir)
-    Files.exists(p) && {
+    if (!Files.exists(p)) Seq.empty
+    else {
       val st = Files.list(p)
-      try st.anyMatch(f => f.toString.endsWith(".parquet"))
+      try st.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("delta_")).sortBy(deltaSeq)
       finally st.close() // Files.list holds a directory fd until closed
     }
   }
 
+  /** Delta commits not yet folded into base version with fold point `c`. */
+  private def pendingDeltas(c: Long): Seq[Path] = deltaDirs.filter(deltaSeq(_) > c)
+
+  /** The cleaner (retain-one-commit): called AFTER a pointer commit with
+    * the state that was already superseded BEFORE this change — so every
+    * artifact survives exactly one extra table-state change for in-flight
+    * readers.
+    */
+  private def clean(prevV: Long, prevC: Long): Unit = {
+    (1L until prevV).foreach(v => deleteRecursively(Paths.get(baseDir(v))))
+    deltaDirs.filter(deltaSeq(_) <= prevC).foreach(deleteRecursively)
+  }
+
+  private def merge(df: DataFrame, mode: CdcMerge.DeleteMode): DataFrame =
+    CdcMerge.mergeByKey(keyCols, orderingCols, deleteMode = mode)(df)
+
   /** Initial bulk load (ref `deltastreamer_jobs_bulk.sh` `--op BULK_INSERT`
     * `--filter-dupes`): pre-merged so the base starts clean. Resets the
-    * table: any pending log from a previous incarnation is discarded.
+    * table: any pending log is discarded (marked folded without being
+    * merged — the files themselves get one cleaner cycle of grace).
     */
   def bulkInsert(changelog: DataFrame): Unit = {
-    deleteRecursively(Paths.get(logDir))
+    val (v, c) = meta
+    val discardThrough = (deltaDirs.map(deltaSeq) :+ c).max
     merge(changelog, CdcMerge.Rewrite).write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
-      .parquet(baseDir)
+      .parquet(baseDir(v + 1))
+    commitMeta(v + 1, discardThrough)
+    clean(v, c)
   }
 
-  /** Append a change batch to the log (delta commit / `--op UPSERT
-    * --continuous` per-trigger write). O(batch) I/O, no base rewrite.
+  /** Append a change batch to the log as the next delta commit
+    * (`--op UPSERT --continuous` per-trigger write). O(batch) I/O, no
+    * base rewrite.
     *
     * Additive schema evolution (the Hudi DeltaStreamer contract this
     * table models: schema-provider indirection lets successive runs carry
@@ -83,13 +154,17 @@ class CdcTable(
     val missing = required.filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"change batch is missing merge-critical column(s) ${missing.mkString(",")}")
-    batch.write.mode(SaveMode.Append).parquet(logDir)
+    val next = (deltaDirs.map(deltaSeq) :+ meta._2).max + 1
+    batch.write.mode(SaveMode.Overwrite).parquet(f"$logDir/delta_$next%06d")
   }
 
   /** `_ro` view: the compacted base only — fast, possibly stale. */
-  def readOptimized: DataFrame = spark.read.parquet(baseDir)
+  def readOptimized: DataFrame = spark.read.parquet(baseDir(meta._1))
 
   /** `_rt` view: base ∪ pending log merged at read, latest image per key.
+    * The (base version, fold point) snapshot is resolved HERE, once — the
+    * returned plan stays valid across a concurrent [[compact]] (see the
+    * class doc's reader contract).
     *
     * Schema = base ∪ log columns: the log is read with `mergeSchema` (log
     * batches may themselves have evolved between commits) and unioned by
@@ -99,35 +174,35 @@ class CdcTable(
     * column ORDER is the base's, with evolved columns appended.
     */
   def realTime(mode: CdcMerge.DeleteMode = CdcMerge.Rewrite): DataFrame = {
-    val base = readOptimized
+    val (v, c) = meta
+    val base = spark.read.parquet(baseDir(v))
+    val pend = pendingDeltas(c)
     val all =
-      if (hasLog)
-        base.unionByName(
-          spark.read.option("mergeSchema", "true").parquet(logDir),
-          allowMissingColumns = true)
-      else base
+      if (pend.isEmpty) base
+      else base.unionByName(
+        spark.read.option("mergeSchema", "true")
+          .parquet(pend.map(_.toString): _*),
+        allowMissingColumns = true)
     merge(all, mode)
   }
 
-  /** Fold the log into the base (Hudi compaction): after this,
-    * `_ro == _rt`. Writes to a scratch dir first, then swaps via rename —
-    * the old base is moved aside BEFORE the new one moves in and deleted
-    * only after, so a crash at any point leaves either the old table
-    * (+ log) or the new one readable, never a missing base.
+  /** Fold the pending log into a NEW base version (Hudi compaction):
+    * after this, `_ro == _rt`. The rewritten base lands at `base_v<N+1>`,
+    * the pointer commit makes it live atomically, and the cleaner then
+    * removes only what was ALREADY superseded before this compaction —
+    * the previous base version and the deltas it had folded stay on disk
+    * for one more cycle, so in-flight readers are never broken.
     */
   def compact(): Unit = {
-    if (!hasLog) return
-    val tmp = s"$root/base_compacting"
-    val old = s"$root/base_old"
+    val (v, c) = meta
+    val pend = pendingDeltas(c)
+    if (pend.isEmpty) return
     realTime(CdcMerge.Rewrite).write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
-      .parquet(tmp)
-    deleteRecursively(Paths.get(old)) // leftover from a prior crash
-    Files.move(Paths.get(baseDir), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(baseDir))
-    deleteRecursively(Paths.get(old))
-    deleteRecursively(Paths.get(logDir))
+      .parquet(baseDir(v + 1))
+    commitMeta(v + 1, pend.map(deltaSeq).max)
+    clean(v, c)
   }
 
   /** Register the Hudi-style `<name>_ro` / `<name>_rt` temp view pair

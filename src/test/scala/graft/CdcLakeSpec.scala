@@ -164,6 +164,41 @@ class CdcLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("snapshot isolation: a reader plan built before compact() still executes after it") {
+    val t = newTable()
+    t.bulkInsert(img(
+      (1L, "A", "American", "false", 10L),
+      (2L, "B", "British", "false", 10L)))
+    t.upsert(img((1L, "A2", "American", "false", 20L)))
+
+    // plans built BEFORE compaction: they resolved the (base version,
+    // fold point) snapshot at construction and hold immutable files
+    val rtBefore = t.realTime(CdcMerge.Drop)
+    val roBefore = t.readOptimized
+    val expectRt = Set(1L -> "A2", 2L -> "B")
+    val expectRo = Set(1L -> "A", 2L -> "B")
+
+    t.compact() // writes base_v2, retires base_v1 + delta (one-cycle grace)
+
+    def ids(df: DataFrame): Set[(Long, String)] =
+      df.select(col("artist_id"), col("name")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+    // the in-flight snapshots MUST still be fully readable — compaction
+    // never unlinks a version a reader may hold
+    assert(ids(rtBefore) === expectRt)
+    assert(ids(roBefore) === expectRo)
+    // and a fresh reader sees the compacted state
+    assert(ids(t.readOptimized) === expectRt)
+
+    // the cleaner's retain-one contract: the NEXT table-state change
+    // garbage-collects the superseded version, so a snapshot older than
+    // one compaction cycle is no longer guaranteed
+    t.upsert(img((2L, "B2", "British", "false", 30L)))
+    t.compact()
+    assert(ids(t.readOptimized) === Set(1L -> "A2", 2L -> "B2"))
+    intercept[Exception] { ids(roBefore) } // base_v1 is gone now
+  }
+
   test("merge laws: idempotence, incremental == full, stale batch cannot regress") {
     val ss = spark; import ss.implicits._
     val rowGen = for {

@@ -73,6 +73,38 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(digest(1) === digest(7) && digest(7) === digest(32))
   }
 
+  test("retry determinism: re-executing a kept-set plan, at any partitioning, keeps the SAME rows") {
+    val ss = spark; import ss.implicits._
+    // the q37/q56 decision shape: keep iff uniform01(id) < rate. At
+    // 100 TB this plan's tasks are retried and speculatively duplicated;
+    // the engine is allowed to recompute ANY partition at ANY time, so
+    // the kept set must be a pure function of row values — never of
+    // execution (RNG state, partition index, evaluation order).
+    val ids = (0L until 4000L).toDF("doc_id")
+    def kept(parts: Int) = ids.repartition(parts, $"doc_id")
+      .filter(Sampling.uniform01($"doc_id") < 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    val first = kept(32)
+    assert(kept(32) === first, "same plan, second execution")  // re-run = retry
+    assert(kept(1) === first, "single-partition execution")
+    assert(kept(7) === first, "re-sharded execution")
+    assert(first.nonEmpty && first.size < 4000)
+
+    // the q57 shape: per-group cap keeping the K smallest hashes — the
+    // rank decision must be just as execution-independent as the filter
+    val grouped = ids.withColumn("src", ($"doc_id" % 5).cast("string"))
+    def capped(parts: Int): Set[(String, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src").orderBy(Sampling.hash60($"doc_id"), $"doc_id")
+      grouped.repartition(parts, $"doc_id")
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 20)
+        .select($"src", $"doc_id").as[(String, Long)].collect().toSet
+    }
+    val cap1 = capped(32)
+    assert(capped(32) === cap1 && capped(3) === cap1)
+    assert(cap1.size === 100) // 5 sources x 20 kept
+  }
+
   test("string and long spellings of the same value hash identically") {
     val ss = spark; import ss.implicits._
     // hash60 casts to string: hashing doc_id (long) and its decimal
