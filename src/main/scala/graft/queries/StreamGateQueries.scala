@@ -785,18 +785,24 @@ object StreamGateQueries {
     * — which the oracle recomputes with plain grouped SQL. The map
     * explodes to (event_type, n_type) rows and the top-k list flattens
     * to columns, keeping the comparison in exact scalar types.
-    * (Deliberately single-batch: update-mode re-emits a user's profile in
-    * EVERY batch that touches the user, so a multi-batch feed emits
-    * interim snapshots — latest-wins compaction downstream, not a fixed
-    * oracle set; the cross-batch MapState/ListState accumulation is
-    * pinned by StreamingSpec's multi-batch law instead.)
+    *
+    * Multi-batch harness: with the staged time-split feed, update mode
+    * re-emits a user's snapshot in EVERY batch that touches the user —
+    * the topic-sink re-emission stream. The sink tags each snapshot with
+    * its batch id, and the read-back keeps only each user's LATEST
+    * snapshot (the W3 latest-wins window — exactly the downstream
+    * compaction the reference's summary-topic consumers run, `07_batch_
+    * read_kafka_kafka_dedupe.py:65-75`). A user's last snapshot carries
+    * the full accumulated MapState/ListState profile, so the compacted
+    * set equals the final profile — the same oracle, now proven through
+    * cross-batch state accumulation AND re-emission semantics at once.
     */
   def q64UserProfile(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
     import s.implicits._
-    val events = eventsStream(s, dir)
+    val events = stagedStream(s, stageTimeSplit(s, dir, "q64"))
       .select($"user_id", $"event_type", $"value")
     val profiles = StreamJobs.profileTws(events)
     val out = Files.createTempDirectory("graft-q64-out").toString
@@ -806,7 +812,7 @@ object StreamGateQueries {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ck)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
           .select($"user_id", $"n_events",
             explode($"type_counts").as(Seq("event_type", "n_type")),
@@ -816,11 +822,17 @@ object StreamGateQueries {
             try_element_at($"top_values", lit(1)).as("top1"),
             try_element_at($"top_values", lit(2)).as("top2"),
             try_element_at($"top_values", lit(3)).as("top3"))
+          .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(out)
       }
       .start()
     query.awaitTermination()
+    requireMultiBatch(query, "q64")
+    // latest-wins compaction over the re-emission stream: each user's
+    // newest snapshot IS the profile (W3 over the topic dump)
+    val latest = max($"batch_id").over(Window.partitionBy($"user_id"))
     s.read.parquet(out)
+      .withColumn("_latest", latest).filter($"batch_id" === $"_latest")
       .select($"user_id", $"event_type", $"n_type", $"n_events",
         $"top1", $"top2", $"top3")
       .orderBy($"user_id", $"event_type")
