@@ -40,10 +40,11 @@ object SparkEntry {
   // The streaming-harness gates — q33 (streaming CDC), q49 (append-mode
   // streaming), q52/q54/q55/q59 (stream-stream join modes), q58/q62
   // (sessionization, v1 and transformWithState), q60/q63 (chained
-  // stateful), q61 (stream dedup), q64 (state-v2 profile) — are
-  // deliberately absent: their wall time is dominated by the harness
-  // (file-stream setup, checkpoint + micro-batch scheduling), not
-  // engine work.
+  // stateful), q61 (stream dedup), q64 (state-v2 profile), q65
+  // (checkpoint restart) — are deliberately absent: their wall time is
+  // dominated by the harness (file-stream setup, checkpoint +
+  // micro-batch scheduling), not engine work; StreamBench measures
+  // streaming throughput separately.
   val benchQueries: Seq[String] = Seq(
     "q01_pricing_summary",
     "q02_top_nation_revenue",

@@ -22,9 +22,13 @@ import graft.streaming.StreamJobs
   *                    (in-memory + snapshot) provider
   *   - fmgws_rocksdb: the same operator on RocksDB
   *   - tws_rocksdb:   transformWithState + explicit timers on RocksDB
-  *                    (the provider TWS requires — and the memory-bounded,
-  *                    changelog-checkpointed backend a 100 TB streaming
-  *                    deployment actually runs)
+  *                    (the provider TWS requires — and the memory-bounded
+  *                    backend a 100 TB streaming deployment actually runs)
+  *   - tws_rocksdb_changelog: ditto with CHANGELOG checkpointing —
+  *                    incremental changelog upload instead of full
+  *                    snapshots, the recovery-cost strategy at large
+  *                    state; its steady-state throughput cost is what
+  *                    this variant prices
   *
   * Not a driver gate — run manually (`runMain graft.StreamBench`);
   * numbers are recorded in COVERAGE.md. Methodology follows Bench:
@@ -75,8 +79,11 @@ object StreamBench {
     val Rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-    def run(provider: String, tws: Boolean): Double = Confs.withConf(spark,
-      "spark.sql.streaming.stateStore.providerClass" -> provider) {
+    def run(provider: String, tws: Boolean, changelog: Boolean = false): Double =
+      Confs.withConf(spark,
+        "spark.sql.streaming.stateStore.providerClass" -> provider,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          changelog.toString) {
       val events = spark.readStream
         .schema(eventsSchema)
         .parquet(fixture)
@@ -100,15 +107,16 @@ object StreamBench {
     }
 
     val variants = Seq(
-      ("fmgws_hdfs", Hdfs, false),
-      ("fmgws_rocksdb", Rocks, false),
-      ("tws_rocksdb", Rocks, true))
+      ("fmgws_hdfs", Hdfs, false, false),
+      ("fmgws_rocksdb", Rocks, false, false),
+      ("tws_rocksdb", Rocks, true, false),
+      ("tws_rocksdb_changelog", Rocks, true, true))
 
-    variants.foreach { case (_, p, t) => run(p, t) } // warm-up (codegen, classes)
+    variants.foreach { case (_, p, t, c) => run(p, t, c) } // warm-up (codegen, classes)
     val samples = (1 to passes).map { _ =>
-      variants.map { case (name, p, t) => name -> run(p, t) }
+      variants.map { case (name, p, t, c) => name -> run(p, t, c) }
     }
-    val out = variants.map { case (name, _, _) =>
+    val out = variants.map { case (name, _, _, _) =>
       val ts = samples.map(_.find(_._1 == name).get._2).sorted
       (name, ts(ts.size / 2), ts.head)
     }

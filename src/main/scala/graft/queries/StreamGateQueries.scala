@@ -1,7 +1,9 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.nio.file.attribute.FileTime
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -376,10 +378,11 @@ object StreamGateQueries {
     * (a regression to single-batch delivery fails the gate loudly, not by
     * silently weakening what it proves).
     */
-  private def requireMultiBatch(query: StreamingQuery, name: String): Unit = {
+  private def requireMultiBatch(
+      query: StreamingQuery, name: String, min: Int = 3): Unit = {
     val dataBatches = query.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches >= 3,
-      s"$name must process >= 3 data micro-batches, got $dataBatches")
+    require(dataBatches >= min,
+      s"$name must process >= $min data micro-batches, got $dataBatches")
   }
 
   /** q58 — custom-state streaming sessionization through the REAL engine
@@ -853,6 +856,63 @@ object StreamGateQueries {
       |FROM tc JOIN tv ON tv.user_id = tc.user_id
       |ORDER BY tc.user_id, tc.event_type""".stripMargin
 
+  /** q65 — CHECKPOINT RESTART through the multi-batch harness: the q58
+    * sessionization pipeline run as TWO separate streaming queries over
+    * the SAME checkpoint and sink, with the topic growing between them —
+    * the deterministic restart shape (no kill-timing races): 6 staged
+    * time-split files, 3 admitted before run 1 (AvailableNow drains them
+    * and terminates), 3 more moved in before run 2. Run 2 must restore
+    * offsets, the event-time WATERMARK, and every open session's
+    * FMGWS state row + timeout from the checkpoint, process only the new
+    * files, and emit exactly the remaining sessions — the gated union of
+    * both runs meets q58's oracle verbatim. Exactly-once end to end: the
+    * source's seen-files log dedups input across restarts and the parquet
+    * sink's `_spark_metadata` manifest commits output batches atomically
+    * (the read-back honors it). Timer-vs-restart commutes for the same
+    * reason mid-stream timers do (q58's scaladoc): run 1's final no-data
+    * batch fires timeouts below `max(run-1 ts) − delay`, and every run-2
+    * event is above that watermark, so a restart boundary can never split
+    * a session the batch oracle keeps whole.
+    */
+  def q65RestartSessionize(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    val staged = Paths.get(stageTimeSplit(s, dir, "q65", n = 6))
+    val live = Files.createTempDirectory("graft-q65-live")
+    val names = {
+      val st = Files.list(staged)
+      try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally st.close()
+    }
+    val out = Files.createTempDirectory("graft-q65-out").toString
+    val ck = Files.createTempDirectory("graft-q65-ck").toString
+    def runOnce(tag: String): Unit = {
+      val events = stagedStream(s, live.toString)
+        .select($"user_id", $"ts", $"value")
+        .withWatermark("ts", "10 minutes")
+      val query = StreamJobs.sessionize(events, gapMinutes = 360).toDF()
+        .select($"user_id",
+          unix_millis($"session_start").as("session_start_ms"),
+          unix_millis($"session_end").as("session_end_ms"),
+          $"events".as("n_events"))
+        .writeStream
+        .queryName(s"q65_restart_sessionize_$tag")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .format("parquet")
+        .start(out)
+      query.awaitTermination()
+      requireMultiBatch(query, s"q65 $tag")
+    }
+    val (first, rest) = names.splitAt(3)
+    first.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
+    runOnce("run1")
+    rest.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
+    runOnce("run2")
+    s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
@@ -864,7 +924,8 @@ object StreamGateQueries {
     "q61_stream_dedup" -> (q61StreamDedup _),
     "q62_sessionize_tws" -> (q62SessionizeTws _),
     "q63_dedup_join_window" -> (q63DedupJoinWindow _),
-    "q64_user_profile" -> (q64UserProfile _))
+    "q64_user_profile" -> (q64UserProfile _),
+    "q65_restart_sessionize" -> (q65RestartSessionize _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -880,5 +941,8 @@ object StreamGateQueries {
     // dedup on unique ids is a no-op and adds no event-time delay: the
     // 3-op chain must reproduce the 2-op chain's result exactly
     "q63_dedup_join_window" -> q60Oracle,
-    "q64_user_profile" -> q64Oracle)
+    "q64_user_profile" -> q64Oracle,
+    // a restart between micro-batches must be invisible in the result:
+    // the two-run union meets the single-run sessionization oracle
+    "q65_restart_sessionize" -> q58Oracle)
 }
