@@ -341,12 +341,25 @@ object StreamGateQueries {
     * a real topic already arrives in ingestion order.)
     */
   private def stageTimeSplit(
-      s: SparkSession, dir: String, tag: String, n: Int = 4): String = {
+      s: SparkSession, dir: String, tag: String, n: Int = 4,
+      jitterMinutes: Int = 0): String = {
     import s.implicits._
     val staged = Files.createTempDirectory(s"graft-$tag-src")
+    // jitterMinutes > 0 staggers the split: each event's FILE assignment
+    // is decided by `ts − (event_id % 3) · jitter`, so consecutive files
+    // OVERLAP by up to 2·jitter of event time and the stream arrives
+    // genuinely OUT OF ORDER — but an event in file k+1 still carries
+    // `ts ≥ maxSortKey(file k) ≥ max ts(files ≤ k) − 2·jitter`, so as
+    // long as 2·jitter < the watermark delay nothing is ever dropped:
+    // the real production shape (disorder bounded by the tolerance),
+    // with the same watermark-determined result set
+    val jitterNs = jitterMinutes * 60L * 1000000000L
+    val sortKey =
+      if (jitterMinutes == 0) $"ts"
+      else $"ts" - ($"event_id" % 3) * lit(jitterNs)
     val slices = s.read.option("basePath", dir).parquet(s"$dir/events*.parquet")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
-      .withColumn("_slice", ntile(n).over(Window.orderBy($"ts", $"event_id")))
+      .withColumn("_slice", ntile(n).over(Window.orderBy(sortKey, $"event_id")))
     (1 to n).foreach { i =>
       val part = Files.createTempDirectory(s"graft-$tag-part")
       slices.filter($"_slice" === i).drop("_slice")
@@ -856,6 +869,99 @@ object StreamGateQueries {
       |FROM tc JOIN tv ON tv.user_id = tc.user_id
       |ORDER BY tc.user_id, tc.event_type""".stripMargin
 
+  /** q66 — q49's append-mode windowed aggregation over a DISORDERED
+    * multi-batch feed: the staged split is jittered so consecutive files
+    * overlap by up to 6 minutes of event time — events genuinely arrive
+    * out of order across micro-batches, late relative to the stream's
+    * high-water mark but INSIDE the 10-minute watermark tolerance. This
+    * is the production shape the time-ordered gates can't exercise, and
+    * it pins the tolerance semantics themselves: a within-tolerance late
+    * event carries `ts ≥ watermark`, so the windows it lands in satisfy
+    * `end > ts ≥ watermark` — still OPEN, by construction un-closeable
+    * before the event arrives — and it is counted, never dropped. The
+    * emitted set therefore stays exactly the final-watermark-closed set:
+    * q49's oracle, verbatim, over a shuffled feed. (Disorder BEYOND the
+    * tolerance is the complementary case: those rows drop, pinned by
+    * StreamingSpec's late-data law where per-batch watermarks are
+    * controllable.)
+    */
+  def q66DisorderedWindowSales(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    val events = stagedStream(s, stageTimeSplit(s, dir, "q66", jitterMinutes = 3))
+    val out = Files.createTempDirectory("graft-q66-out").toString
+    val ck = Files.createTempDirectory("graft-q66-ck").toString
+    val query = StreamJobs.slidingWindowSales(events)
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        $"event_type", $"sales", $"orders")
+      .writeStream
+      .queryName("q66_disordered_window_sales")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    requireMultiBatch(query, "q66")
+    s.read.parquet(out).orderBy($"window_start", $"event_type")
+  }
+
+  /** q67 — the q60 attribution chain (stream–stream interval join →
+    * tumbling-window agg) over the DISORDERED feed, extending q66's
+    * within-tolerance disorder to BOTH stateful-operator shapes at once.
+    * No match can be missed under bounded disorder: when the purchase
+    * arrives, `wm < r_ts ≤ l_ts + interval`, so its click is still
+    * buffered (left eviction needs `wm ≥ l_ts + interval`); the
+    * symmetric argument covers a click arriving after its purchase. And
+    * no joined row is ever late at the agg (`r_ts > wm ≥ propagated
+    * watermark` at emission). The final watermark is jitter-invariant
+    * (max per-side ts unchanged), so q60's closed-window oracle holds
+    * verbatim over the shuffled feed, and the runtime must still report
+    * both stateful operators.
+    */
+  def q67DisorderedAttribution(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    val staged = stageTimeSplit(s, dir, "q67", jitterMinutes = 3)
+    def side(kind: String, p: String, extra: Column*): DataFrame = stagedStream(s, staged)
+      .filter($"event_type" === kind)
+      .select(Seq(
+        $"event_id".as(s"${p}_id"),
+        $"user_id".as(s"${p}_k"),
+        $"ts".as(s"${p}_ts")) ++ extra: _*)
+    val joined = StreamJobs.streamStreamCorrelate(
+      side("click", "l"),
+      side("purchase", "r", $"value".as("r_value")),
+      window = "10 minutes", delay = "10 minutes")
+    val agg = joined
+      .groupBy(window($"r_ts", "10 minutes"))
+      .agg(
+        count(lit(1)).as("n_attributed"),
+        sum($"r_value".cast(DecimalType(12, 2))).cast("double").as("attributed_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        $"n_attributed", $"attributed_value")
+    val out = Files.createTempDirectory("graft-q67-out").toString
+    val ck = Files.createTempDirectory("graft-q67-ck").toString
+    val query = agg.writeStream
+      .queryName("q67_disordered_attribution")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.size == 2,
+      s"q67 must execute two chained stateful operators, got $stateful")
+    requireMultiBatch(query, "q67")
+    s.read.parquet(out).orderBy($"window_start")
+  }
+
   /** q65 — CHECKPOINT RESTART through the multi-batch harness: the q58
     * sessionization pipeline run as TWO separate streaming queries over
     * the SAME checkpoint and sink, with the topic growing between them —
@@ -925,7 +1031,9 @@ object StreamGateQueries {
     "q62_sessionize_tws" -> (q62SessionizeTws _),
     "q63_dedup_join_window" -> (q63DedupJoinWindow _),
     "q64_user_profile" -> (q64UserProfile _),
-    "q65_restart_sessionize" -> (q65RestartSessionize _))
+    "q65_restart_sessionize" -> (q65RestartSessionize _),
+    "q66_disordered_window_sales" -> (q66DisorderedWindowSales _),
+    "q67_disordered_attribution" -> (q67DisorderedAttribution _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -944,5 +1052,9 @@ object StreamGateQueries {
     "q64_user_profile" -> q64Oracle,
     // a restart between micro-batches must be invisible in the result:
     // the two-run union meets the single-run sessionization oracle
-    "q65_restart_sessionize" -> q58Oracle)
+    "q65_restart_sessionize" -> q58Oracle,
+    // disorder inside the watermark tolerance must be invisible too:
+    // the shuffled feed meets the ordered feed's oracle
+    "q66_disordered_window_sales" -> q49Oracle,
+    "q67_disordered_attribution" -> q60Oracle)
 }
