@@ -908,6 +908,46 @@ object StreamGateQueries {
     s.read.parquet(out).orderBy($"window_start", $"event_type")
   }
 
+  /** q68 — custom-state sessionization over the DISORDERED feed: the
+    * hardest disorder case, because FMGWS state is ORDER-SENSITIVE
+    * (unlike q66's commutative aggregation and q67's set-shaped join).
+    * A within-tolerance late event can be OLDER than its open session's
+    * first event, and the session must extend BACKWARDS (`min` on start
+    * — the bug this gate guards; StreamingSpec pins the deterministic
+    * two-batch repro on both state APIs). Correct island structure under
+    * bounded disorder: a same-island pair can never be separated by a
+    * timer (the timer needs `wm > last + gap`, and the late member
+    * carries `ts ≤ last + gap < wm` — a dropped row, excluded by the
+    * no-drop bound), and different islands can never merge (that needs
+    * arrival disorder ≥ the 6 h gap; the staged feed's is ≤ 6 min). So
+    * q58's oracle holds verbatim over the shuffled feed.
+    */
+  def q68DisorderedSessionize(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    val events = stagedStream(s, stageTimeSplit(s, dir, "q68", jitterMinutes = 3))
+      .select($"user_id", $"ts", $"value")
+      .withWatermark("ts", "10 minutes")
+    val sessions = StreamJobs.sessionize(events, gapMinutes = 360)
+    val out = Files.createTempDirectory("graft-q68-out").toString
+    val ck = Files.createTempDirectory("graft-q68-ck").toString
+    val query = sessions.toDF()
+      .select($"user_id",
+        unix_millis($"session_start").as("session_start_ms"),
+        unix_millis($"session_end").as("session_end_ms"),
+        $"events".as("n_events"))
+      .writeStream
+      .queryName("q68_disordered_sessionize")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet")
+      .start(out)
+    query.awaitTermination()
+    requireMultiBatch(query, "q68")
+    s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
+  }
+
   /** q67 — the q60 attribution chain (stream–stream interval join →
     * tumbling-window agg) over the DISORDERED feed, extending q66's
     * within-tolerance disorder to BOTH stateful-operator shapes at once.
@@ -1033,7 +1073,8 @@ object StreamGateQueries {
     "q64_user_profile" -> (q64UserProfile _),
     "q65_restart_sessionize" -> (q65RestartSessionize _),
     "q66_disordered_window_sales" -> (q66DisorderedWindowSales _),
-    "q67_disordered_attribution" -> (q67DisorderedAttribution _))
+    "q67_disordered_attribution" -> (q67DisorderedAttribution _),
+    "q68_disordered_sessionize" -> (q68DisorderedSessionize _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -1056,5 +1097,6 @@ object StreamGateQueries {
     // disorder inside the watermark tolerance must be invisible too:
     // the shuffled feed meets the ordered feed's oracle
     "q66_disordered_window_sales" -> q49Oracle,
-    "q67_disordered_attribution" -> q60Oracle)
+    "q67_disordered_attribution" -> q60Oracle,
+    "q68_disordered_sessionize" -> q58Oracle)
 }

@@ -93,6 +93,16 @@ object StreamJobs {
     * `withWatermark("ts", ...)` — the timeout clock is the watermark.
     * Output (append): one row per CLOSED session.
     *
+    * Disorder contract: correct for arrival disorder bounded by the
+    * watermark delay, provided delay < gap (the usual configuration —
+    * here minutes vs hours). Within-batch disorder is sorted away;
+    * cross-batch, a within-tolerance late event merges into the open
+    * session extending EITHER bound (`min` on start / `max` on last —
+    * q68's gate and StreamingSpec's late-event law), islands can't be
+    * split by a timer racing a late member (it would be below the
+    * watermark), and islands can't merge (that needs disorder ≥ gap).
+    * Beyond-tolerance rows are dropped by the engine, as configured.
+    *
     * Scale: state is O(active users), bytes per key constant; the
     * shuffle is the groupByKey hash on user_id — the same key the CDC
     * merge and enrichment join already use, so co-partitioning is free
@@ -125,7 +135,12 @@ object StreamJobs {
             sorted.foreach { case (ts, v) =>
               cur match {
                 case Some(s) if ts - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, ts),
+                  // min on start: a within-tolerance LATE event (cross-batch
+                  // disorder bounded by the watermark delay < gap) may be
+                  // older than the restored session's first event — the
+                  // batch gaps-and-islands start is the min ts, so the
+                  // session start must extend backwards too (q68 pins this)
+                  cur = Some(SessionState(math.min(s.start, ts), math.max(s.last, ts),
                     s.events + 1, s.sales + v))
                 case Some(s) =>
                   closed ::= UserSession(user,
@@ -204,7 +219,8 @@ object StreamJobs {
       sorted.foreach { case (ts, v) =>
         cur match {
           case Some(s) if ts - s.last <= gapMs =>
-            cur = Some(SessionState(s.start, math.max(s.last, ts),
+            // min on start: same late-event rule as the v1 sessionizer
+            cur = Some(SessionState(math.min(s.start, ts), math.max(s.last, ts),
               s.events + 1, s.sales + v))
           case Some(s) =>
             out ::= closed(user, s)

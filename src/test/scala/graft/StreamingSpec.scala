@@ -432,6 +432,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sessionize extends a session BACKWARDS for a within-tolerance late event (both state APIs)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // cross-batch disorder bounded by the watermark delay (< gap): the
+    // late event is OLDER than the open session's first event, so the
+    // batch gaps-and-islands start is the late event's ts — the session
+    // must extend backwards, not just forwards (the bug q68 guards:
+    // keeping the stored start emits a session that never existed in
+    // the batch view)
+    def run(tws: Boolean, name: String): Set[(Long, String, String, Long, Double)] = {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val events = ms.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "10 minutes")
+      val sessions =
+        if (tws) graft.streaming.StreamJobs.sessionizeTws(events, gapMinutes = 30)
+        else graft.streaming.StreamJobs.sessionize(events, gapMinutes = 30)
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        ms.addData((1L, t(10, 10), 1.0))
+        q.processAllAvailable() // watermark -> 10:00
+        ms.addData((1L, t(10, 5), 2.0)) // late, but >= watermark: kept
+        q.processAllAvailable()
+        ms.addData((9L, t(23, 0), 0.0)) // watermark -> 22:50 closes user 1
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select($"user_id", date_format($"session_start", "HH:mm").as("s"),
+          date_format($"session_end", "HH:mm").as("e"), $"events", $"sales")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    }
+    val expected = Set((1L, "10:05", "10:10", 2L, 3.0))
+    assert(run(tws = false, "t_late_v1") === expected)
+    withConf("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
+      assert(run(tws = true, "t_late_tws") === expected)
+    }
+  }
+
   test("transformWithState sessionization equals flatMapGroupsWithState on the same feed") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
