@@ -22,7 +22,7 @@ object ExchangeAudit {
       "q61_stream_dedup", "q62_sessionize_tws", "q63_dedup_join_window",
       "q64_user_profile", "q65_restart_sessionize",
       "q66_disordered_window_sales", "q67_disordered_attribution",
-      "q68_disordered_sessionize")
+      "q68_disordered_sessionize", "q69_restart_sessionize_tws")
 
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")

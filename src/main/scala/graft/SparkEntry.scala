@@ -40,8 +40,8 @@ object SparkEntry {
   // The streaming-harness gates — q33 (streaming CDC), q49 (append-mode
   // streaming), q52/q54/q55/q59 (stream-stream join modes), q58/q62
   // (sessionization, v1 and transformWithState), q60/q63 (chained
-  // stateful), q61 (stream dedup), q64 (state-v2 profile), q65
-  // (checkpoint restart), q66/q67/q68 (disordered feeds) — are deliberately absent: their wall time is
+  // stateful), q61 (stream dedup), q64 (state-v2 profile), q65/q69
+  // (checkpoint restarts), q66/q67/q68 (disordered feeds) — are deliberately absent: their wall time is
   // dominated by the harness (file-stream setup, checkpoint +
   // micro-batch scheduling), not engine work; StreamBench measures
   // streaming throughput separately.

@@ -948,6 +948,58 @@ object StreamGateQueries {
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
+  /** q69 — q65's growing-topic restart on the OTHER state API and
+    * backend: `transformWithState` sessionization on RocksDB, stopped
+    * and restarted between micro-batches. Run 2 must reload every open
+    * session's ValueState row AND its registered event-time timer from
+    * the RocksDB checkpoint (changelog/snapshot load path, not the
+    * in-memory provider's map), resume the watermark, and process only
+    * the admitted files — the two-run union meets q58's oracle verbatim.
+    * Completes the restart matrix: q65 = FMGWS/HDFS-backed, q69 =
+    * TWS/RocksDB; StreamingSpec pins the same restore in-process with a
+    * key that emits in run 2 PURELY from a run-1 timer.
+    */
+  def q69RestartSessionizeTws(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    import s.implicits._
+    val staged = Paths.get(stageTimeSplit(s, dir, "q69", n = 6))
+    val live = Files.createTempDirectory("graft-q69-live")
+    val names = {
+      val st = Files.list(staged)
+      try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally st.close()
+    }
+    val out = Files.createTempDirectory("graft-q69-out").toString
+    val ck = Files.createTempDirectory("graft-q69-ck").toString
+    def runOnce(tag: String): Unit = {
+      val events = stagedStream(s, live.toString)
+        .select($"user_id", $"ts", $"value")
+        .withWatermark("ts", "10 minutes")
+      val query = StreamJobs.sessionizeTws(events, gapMinutes = 360).toDF()
+        .select($"user_id",
+          unix_millis($"session_start").as("session_start_ms"),
+          unix_millis($"session_end").as("session_end_ms"),
+          $"events".as("n_events"))
+        .writeStream
+        .queryName(s"q69_restart_sessionize_tws_$tag")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .format("parquet")
+        .start(out)
+      query.awaitTermination()
+      requireMultiBatch(query, s"q69 $tag")
+    }
+    val (first, rest) = names.splitAt(3)
+    first.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
+    runOnce("run1")
+    rest.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
+    runOnce("run2")
+    s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
+  }
+
   /** q67 — the q60 attribution chain (stream–stream interval join →
     * tumbling-window agg) over the DISORDERED feed, extending q66's
     * within-tolerance disorder to BOTH stateful-operator shapes at once.
@@ -1074,7 +1126,8 @@ object StreamGateQueries {
     "q65_restart_sessionize" -> (q65RestartSessionize _),
     "q66_disordered_window_sales" -> (q66DisorderedWindowSales _),
     "q67_disordered_attribution" -> (q67DisorderedAttribution _),
-    "q68_disordered_sessionize" -> (q68DisorderedSessionize _))
+    "q68_disordered_sessionize" -> (q68DisorderedSessionize _),
+    "q69_restart_sessionize_tws" -> (q69RestartSessionizeTws _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -1098,5 +1151,7 @@ object StreamGateQueries {
     // the shuffled feed meets the ordered feed's oracle
     "q66_disordered_window_sales" -> q49Oracle,
     "q67_disordered_attribution" -> q60Oracle,
-    "q68_disordered_sessionize" -> q58Oracle)
+    "q68_disordered_sessionize" -> q58Oracle,
+    // restart invisibility must hold on BOTH state APIs and backends
+    "q69_restart_sessionize_tws" -> q58Oracle)
 }

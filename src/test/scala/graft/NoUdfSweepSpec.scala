@@ -16,7 +16,7 @@ import org.scalatest.BeforeAndAfterAll
   * individual hot paths; this sweep pins the RULE, so a convenience
   * UDF slipping into any future query fails the suite by name.
   *
-  * Streaming-harness gates (q33/q49/q52/q54/q55/q58–q68) are skipped:
+  * Streaming-harness gates (q33/q49/q52/q54/q55/q58–q69) are skipped:
   * their builders run a full streaming query on construction, and their
   * plans are pinned by their own specs + oracles.
   */
@@ -48,7 +48,7 @@ class NoUdfSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q61_stream_dedup", "q62_sessionize_tws", "q63_dedup_join_window",
       "q64_user_profile", "q65_restart_sessionize",
       "q66_disordered_window_sales", "q67_disordered_attribution",
-      "q68_disordered_sessionize")
+      "q68_disordered_sessionize", "q69_restart_sessionize_tws")
 
   test("no batch gate query's plan contains a ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
