@@ -13,17 +13,6 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   */
 object ExchangeAudit {
 
-  /** Builders that run a full streaming query on construction. */
-  val streamingHarness: Set[String] =
-    Set("q33_cdc_stream_upsert", "q49_append_window_sales",
-      "q52_stream_stream_join", "q54_stream_stream_left_outer",
-      "q55_stream_stream_full_outer", "q58_streaming_sessionize",
-      "q59_stream_stream_right_outer", "q60_join_then_window",
-      "q61_stream_dedup", "q62_sessionize_tws", "q63_dedup_join_window",
-      "q64_user_profile", "q65_restart_sessionize",
-      "q66_disordered_window_sales", "q67_disordered_attribution",
-      "q68_disordered_sessionize", "q69_restart_sessionize_tws")
-
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -35,12 +24,12 @@ object ExchangeAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
-      if (!streamingHarness(name)) {
+      if (!SparkEntry.streamingGates(name)) {
         val n =
           try build(spark, sf).queryExecution.executedPlan.collect {
             case e: ShuffleExchangeLike => e
           }.size.toString
-          catch { case e: Throwable => s"ERROR ${e.getMessage.take(60)}" }
+          catch { case e: Throwable => s"ERROR ${e.toString.take(80)}" }
         println(f"$name%-32s $n")
       }
     }

@@ -88,17 +88,10 @@ object ScaleProbe {
     }
 
     if (Probes.exists(EventProbes)) {
-      // events: read RAW (ts stays the nanos long under the session's
-      // nanosAsLong, and the rewrite stores it as a plain int64 —
-      // Tables.events' `ts div 1000` keeps working on the fixture).
-      // user_id shifts per shard so DISTINCT USERS scale with the data —
-      // the dimension that grows state for windows/sketches/sessions.
-      val ev = Tables(spark, base, "events")
-      val evN = (0 until Shards).map { k =>
-        ev.withColumn("event_id", $"event_id" + lit(k * 1000000000000L))
-          .withColumn("user_id", $"user_id" + lit(k * 100000000L))
-      }.reduce(_ unionByName _)
-      evN.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+      // raw nanos-long ts: the rewrite stores a plain int64, so
+      // Tables.events' `ts div 1000` keeps working on the fixture
+      Tables.shardedEvents(spark, base, Shards)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     }
   }
 

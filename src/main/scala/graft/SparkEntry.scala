@@ -33,6 +33,16 @@ object SparkEntry {
       TemporalQueries.oracles ++ SketchQueries.oracles ++ OlapQueries.oracles ++
       StreamGateQueries.oracles ++ LakeQueries.oracles
 
+  /** Gates whose builders run a FULL streaming query on construction
+    * (file-stream harness + checkpoint + awaitTermination) — derived
+    * from the streaming-gate registry so a new streaming gate is
+    * excluded from every static-plan sweep (NoUdfSweepSpec,
+    * ExchangeAudit, ExchangeBudgetSpec's completeness fence)
+    * automatically instead of via hand-synced lists.
+    */
+  def streamingGates: Set[String] =
+    StreamGateQueries.queries.keySet + "q33_cdc_stream_upsert"
+
   /** Headline set timed by graft.Bench — an explicit literal list so the
     * cross-round bench total stays comparable: queries added in later
     * rounds must be appended here deliberately, never implicitly.

@@ -17,7 +17,7 @@ import graft.streaming.StreamJobs
   * user_id shifts — distinct users (= state rows) scale with the data,
   * the dimension that matters for a state backend.
   *
-  * Three variants, crossing the state API with the state backend:
+  * Four variants, crossing the state API with the state backend:
   *   - fmgws_hdfs:    flatMapGroupsWithState on the default HDFS-backed
   *                    (in-memory + snapshot) provider
   *   - fmgws_rocksdb: the same operator on RocksDB
@@ -63,14 +63,11 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // fixture: N shards of the events dump, user_id shifted per shard so
-    // state rows scale N×; ts stays the raw nanos long (plain int64 out)
+    // fixture: N shards of the events dump (shared builder — user_id
+    // shifts per shard so state rows scale N×; ts stays the raw nanos
+    // long, written back as plain int64)
     val fixture = s"target/streambench$shards"
-    val ev = Tables(spark, base, "events")
-    (0 until shards).map { k =>
-      ev.withColumn("event_id", $"event_id" + lit(k * 1000000000000L))
-        .withColumn("user_id", $"user_id" + lit(k * 100000000L))
-    }.reduce(_ unionByName _)
+    Tables.shardedEvents(spark, base, shards)
       .repartition(32).write.mode("overwrite").parquet(fixture)
     val rows = spark.read.parquet(fixture).count()
 

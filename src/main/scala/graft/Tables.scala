@@ -50,6 +50,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Deterministic N× replica of the RAW events dump (ts stays the nanos
+    * long — read under the session's `nanosAsLong`): event_id AND user_id
+    * shift per shard, so DISTINCT USERS scale with the data — the
+    * dimension that grows state for windows, sketches, sessions, and
+    * state backends. Shared by ScaleProbe's fixture and StreamBench so
+    * the two scale stories can never drift apart.
+    */
+  def shardedEvents(s: SparkSession, dir: String, shards: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val ev = apply(s, dir, "events")
+    (0 until shards).map { k =>
+      ev.withColumn("event_id", ev("event_id") + lit(k * 1000000000000L))
+        .withColumn("user_id", ev("user_id") + lit(k * 100000000L))
+    }.reduce(_ unionByName _)
+  }
+
   /** Spread a CPU-bound per-row stage across cores when the scan
     * under-partitions (the testdata tables are single parquet splits, so
     * map-heavy chains would otherwise run one-core). Guarded: at

@@ -32,7 +32,14 @@ object Verify {
     def selected(name: String): Boolean = only.forall(_(name))
     val ordered = {
       val qs = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1))
-      if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1")) qs.reverse else qs
+      // strict: "1"/"true" reverse, unset/""/"0"/"false" don't — any other
+      // spelling aborts rather than silently running the forward sweep
+      // while the caller records it as the reversed-order proof
+      sys.env.getOrElse("SPARK_GRAFT_REVERSE", "0").toLowerCase match {
+        case "1" | "true" => qs.reverse
+        case "" | "0" | "false" => qs
+        case other => sys.error(s"unrecognized SPARK_GRAFT_REVERSE=$other")
+      }
     }
     ordered.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -125,9 +125,7 @@ object CdcQueries {
     query.awaitTermination()
     // the gate's point is per-micro-batch ingestion: fail loudly if the
     // two incoming files ever collapse into one batch
-    val dataBatches = query.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches >= 2,
-      s"q33 must ingest >= 2 data micro-batches, got $dataBatches")
+    StreamGateQueries.requireMultiBatch(query, "q33", min = 2)
     table.realTime(CdcMerge.Drop)
       .select($"user_id", $"event_id", $"value", $"__op")
       .orderBy($"user_id")

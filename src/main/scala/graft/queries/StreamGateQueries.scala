@@ -314,13 +314,23 @@ object StreamGateQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-stream over the events dump with ts normalized to µs. */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(eventsSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Staged source dirs, deleted when the (Verify/test) JVM exits — each
+    * holds a full copy of the SF's events dump, and a 3-SF sweep of the
+    * staged gates would otherwise strand gigabytes under the temp dir.
+    */
+  private val stagedDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    sys.addShutdownHook {
+      stagedDirs.asScala.foreach { p =>
+        try {
+          val st = Files.walk(p)
+          try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally st.close()
+        } catch { case _: Throwable => () } // best-effort temp cleanup
+      }
+    }
+  }
 
   /** Stage the events topic dump as `n` TIME-ORDERED, NON-OVERLAPPING
     * parquet files under a fresh directory, named and modification-stamped
@@ -357,22 +367,29 @@ object StreamGateQueries {
     val sortKey =
       if (jitterMinutes == 0) $"ts"
       else $"ts" - ($"event_id" % 3) * lit(jitterNs)
-    val slices = s.read.option("basePath", dir).parquet(s"$dir/events*.parquet")
+    // ONE pass: hash-distributing on _slice sends each slice to exactly
+    // one task, and partitionBy peels the column off — so each
+    // _slice=<i> dir holds exactly one data file of event columns (the
+    // per-slice loop this replaces re-ran the global sort n times)
+    val scratch = Files.createTempDirectory(s"graft-$tag-part")
+    s.read.option("basePath", dir).parquet(s"$dir/events*.parquet")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
       .withColumn("_slice", ntile(n).over(Window.orderBy(sortKey, $"event_id")))
+      .repartition(n, $"_slice")
+      .write.mode("overwrite").partitionBy("_slice").parquet(scratch.toString)
     (1 to n).foreach { i =>
-      val part = Files.createTempDirectory(s"graft-$tag-part")
-      slices.filter($"_slice" === i).drop("_slice")
-        .coalesce(1).write.mode("overwrite").parquet(part.toString)
-      val src = part.toFile.listFiles()
+      val parts = scratch.resolve(s"_slice=$i").toFile.listFiles()
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .head.toPath
+      require(parts.length == 1,
+        s"slice $i must be exactly one file, got ${parts.length}")
       val dst = staged.resolve(f"events-$i%04d.parquet")
-      Files.move(src, dst)
+      Files.move(parts.head.toPath, dst)
       // deterministic strictly-increasing mod times: FileStreamSource
       // orders new files by timestamp, so file i IS micro-batch i
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
     }
+    stagedDirs.add(scratch)
+    stagedDirs.add(staged)
     staged.toString
   }
 
@@ -391,7 +408,7 @@ object StreamGateQueries {
     * (a regression to single-batch delivery fails the gate loudly, not by
     * silently weakening what it proves).
     */
-  private def requireMultiBatch(
+  private[queries] def requireMultiBatch(
       query: StreamingQuery, name: String, min: Int = 3): Unit = {
     val dataBatches = query.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= min,
@@ -966,6 +983,7 @@ object StreamGateQueries {
     import s.implicits._
     val staged = Paths.get(stageTimeSplit(s, dir, "q69", n = 6))
     val live = Files.createTempDirectory("graft-q69-live")
+    stagedDirs.add(live) // holds the moved dump copy; clean at JVM exit
     val names = {
       val st = Files.list(staged)
       try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
@@ -1077,6 +1095,7 @@ object StreamGateQueries {
     import s.implicits._
     val staged = Paths.get(stageTimeSplit(s, dir, "q65", n = 6))
     val live = Files.createTempDirectory("graft-q65-live")
+    stagedDirs.add(live) // holds the moved dump copy; clean at JVM exit
     val names = {
       val st = Files.list(staged)
       try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted

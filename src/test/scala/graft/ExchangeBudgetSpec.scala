@@ -97,6 +97,18 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q56_stratified_sample" -> 2,
     "q57_source_cap" -> 2)
 
+  test("the fence is COMPLETE: every batch gate carries a pinned budget") {
+    // without this, the 'whole surface is fenced' guarantee silently
+    // decays — a new batch gate would simply not be measured
+    val unfenced = SparkEntry.queries.keySet -- SparkEntry.streamingGates --
+      budgets.map(_._1).toSet
+    assert(unfenced.isEmpty,
+      s"batch gates missing a shuffle budget (run graft.ExchangeAudit " +
+        s"and pin them): ${unfenced.toSeq.sorted.mkString(", ")}")
+    val stale = budgets.map(_._1).toSet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"budgets for unknown gates: $stale")
+  }
+
   test("no pinned gate's static plan exceeds its shuffle budget") {
     val over = budgets.flatMap { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf)

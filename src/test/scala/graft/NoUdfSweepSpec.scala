@@ -16,7 +16,7 @@ import org.scalatest.BeforeAndAfterAll
   * individual hot paths; this sweep pins the RULE, so a convenience
   * UDF slipping into any future query fails the suite by name.
   *
-  * Streaming-harness gates (q33/q49/q52/q54/q55/q58–q69) are skipped:
+  * Streaming-harness gates (`SparkEntry.streamingGates`) are skipped:
   * their builders run a full streaming query on construction, and their
   * plans are pinned by their own specs + oracles.
   */
@@ -40,15 +40,9 @@ class NoUdfSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private val streamingHarness =
-    Set("q33_cdc_stream_upsert", "q49_append_window_sales",
-      "q52_stream_stream_join", "q54_stream_stream_left_outer",
-      "q55_stream_stream_full_outer", "q58_streaming_sessionize",
-      "q59_stream_stream_right_outer", "q60_join_then_window",
-      "q61_stream_dedup", "q62_sessionize_tws", "q63_dedup_join_window",
-      "q64_user_profile", "q65_restart_sessionize",
-      "q66_disordered_window_sales", "q67_disordered_attribution",
-      "q68_disordered_sessionize", "q69_restart_sessionize_tws")
+  // derived from the streaming-gate registry: a new streaming gate is
+  // skipped automatically, never via a hand-synced list
+  private val streamingHarness = SparkEntry.streamingGates
 
   test("no batch gate query's plan contains a ScalaUDF") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
