@@ -42,7 +42,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * readers must materialize within one compaction cycle, after which
   * their snapshot may be garbage-collected. WRITES stay single-writer
   * ([[bulkInsert]]/[[upsert]]/[[compact]] must not race each other),
-  * Hudi's own default; only reader-vs-compaction is lock-free.
+  * Hudi's own default; only reader-vs-compaction is lock-free. The rule
+  * is ENFORCED at the delta-commit rename ([[commitDelta]]): two racing
+  * upserts that allocate the same seq fail loudly on the second rename
+  * instead of silently dropping a commit (CdcLakeSpec's collision law).
   *
   * Crash safety: a crash before the pointer commit leaves the old
   * pointer → the old base + log remain the readable truth (the orphan
@@ -154,8 +157,36 @@ class CdcTable(
     val missing = required.filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"change batch is missing merge-critical column(s) ${missing.mkString(",")}")
-    val next = (deltaDirs.map(deltaSeq) :+ meta._2).max + 1
-    batch.write.mode(SaveMode.Overwrite).parquet(f"$logDir/delta_$next%06d")
+    commitDelta(batch, (deltaDirs.map(deltaSeq) :+ meta._2).max + 1)
+  }
+
+  /** Publish a change batch as delta commit `seq`, atomically.
+    *
+    * The batch is written to a dot-prefixed staging dir under the log
+    * (same filesystem — invisible to [[deltaDirs]]' `delta_` filter, so a
+    * concurrent `realTime()` can never observe a half-written commit) and
+    * then RENAMED into place: the rename is the delta's linearization
+    * point, mirroring the `_meta` pointer-commit discipline.
+    *
+    * The rename also ENFORCES the class contract's single-writer rule
+    * (Hudi acquires a write lock; this table makes the violation loud
+    * instead): two concurrent upserts that both listed the same log state
+    * compute the same `seq`, and the loser's rename hits the existing
+    * non-empty `delta_<seq>` dir and throws — a detected collision, never
+    * a silent same-seq overwrite that drops the winner's commit.
+    */
+  private[graft] def commitDelta(batch: DataFrame, seq: Long): Unit = {
+    val staging = Paths.get(f"$logDir/.staging_delta_$seq%06d_${java.util.UUID.randomUUID}")
+    batch.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val dst = Paths.get(f"$logDir/delta_$seq%06d")
+    try Files.move(staging, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        deleteRecursively(staging)
+        throw new IllegalStateException(
+          s"concurrent writer detected: delta commit $seq already exists — " +
+            "CdcTable writes are single-writer (see class doc); this batch was NOT committed", e)
+    }
   }
 
   /** `_ro` view: the compacted base only — fast, possibly stale. */

@@ -199,6 +199,27 @@ class CdcLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { ids(roBefore) } // base_v1 is gone now
   }
 
+  test("single-writer enforcement: a racing same-seq delta commit fails loudly, winner intact") {
+    val t = newTable()
+    t.bulkInsert(img((1L, "A", "American", "false", 10L)))
+    // two writers list the same log state and both allocate seq 1 — the
+    // race window upsert()'s seq computation leaves open. Writer A's
+    // rename wins; writer B's must throw, NOT silently overwrite A.
+    t.commitDelta(img((1L, "A2", "American", "false", 20L)), seq = 1L)
+    val e = intercept[IllegalStateException] {
+      t.commitDelta(img((1L, "LOST", "American", "false", 30L)), seq = 1L)
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the winner's commit is untouched and fully readable
+    val rt = t.realTime().filter(col("artist_id") === 1L).collect()
+    assert(rt.length === 1 && rt.head.getAs[String]("name") === "A2")
+    // no staging junk leaks into the merge path, and the NEXT honest
+    // upsert allocates past the collision and lands cleanly
+    t.upsert(img((1L, "A3", "American", "false", 40L)))
+    assert(t.realTime().filter(col("artist_id") === 1L)
+      .head().getAs[String]("name") === "A3")
+  }
+
   test("merge laws: idempotence, incremental == full, stale batch cannot regress") {
     val ss = spark; import ss.implicits._
     val rowGen = for {
