@@ -56,7 +56,8 @@ object StreamGateQueries {
     // the stream starts (and clones the conf) inside this block.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val events = stagedStream(s, stageTimeSplit(s, dir, "q49"))
+    val staged = stageTimeSplit(s, dir, "q49")
+    val events = stagedStream(s, staged)
     val out = Files.createTempDirectory("graft-q49-out").toString
     val ck = Files.createTempDirectory("graft-q49-ck").toString
     val query = StreamJobs.slidingWindowSales(events)
@@ -73,6 +74,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q49")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"window_start", $"event_type")
   }
 
@@ -155,6 +157,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q52")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"click_id", $"purchase_id")
   }
 
@@ -215,6 +218,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q54")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"click_id", $"purchase_id")
   }
 
@@ -279,6 +283,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q55")
+    dropStaged(staged)
     s.read.parquet(out)
       .orderBy(coalesce($"click_id", lit(-1L)), coalesce($"purchase_id", lit(-1L)))
   }
@@ -314,22 +319,36 @@ object StreamGateQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Staged source dirs, deleted when the (Verify/test) JVM exits — each
-    * holds a full copy of the SF's events dump, and a 3-SF sweep of the
-    * staged gates would otherwise strand gigabytes under the temp dir.
+  /** Staged source dirs not yet cleaned by [[dropStaged]] — the shutdown
+    * hook is only the CRASH backstop (a gate that throws before its own
+    * cleanup): each dir holds a full copy of the SF's events dump, and a
+    * 16-gate sweep that deferred all cleanup to JVM exit would hold ~17
+    * dump copies on disk simultaneously mid-sweep.
     */
   private val stagedDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
   locally {
     sys.addShutdownHook {
-      stagedDirs.asScala.foreach { p =>
-        try {
-          val st = Files.walk(p)
-          try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.deleteIfExists(f))
-          finally st.close()
-        } catch { case _: Throwable => () } // best-effort temp cleanup
-      }
+      stagedDirs.asScala.foreach(p => try deleteTree(p) catch { case _: Throwable => () })
     }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally st.close()
+    }
+
+  /** Delete a gate's staged source dir(s) NOW: once the streaming query
+    * has terminated the source files have all been read, and the gate's
+    * read-back DataFrame scans only the SINK dir — so the dump copy is
+    * dead weight for the rest of the sweep (ADVICE r9).
+    */
+  private def dropStaged(paths: String*): Unit = paths.foreach { p =>
+    val path = Paths.get(p)
+    stagedDirs.remove(path)
+    deleteTree(path)
   }
 
   /** Stage the events topic dump as `n` TIME-ORDERED, NON-OVERLAPPING
@@ -341,14 +360,18 @@ object StreamGateQueries {
     * stateful gates, so cross-batch state accumulation and per-batch
     * watermark advance are exercised under the SAME oracles.
     *
-    * Equal-frequency `ntile` over `(ts, event_id)` keeps every split
-    * non-empty (≥ n data micro-batches at every SF) and non-overlapping
-    * in event time, which is the invariant the oracles lean on: a later
-    * file can never deliver a row at or below the watermark established
-    * by an earlier one, so nothing is late-dropped and the final emitted
-    * set is decided by the FINAL watermark alone — batch-layout-invariant.
-    * (The one-partition window sort is gate scaffolding, not engine work:
-    * a real topic already arrives in ingestion order.)
+    * Splitting at `approxQuantile` boundaries of the sort key keeps every
+    * split non-empty (≥ n data micro-batches at every SF — enforced by
+    * the one-file-per-slice `require` below: an empty slice yields no
+    * file and fails loudly) and non-overlapping in event time, which is
+    * the invariant the oracles lean on: slice assignment is monotone in
+    * the sort key (1 + #cuts strictly below), so a later file can never
+    * deliver a row at or below the watermark established by an earlier
+    * one, nothing is late-dropped, and the final emitted set is decided
+    * by the FINAL watermark alone — batch-layout-invariant. The quantile
+    * probe is one map-side pass (Greenwald-Khanna partial aggregation);
+    * the global one-partition `ntile` sort it replaces was the sweep's
+    * wall-clock/memory hotspot at larger SFs (ADVICE r9).
     */
   private def stageTimeSplit(
       s: SparkSession, dir: String, tag: String, n: Int = 4,
@@ -367,14 +390,22 @@ object StreamGateQueries {
     val sortKey =
       if (jitterMinutes == 0) $"ts"
       else $"ts" - ($"event_id" % 3) * lit(jitterNs)
-    // ONE pass: hash-distributing on _slice sends each slice to exactly
-    // one task, and partitionBy peels the column off — so each
-    // _slice=<i> dir holds exactly one data file of event columns (the
-    // per-slice loop this replaces re-ran the global sort n times)
+    // ONE shuffle-free slicing pass: quantile cuts are compared in double
+    // space on both sides (ns longs exceed double precision, but a
+    // consistent lossy cast still yields a monotone, deterministic
+    // assignment — slices only need to be non-overlapping and non-empty);
+    // hash-distributing on _slice then sends each slice to exactly one
+    // task, and partitionBy peels the column off, so each _slice=<i> dir
+    // holds exactly one data file of event columns
     val scratch = Files.createTempDirectory(s"graft-$tag-part")
-    s.read.option("basePath", dir).parquet(s"$dir/events*.parquet")
+    val src = s.read.option("basePath", dir).parquet(s"$dir/events*.parquet")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
-      .withColumn("_slice", ntile(n).over(Window.orderBy(sortKey, $"event_id")))
+      .withColumn("_k", sortKey.cast("double"))
+    val cuts = src.stat.approxQuantile(
+      "_k", (1 until n).map(_.toDouble / n).toArray, 0.001)
+    val slice = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when($"_k" > c, 1).otherwise(0) }
+    src.withColumn("_slice", slice).drop("_k")
       .repartition(n, $"_slice")
       .write.mode("overwrite").partitionBy("_slice").parquet(scratch.toString)
     (1 to n).foreach { i =>
@@ -388,7 +419,7 @@ object StreamGateQueries {
       // orders new files by timestamp, so file i IS micro-batch i
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
     }
-    stagedDirs.add(scratch)
+    deleteTree(scratch) // only empty _slice dirs + _SUCCESS remain
     stagedDirs.add(staged)
     staged.toString
   }
@@ -452,7 +483,8 @@ object StreamGateQueries {
   def q58StreamingSessionize(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val events = stagedStream(s, stageTimeSplit(s, dir, "q58"))
+    val staged = stageTimeSplit(s, dir, "q58")
+    val events = stagedStream(s, staged)
       .select($"user_id", $"ts", $"value")
       .withWatermark("ts", "10 minutes")
     val sessions = StreamJobs.sessionize(events, gapMinutes = 360)
@@ -472,6 +504,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q58")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
@@ -522,7 +555,8 @@ object StreamGateQueries {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
     import s.implicits._
-    val events = stagedStream(s, stageTimeSplit(s, dir, "q62"))
+    val staged = stageTimeSplit(s, dir, "q62")
+    val events = stagedStream(s, staged)
       .select($"user_id", $"ts", $"value")
       .withWatermark("ts", "10 minutes")
     val sessions = StreamJobs.sessionizeTws(events, gapMinutes = 360)
@@ -542,6 +576,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q62")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
@@ -582,6 +617,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q59")
+    dropStaged(staged)
     s.read.parquet(out)
       .orderBy(coalesce($"click_id", lit(-1L)), $"purchase_id")
   }
@@ -671,6 +707,7 @@ object StreamGateQueries {
     require(stateful.size == 2,
       s"q60 must execute two chained stateful operators, got $stateful")
     requireMultiBatch(query, "q60")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"window_start")
   }
 
@@ -751,6 +788,7 @@ object StreamGateQueries {
     require(stateful.size == 3,
       s"q63 must execute three chained stateful operators, got $stateful")
     requireMultiBatch(query, "q63")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"window_start")
   }
 
@@ -784,7 +822,8 @@ object StreamGateQueries {
   def q61StreamDedup(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val deduped = stagedStream(s, stageTimeSplit(s, dir, "q61"))
+    val staged = stageTimeSplit(s, dir, "q61")
+    val deduped = stagedStream(s, staged)
       .select($"user_id", $"event_type", $"ts")
       .withWatermark("ts", "35 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -800,6 +839,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q61")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"user_id", $"event_type")
   }
 
@@ -835,7 +875,8 @@ object StreamGateQueries {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
     import s.implicits._
-    val events = stagedStream(s, stageTimeSplit(s, dir, "q64"))
+    val staged = stageTimeSplit(s, dir, "q64")
+    val events = stagedStream(s, staged)
       .select($"user_id", $"event_type", $"value")
     val profiles = StreamJobs.profileTws(events)
     val out = Files.createTempDirectory("graft-q64-out").toString
@@ -845,6 +886,12 @@ object StreamGateQueries {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ck)
+      // foreachBatch is AT-LEAST-ONCE: a retried micro-batch re-invokes
+      // the function with the same batchId, so the write must be
+      // idempotent — each batch overwrites its OWN batch-keyed dir
+      // (Spark's documented exactly-once recipe; a plain append would
+      // leave duplicate same-batch_id snapshots and a duplicate-row
+      // oracle diff on retry — ADVICE r9)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
           .select($"user_id", $"n_events",
@@ -856,15 +903,16 @@ object StreamGateQueries {
             try_element_at($"top_values", lit(2)).as("top2"),
             try_element_at($"top_values", lit(3)).as("top3"))
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
       }
       .start()
     query.awaitTermination()
     requireMultiBatch(query, "q64")
+    dropStaged(staged)
     // latest-wins compaction over the re-emission stream: each user's
     // newest snapshot IS the profile (W3 over the topic dump)
     val latest = max($"batch_id").over(Window.partitionBy($"user_id"))
-    s.read.parquet(out)
+    s.read.parquet(s"$out/batch_*")
       .withColumn("_latest", latest).filter($"batch_id" === $"_latest")
       .select($"user_id", $"event_type", $"n_type", $"n_events",
         $"top1", $"top2", $"top3")
@@ -905,7 +953,8 @@ object StreamGateQueries {
   def q66DisorderedWindowSales(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val events = stagedStream(s, stageTimeSplit(s, dir, "q66", jitterMinutes = 3))
+    val staged = stageTimeSplit(s, dir, "q66", jitterMinutes = 3)
+    val events = stagedStream(s, staged)
     val out = Files.createTempDirectory("graft-q66-out").toString
     val ck = Files.createTempDirectory("graft-q66-ck").toString
     val query = StreamJobs.slidingWindowSales(events)
@@ -922,6 +971,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q66")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"window_start", $"event_type")
   }
 
@@ -942,7 +992,8 @@ object StreamGateQueries {
   def q68DisorderedSessionize(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val events = stagedStream(s, stageTimeSplit(s, dir, "q68", jitterMinutes = 3))
+    val staged = stageTimeSplit(s, dir, "q68", jitterMinutes = 3)
+    val events = stagedStream(s, staged)
       .select($"user_id", $"ts", $"value")
       .withWatermark("ts", "10 minutes")
     val sessions = StreamJobs.sessionize(events, gapMinutes = 360)
@@ -962,6 +1013,7 @@ object StreamGateQueries {
       .start(out)
     query.awaitTermination()
     requireMultiBatch(query, "q68")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
@@ -983,7 +1035,7 @@ object StreamGateQueries {
     import s.implicits._
     val staged = Paths.get(stageTimeSplit(s, dir, "q69", n = 6))
     val live = Files.createTempDirectory("graft-q69-live")
-    stagedDirs.add(live) // holds the moved dump copy; clean at JVM exit
+    stagedDirs.add(live) // crash backstop; dropStaged cleans after run 2
     val names = {
       val st = Files.list(staged)
       try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
@@ -1015,6 +1067,7 @@ object StreamGateQueries {
     runOnce("run1")
     rest.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
     runOnce("run2")
+    dropStaged(staged.toString, live.toString)
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
@@ -1069,6 +1122,7 @@ object StreamGateQueries {
     require(stateful.size == 2,
       s"q67 must execute two chained stateful operators, got $stateful")
     requireMultiBatch(query, "q67")
+    dropStaged(staged)
     s.read.parquet(out).orderBy($"window_start")
   }
 
@@ -1095,7 +1149,7 @@ object StreamGateQueries {
     import s.implicits._
     val staged = Paths.get(stageTimeSplit(s, dir, "q65", n = 6))
     val live = Files.createTempDirectory("graft-q65-live")
-    stagedDirs.add(live) // holds the moved dump copy; clean at JVM exit
+    stagedDirs.add(live) // crash backstop; dropStaged cleans after run 2
     val names = {
       val st = Files.list(staged)
       try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
@@ -1127,6 +1181,7 @@ object StreamGateQueries {
     runOnce("run1")
     rest.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
     runOnce("run2")
+    dropStaged(staged.toString, live.toString)
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
