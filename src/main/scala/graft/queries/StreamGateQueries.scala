@@ -1185,6 +1185,202 @@ object StreamGateQueries {
     s.read.parquet(out).orderBy($"user_id", $"session_start_ms")
   }
 
+  /** q70 — EXACTLY-ONCE through a MID-BATCH FAILURE: the q58
+    * sessionization pipeline run into a `foreachBatch` sink whose FIRST
+    * attempt of data batch 2 crashes AFTER writing the batch's output
+    * but BEFORE the engine records the batch as committed — the
+    * production crash shape (process dies with a micro-batch in flight:
+    * sink write landed, offset-log commit entry missing, state-store
+    * version uncommitted) that the clean-boundary restart gates
+    * (q65/q69) never exercise. The reference analogue is the
+    * supervised-restart DeltaStreamer daemons (`hudi/debezium_hudi_demo/
+    * deltastreamer_jobs_bulk.sh`, `--continuous` mode), which are killed
+    * and resumed mid-stream as a matter of course.
+    *
+    * Recovery contract, end to end: run 1 terminates EXCEPTIONALLY (the
+    * gate requires it — the failure is provably injected, not skipped);
+    * run 2 against the same checkpoint finds batch 2's offsets in the
+    * WAL without a commit entry, REPLAYS the batch from the last
+    * committed state-store version (batch 1's — the failed attempt's
+    * state writes were never committed) over the same source files (the
+    * seen-files log pins them), re-invokes the sink with the SAME batch
+    * id, and continues. The sink is Spark's documented exactly-once
+    * recipe — foreachBatch is at-least-once, so each batch OVERWRITES
+    * its own batch-keyed dir, making the replay idempotent: the crashed
+    * attempt's partial/full output is simply rewritten. The union of all
+    * batch dirs must meet q58's oracle VERBATIM: a double-commit of
+    * batch 2 would surface duplicate session rows, a skipped replay
+    * would lose them, and a wrong restored state version would shift
+    * session boundaries — each a hash mismatch.
+    *
+    * Determinism: the replay re-derives identical emissions because the
+    * batch's inputs (offsets → files) and starting state (committed
+    * version) are pinned by the checkpoint, and the watermark used by
+    * batch 2 is the one recorded in its offset-log entry — nothing
+    * depends on wall clock. q58's scaladoc carries the layout-invariance
+    * argument for why the final emitted set is the batch oracle's.
+    */
+  def q70MidBatchFailure(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    val staged = stageTimeSplit(s, dir, "q70", n = 6)
+    val out = Files.createTempDirectory("graft-q70-out").toString
+    val ck = Files.createTempDirectory("graft-q70-ck").toString
+    val failAt = 2L
+    val injectedMsg = s"q70 injected mid-batch failure (first attempt of batch $failAt)"
+    // driver-side first-attempt marker: underscore-prefixed, outside the
+    // batch_* read-back glob, so the second invocation of batch `failAt`
+    // (the replay) runs to completion
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(tag: String): StreamingQuery = {
+      val events = stagedStream(s, staged)
+        .select($"user_id", $"ts", $"value")
+        .withWatermark("ts", "10 minutes")
+      StreamJobs.sessionize(events, gapMinutes = 360).toDF()
+        .select($"user_id",
+          unix_millis($"session_start").as("session_start_ms"),
+          unix_millis($"session_end").as("session_end_ms"),
+          $"events".as("n_events"))
+        .writeStream
+        .queryName(s"q70_midbatch_failure_$tag")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // idempotent batch-keyed overwrite FIRST: the crash below lands
+          // after the sink work is durably on disk, so the replay must
+          // cope with a fully-written uncommitted attempt
+          batch.write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (batchId == failAt && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+        }
+        .start()
+    }
+    val run1 = runOnce("run1")
+    val err = try { run1.awaitTermination(); None } catch {
+      case e: Throwable => Some(e)
+    }
+    val chain = err.iterator.flatMap(e =>
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
+    require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
+      s"q70 run 1 must terminate with the injected mid-batch failure, got: " +
+        err.fold("clean termination")(_.toString))
+    require(Files.exists(failMarker), "q70 fault injection did not fire")
+    val run2 = runOnce("run2")
+    run2.awaitTermination()
+    requireMultiBatch(run2, "q70 run2") // replayed batch + the 3 undelivered files
+    dropStaged(staged)
+    s.read.parquet(s"$out/batch_*").orderBy($"user_id", $"session_start_ms")
+  }
+
+  /** q71 — the beyond-tolerance DROP path, oracle-gated: every staged
+    * feed so far is constructed so NOTHING drops (that is what makes the
+    * oracles layout-invariant); this gate makes the complementary
+    * semantic — late rows beyond the watermark tolerance are dropped,
+    * on-time rows are not — driver-visible. Deterministic two-phase
+    * layout: phase 1 drains the first 3 time-split files and terminates,
+    * PINNING the checkpointed watermark at `max(file-3 ts) − 10 min` (no
+    * kill-timing races — AvailableNow ran to completion). Phase 2 then
+    * admits (a) a LATE file — file 1's rows with event time shifted down
+    * 40 days, wholly below any watermark the stream can ever hold — and
+    * (b) the final on-time file. Run 2 restores the watermark, DROPS
+    * every late row at the stateful operator's late-data filter (they
+    * never enter window state), then processes the on-time file and
+    * closes the remaining windows.
+    *
+    * The gate requires the drop to be REAL, not vacuous, and EXACT:
+    * `numRowsDroppedByWatermark` is incremented at the state-store
+    * stage, AFTER the map-side partial aggregate has collapsed the late
+    * input rows into their (window, event_type) groups — so the gate
+    * computes the distinct late group count with a plain batch aggregate
+    * over the late file (each event lands in its two sliding windows)
+    * and requires the streamed drop count to equal it, with ZERO drops
+    * in run 1 (every on-time group survives). The oracle is q49's: the
+    * final watermark is unchanged by the late file (watermarks are
+    * monotone; the late rows' event times are 40 days in the past), so
+    * the emitted set is exactly the closed-window set over the ORIGINAL
+    * events — the oracle says precisely which input rows were kept (all
+    * on-time) and which were excluded (each late-file row). A failure to
+    * drop would open 40-day-old windows whose immediate closure emits
+    * rows the oracle does not contain — a loud hash mismatch.
+    */
+  def q71LateDropWindow(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    val staged = Paths.get(stageTimeSplit(s, dir, "q71", n = 4))
+    val live = Files.createTempDirectory("graft-q71-live")
+    stagedDirs.add(live) // crash backstop; dropStaged cleans after run 2
+    val names = {
+      val st = Files.list(staged)
+      try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally st.close()
+    }
+    val out = Files.createTempDirectory("graft-q71-out").toString
+    val ck = Files.createTempDirectory("graft-q71-ck").toString
+    def runOnce(tag: String): StreamingQuery = {
+      val events = stagedStream(s, live.toString)
+      StreamJobs.slidingWindowSales(events)
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          $"event_type", $"sales", $"orders")
+        .writeStream
+        .queryName(s"q71_late_drop_window_$tag")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .format("parquet")
+        .start(out)
+    }
+    // phase 1: drain the first 3 files — the checkpoint now holds the
+    // pinned watermark max(file-3 ts) − 10 min
+    def droppedByWatermark(q: StreamingQuery): Long = q.recentProgress
+      .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+    val (first, rest) = names.splitAt(3)
+    first.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
+    val run1 = runOnce("run1")
+    run1.awaitTermination()
+    requireMultiBatch(run1, "q71 run1")
+    require(droppedByWatermark(run1) == 0,
+      "q71 run 1 is wholly on-time and must drop nothing")
+    // phase 2a: the late file — file 1 shifted 40 days into the past
+    // (staged files carry the raw nanos long, so the shift is plain
+    // int64 arithmetic), mod-time-ordered BEFORE the on-time file so it
+    // is dropped against the restored watermark, not a later one
+    val shiftNs = 40L * 86400L * 1000000000L
+    val lateGroups = {
+      val lateTmp = Files.createTempDirectory("graft-q71-late")
+      s.read.parquet(live.resolve(names.head).toString)
+        .withColumn("ts", $"ts" - shiftNs)
+        .coalesce(1).write.mode("overwrite").parquet(lateTmp.toString)
+      val part = lateTmp.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+      val dst = live.resolve("events-9999-late.parquet")
+      Files.move(part.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + 3 * 60000L + 30000L))
+      deleteTree(lateTmp)
+      // the exact drop count the stream must report: distinct late
+      // (window, event_type) groups (see scaladoc — the engine counts
+      // dropped GROUPS post-partial-aggregation, not raw input rows)
+      s.read.parquet(dst.toString)
+        .select(timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type")
+        .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+        .count().count()
+    }
+    // phase 2b: the final on-time file, then run 2
+    rest.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
+    val run2 = runOnce("run2")
+    run2.awaitTermination()
+    requireMultiBatch(run2, "q71 run2", min = 2) // late batch + on-time batch
+    val dropped = droppedByWatermark(run2)
+    require(dropped == lateGroups,
+      s"q71 must drop exactly the $lateGroups late groups, dropped $dropped")
+    dropStaged(staged.toString, live.toString)
+    s.read.parquet(out).orderBy($"window_start", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
@@ -1201,7 +1397,9 @@ object StreamGateQueries {
     "q66_disordered_window_sales" -> (q66DisorderedWindowSales _),
     "q67_disordered_attribution" -> (q67DisorderedAttribution _),
     "q68_disordered_sessionize" -> (q68DisorderedSessionize _),
-    "q69_restart_sessionize_tws" -> (q69RestartSessionizeTws _))
+    "q69_restart_sessionize_tws" -> (q69RestartSessionizeTws _),
+    "q70_midbatch_failure" -> (q70MidBatchFailure _),
+    "q71_late_drop_window" -> (q71LateDropWindow _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -1227,5 +1425,11 @@ object StreamGateQueries {
     "q67_disordered_attribution" -> q60Oracle,
     "q68_disordered_sessionize" -> q58Oracle,
     // restart invisibility must hold on BOTH state APIs and backends
-    "q69_restart_sessionize_tws" -> q58Oracle)
+    "q69_restart_sessionize_tws" -> q58Oracle,
+    // a mid-batch crash + replay must be invisible too: the batch-dir
+    // union meets the single-clean-run sessionization oracle
+    "q70_midbatch_failure" -> q58Oracle,
+    // beyond-tolerance late rows drop; on-time rows don't — the emitted
+    // set is the closed-window set over the ORIGINAL events alone
+    "q71_late_drop_window" -> q49Oracle)
 }
