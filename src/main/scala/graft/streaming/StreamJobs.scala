@@ -280,6 +280,16 @@ object StreamJobs {
     * complete-mode topic sink (W3 dedups downstream). Pinned by
     * StreamingSpec against a straight-Scala reference model across
     * multiple batches.
+    *
+    * Cost split, precisely: the O(1)-amortized claim above is about
+    * STATE WRITES per event. The per-batch snapshot EMISSION is a
+    * different axis — it reads the whole map (`counts.iterator()`), so
+    * each batch costs O(|map|) per touched user. Bounded type
+    * cardinality (the event-type domain here) keeps that constant; at
+    * unbounded per-key map cardinality the emission, not the state I/O,
+    * would dominate, and the right move is a delta emission (emit only
+    * the types touched this batch) with the same latest-wins downstream
+    * compaction per (user, type).
     */
   def profileTws(events: DataFrame): Dataset[UserProfile] = {
     val sp = events.sparkSession

@@ -692,6 +692,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.isStreaming)
   }
 
+  test("TWS state TTL: entries expire after the TTL; a TTL beyond the horizon is invisible (RocksDB)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode}
+    // per-key running count whose ValueState carries the given TTL; each
+    // batch emits the count AS READ THROUGH the TTL filter, so an
+    // expired entry shows up as a restart from 1. TTL is a
+    // processing-time contract (the one state-v2 primitive knob the
+    // sessionize/profile processors never exercise — they pass
+    // TTLConfig.NONE), hence TimeMode.ProcessingTime. Harness caveat: in
+    // processing-time mode the operator requests another batch after
+    // EVERY batch (that is how processing-time timers/TTL advance), so
+    // the engine schedules no-data batches forever — processAllAvailable
+    // starves and even AvailableNow never drains. Instead each run polls
+    // for the DATA batch's progress event (posted only after the batch
+    // fully commits, state included) and then stops the query — the ST5
+    // two-runs-one-checkpoint restart pattern with an explicit commit
+    // barrier. The sink is foreachBatch into a per-run driver buffer
+    // (the memory sink refuses checkpoint recovery), so run 2's buffer
+    // holds exactly run 2's emission: the count as recovered (or
+    // TTL-expired) across the restart.
+    def run(name: String, ttl: TTLConfig, sleepMs: Long): Seq[Long] = {
+      val ms = MemoryStream[(Long, Double)]
+      val ck = Files.createTempDirectory(s"ck_$name").toString
+      def once(): Seq[Long] = {
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+        val q = ms.toDS().groupByKey(_._1)
+          .transformWithState(new TtlCounterProcessor(ttl),
+            TimeMode.ProcessingTime(), OutputMode.Update())
+          .toDF("user_id", "n")
+          .writeStream.queryName(name)
+          .option("checkpointLocation", ck)
+          .outputMode("update")
+          .trigger(Trigger.ProcessingTime("50 milliseconds"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.select(col("n")).collect().foreach(r => buf.add(r.getLong(0)))
+          }
+          .start()
+        try {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (!q.recentProgress.exists(_.numInputRows > 0)
+              && System.nanoTime() < deadline) Thread.sleep(50)
+          assert(q.recentProgress.exists(_.numInputRows > 0),
+            s"$name: data batch did not commit within the deadline")
+        } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toSeq.sorted
+      }
+      ms.addData((1L, 1.0))
+      once()
+      if (sleepMs > 0) Thread.sleep(sleepMs)
+      ms.addData((1L, 1.0))
+      once()
+    }
+    withConf("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
+      // law 1 (expiry): run 2 starts ~4 TTLs after run 1 committed — the
+      // read filters the expired entry and the count restarts at 1
+      assert(run("t_ttl_short", TTLConfig(java.time.Duration.ofMillis(500)), 2000L)
+        === Seq(1L))
+      // law 2 (invisibility): a TTL far beyond the run's horizon must
+      // change nothing — identical emissions to TTLConfig.NONE, and the
+      // state survives the restart (the count reaches 2)
+      val long = run("t_ttl_long", TTLConfig(java.time.Duration.ofHours(1)), 0L)
+      val none = run("t_ttl_none", TTLConfig.NONE, 0L)
+      assert(long === Seq(2L))
+      assert(none === long)
+    }
+  }
+
   test("ST3/ST6/K4: ProcessingTime trigger + queryName on a live query") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -709,5 +778,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("t_pt").count() === 100)
       assert(q.isActive)
     } finally q.stop()
+  }
+}
+
+/** Per-key running counter over a TTL'd ValueState — top-level because
+  * Spark serializes the processor into the streaming query (an inner
+  * class would drag the non-serializable suite along). Emits the count
+  * as read through the TTL filter each batch.
+  */
+private[graft] class TtlCounterProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long)] {
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var n: streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: streaming.OutputMode, timeMode: streaming.TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n", Encoders.scalaLong, ttl)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Double)],
+      timerValues: streaming.TimerValues): Iterator[(Long, Long)] = {
+    val cur = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(cur)
+    Iterator.single((key, cur))
   }
 }
