@@ -10,33 +10,45 @@ import org.apache.spark.sql.types._
 import graft.streaming.StreamJobs
 
 /** Streaming-throughput micro-bench (TopKBench/AvroBench mold): rows/sec
-  * through the custom-state SESSIONIZE operator, run through the real
-  * streaming engine (file source → FlatMapGroupsWithStateExec /
-  * TransformWithStateExec → noop sink, AvailableNow) on an events
-  * fixture shard-replicated from SPARK_GRAFT_SF_DIR with per-shard
-  * user_id shifts — distinct users (= state rows) scale with the data,
-  * the dimension that matters for a state backend.
+  * through the engine's stateful streaming operators, run through the
+  * real streaming engine (file source → stateful exec → noop sink,
+  * AvailableNow) on an events fixture shard-replicated from
+  * SPARK_GRAFT_SF_DIR with per-shard user_id shifts — distinct users
+  * (= state rows) scale with the data, the dimension that matters for a
+  * state backend.
   *
-  * Four variants, crossing the state API with the state backend:
-  *   - fmgws_hdfs:    flatMapGroupsWithState on the default HDFS-backed
-  *                    (in-memory + snapshot) provider
-  *   - fmgws_rocksdb: the same operator on RocksDB
-  *   - tws_rocksdb:   transformWithState + explicit timers on RocksDB
-  *                    (the provider TWS requires — and the memory-bounded
-  *                    backend a 100 TB streaming deployment actually runs)
-  *   - tws_rocksdb_changelog: ditto with CHANGELOG checkpointing —
-  *                    incremental changelog upload instead of full
-  *                    snapshots, the recovery-cost strategy at large
-  *                    state; its steady-state throughput cost is what
-  *                    this variant prices
+  * Subjects (comma list in SPARK_GRAFT_STREAM_SUBJECTS; default all):
+  *
+  *  - `sessionize` — custom-state sessionization across the state API ×
+  *    backend matrix: fmgws_hdfs, fmgws_rocksdb, tws_rocksdb,
+  *    tws_rocksdb_changelog (the changelog variant prices incremental
+  *    checkpoint upload, the recovery-cost strategy at large state).
+  *  - `join` — the watermarked stream–stream interval join (two-sided
+  *    buffered state, a different growth profile from sessionize's
+  *    one-row-per-user), HDFS-backed vs RocksDB.
+  *  - `dedup` — `dropDuplicatesWithinWatermark` over (user, type) with a
+  *    35-day horizon (key-count-bounded state), HDFS vs RocksDB.
+  *  - `recovery` — the changelog question priced on the RECOVERY side:
+  *    build sessionizeTws state over multiple micro-batches on RocksDB
+  *    with changelog checkpointing on/off, then restart against the
+  *    same checkpoint with one tiny new file and time the restart run —
+  *    state reload (changelog replay vs full-snapshot load) dominates
+  *    it. Run at two state sizes. This is the number that justifies (or
+  *    not) changelog's steady-state write cost, which the sessionize
+  *    subject prices.
+  *  - `scale` — the state axis pushed a SECOND decade, mirroring the
+  *    batch probes' two-decade discipline: sessionize at 1×/10×/100×
+  *    users on fmgws_hdfs and tws_rocksdb, one timed pass per decade;
+  *    sec-per-Mrow across decades exposes superlinear state behavior.
   *
   * Not a driver gate — run manually (`runMain graft.StreamBench`);
-  * numbers are recorded in COVERAGE.md. Methodology follows Bench:
-  * warm-up pass first, then `passes` timed passes per variant
-  * (variant-major interleaved so a load spike hits all variants), report
-  * per-variant median and min, rows/sec from the min (the least-noise
-  * estimate of engine throughput). Each pass uses a fresh checkpoint so
-  * every run replays the full input through empty state.
+  * numbers are recorded in COVERAGE.md, one JSON line per subject.
+  * Methodology follows Bench: warm-up pass first, then `passes` timed
+  * passes per variant (variant-major interleaved so a load spike hits
+  * all variants), report per-variant median and min, rows/sec from the
+  * min (the least-noise estimate of engine throughput). Each pass uses
+  * a fresh checkpoint so every run replays the full input through empty
+  * state.
   */
 object StreamBench {
 
@@ -48,11 +60,18 @@ object StreamBench {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  private val Hdfs =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private val Rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val shards = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHARDS", "10").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
+      "sessionize,join,dedup,recovery,scale").split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,70 +82,197 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // fixture: N shards of the events dump (shared builder — user_id
+    // fixtures: N shards of the events dump (shared builder — user_id
     // shifts per shard so state rows scale N×; ts stays the raw nanos
-    // long, written back as plain int64)
-    val fixture = s"target/streambench$shards"
-    Tables.shardedEvents(spark, base, shards)
-      .repartition(32).write.mode("overwrite").parquet(fixture)
-    val rows = spark.read.parquet(fixture).count()
+    // long, written back as plain int64), built once per size
+    val fixtures = scala.collection.mutable.Map.empty[Int, (String, Long)]
+    def fixture(n: Int): (String, Long) = fixtures.getOrElseUpdate(n, {
+      val path = s"target/streambench$n"
+      Tables.shardedEvents(spark, base, n)
+        .repartition(32).write.mode("overwrite").parquet(path)
+      (path, spark.read.parquet(path).count())
+    })
 
-    val Hdfs =
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-    val Rocks =
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def events(path: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      val r = spark.readStream.schema(eventsSchema)
+      maxFilesPerTrigger.foreach(m => r.option("maxFilesPerTrigger", m.toString))
+      r.parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
-    def run(provider: String, tws: Boolean, changelog: Boolean = false): Double =
-      Confs.withConf(spark,
-        "spark.sql.streaming.stateStore.providerClass" -> provider,
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          changelog.toString) {
-      val events = spark.readStream
-        .schema(eventsSchema)
-        .parquet(fixture)
-        .select($"user_id",
-          timestamp_micros(expr("ts div 1000")).as("ts"),
-          $"value")
-        .withWatermark("ts", "10 minutes")
-      val sessions =
-        if (tws) StreamJobs.sessionizeTws(events, gapMinutes = 360)
-        else StreamJobs.sessionize(events, gapMinutes = 360)
-      val ck = Files.createTempDirectory("graft-streambench-ck").toString
+    /** One AvailableNow run to a noop sink against a fresh checkpoint;
+      * returns wall seconds.
+      */
+    def timeRun(out: DataFrame, ck: String = null): Double = {
+      val checkpoint =
+        if (ck != null) ck
+        else Files.createTempDirectory("graft-streambench-ck").toString
       val t0 = System.nanoTime()
-      val query = sessions.toDF().writeStream
+      val query = out.writeStream
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ck)
+        .option("checkpointLocation", checkpoint)
         .format("noop")
         .start()
       query.awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val variants = Seq(
-      ("fmgws_hdfs", Hdfs, false, false),
-      ("fmgws_rocksdb", Rocks, false, false),
-      ("tws_rocksdb", Rocks, true, false),
-      ("tws_rocksdb_changelog", Rocks, true, true))
+    /** Interleaved warm-up + timed passes over named thunks; returns
+      * (name, median, min) triples in input order.
+      */
+    def measure(variants: Seq[(String, () => Double)]): Seq[(String, Double, Double)] = {
+      variants.foreach { case (_, f) => f() } // warm-up (codegen, classes)
+      val samples = (1 to passes).map(_ => variants.map { case (n, f) => n -> f() })
+      variants.map { case (name, _) =>
+        val ts = samples.map(_.find(_._1 == name).get._2).sorted
+        (name, ts(ts.size / 2), ts.head)
+      }
+    }
 
-    variants.foreach { case (_, p, t, c) => run(p, t, c) } // warm-up (codegen, classes)
-    val samples = (1 to passes).map { _ =>
-      variants.map { case (name, p, t, c) => name -> run(p, t, c) }
-    }
-    val out = variants.map { case (name, _, _, _) =>
-      val ts = samples.map(_.find(_._1 == name).get._2).sorted
-      (name, ts(ts.size / 2), ts.head)
-    }
-    val load = java.lang.management.ManagementFactory
+    def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    out.foreach { case (name, med, mn) =>
-      System.err.println(
-        f"$name%-14s median=$med%6.2fs min=$mn%6.2fs ${rows / mn}%,.0f rows/s")
+
+    def jsonLine(metric: String, rows: Long, out: Seq[(String, Double, Double)]): Unit = {
+      out.foreach { case (name, med, mn) =>
+        System.err.println(
+          f"$metric/$name%-22s median=$med%6.2fs min=$mn%6.2fs ${rows / mn}%,.0f rows/s")
+      }
+      val med = out.map { case (k, m, _) => s""""$k":${f"$m%.3f"}""" }.mkString("{", ",", "}")
+      val mn = out.map { case (k, _, m) => s""""$k":${f"$m%.3f"}""" }.mkString("{", ",", "}")
+      val rps = out.map { case (k, _, m) => s""""$k":${(rows / m).toLong}""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"$metric","rows":$rows,"shards":$shards,"passes":$passes,"median_sec":$med,"min_sec":$mn,"rows_per_sec":$rps,"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
     }
-    val med = out.map { case (k, m, _) => s""""$k":${f"$m%.3f"}""" }.mkString("{", ",", "}")
-    val mn = out.map { case (k, _, m) => s""""$k":${f"$m%.3f"}""" }.mkString("{", ",", "}")
-    val rps = out.map { case (k, _, m) => s""""$k":${(rows / m).toLong}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"stream_sessionize","rows":$rows,"shards":$shards,"passes":$passes,"median_sec":$med,"min_sec":$mn,"rows_per_sec":$rps,"load_avg_1m":$load,"cpus":$cpus,"sf":"$base"}""")
+
+    def sessions(path: String, tws: Boolean) = {
+      val ev = events(path)
+        .select($"user_id", $"ts", $"value")
+        .withWatermark("ts", "10 minutes")
+      (if (tws) StreamJobs.sessionizeTws(ev, gapMinutes = 360)
+       else StreamJobs.sessionize(ev, gapMinutes = 360)).toDF()
+    }
+
+    if (subjects("sessionize")) {
+      val (path, rows) = fixture(shards)
+      def run(provider: String, tws: Boolean, changelog: Boolean): Double =
+        Confs.withConf(spark,
+          "spark.sql.streaming.stateStore.providerClass" -> provider,
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+            changelog.toString) {
+          timeRun(sessions(path, tws))
+        }
+      jsonLine("stream_sessionize", rows, measure(Seq(
+        ("fmgws_hdfs", () => run(Hdfs, tws = false, changelog = false)),
+        ("fmgws_rocksdb", () => run(Rocks, tws = false, changelog = false)),
+        ("tws_rocksdb", () => run(Rocks, tws = true, changelog = false)),
+        ("tws_rocksdb_changelog", () => run(Rocks, tws = true, changelog = true)))))
+    }
+
+    if (subjects("join")) {
+      val (path, rows) = fixture(shards)
+      def run(provider: String): Double =
+        Confs.withConf(spark,
+          "spark.sql.streaming.stateStore.providerClass" -> provider) {
+          def side(kind: String, p: String): DataFrame = events(path)
+            .filter($"event_type" === kind)
+            .select($"event_id".as(s"${p}_id"), $"user_id".as(s"${p}_k"),
+              $"ts".as(s"${p}_ts"))
+          timeRun(StreamJobs.streamStreamCorrelate(
+            side("click", "l"), side("purchase", "r"),
+            window = "10 minutes", delay = "10 minutes"))
+        }
+      jsonLine("stream_join", rows, measure(Seq(
+        ("hdfs", () => run(Hdfs)),
+        ("rocksdb", () => run(Rocks)))))
+    }
+
+    if (subjects("dedup")) {
+      val (path, rows) = fixture(shards)
+      def run(provider: String): Double =
+        Confs.withConf(spark,
+          "spark.sql.streaming.stateStore.providerClass" -> provider) {
+          timeRun(events(path)
+            .select($"user_id", $"event_type", $"ts")
+            .withWatermark("ts", "35 days")
+            .dropDuplicatesWithinWatermark("user_id", "event_type"))
+        }
+      jsonLine("stream_dedup", rows, measure(Seq(
+        ("hdfs", () => run(Hdfs)),
+        ("rocksdb", () => run(Rocks)))))
+    }
+
+    if (subjects("recovery")) {
+      // build TWS session state over ≥4 micro-batches (32 fixture files,
+      // 8/trigger), then restart the same checkpoint with one new tiny
+      // file: the restart run's wall time is dominated by state RELOAD —
+      // full-snapshot load vs changelog replay, the number the changelog
+      // mode exists for. Fresh fixture copy per cell (the tiny file
+      // mutates the dir).
+      def cell(changelog: Boolean, n: Int): (Long, Long, Double, Double) =
+        Confs.withConf(spark,
+          "spark.sql.streaming.stateStore.providerClass" -> Rocks,
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+            changelog.toString) {
+          val tag = if (changelog) "cl" else "snap"
+          val path = s"target/streambench_rec_${tag}_$n"
+          Tables.shardedEvents(spark, base, n)
+            .repartition(32).write.mode("overwrite").parquet(path)
+          val keys = spark.read.parquet(path).select($"user_id").distinct().count()
+          val rows = spark.read.parquet(path).count()
+          val ck = Files.createTempDirectory(s"graft-rec-$tag-ck").toString
+          val build = {
+            val ev = events(path, maxFilesPerTrigger = Some(8))
+              .select($"user_id", $"ts", $"value")
+              .withWatermark("ts", "10 minutes")
+            timeRun(StreamJobs.sessionizeTws(ev, gapMinutes = 360).toDF(), ck)
+          }
+          val maxTs = spark.read.parquet(path).agg(max($"ts")).head.getLong(0)
+          Seq((Long.MaxValue - 1, maxTs + 1000000000L, 1L, "click", 1.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.mode("append").parquet(path)
+          val recover = {
+            val ev = events(path)
+              .select($"user_id", $"ts", $"value")
+              .withWatermark("ts", "10 minutes")
+            timeRun(StreamJobs.sessionizeTws(ev, gapMinutes = 360).toDF(), ck)
+          }
+          (rows, keys, build, recover)
+        }
+      val sizes = Seq(1, shards)
+      val cells = for (n <- sizes; cl <- Seq(false, true)) yield {
+        val (rows, keys, build, recover) = cell(cl, n)
+        val mode = if (cl) "changelog" else "snapshot"
+        System.err.println(
+          f"recovery/$mode%-9s shards=$n%-3d keys=$keys%,d build=$build%6.2fs recover=$recover%6.2fs")
+        s""""${mode}_x$n":{"rows":$rows,"state_keys":$keys,"build_sec":${f"$build%.3f"},"recover_sec":${f"$recover%.3f"}}"""
+      }
+      println(s"""{"metric":"stream_recovery","cells":${cells.mkString("{", ",", "}")},"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
+    }
+
+    if (subjects("scale")) {
+      // two-decade state axis: one timed pass per decade (the 100×
+      // decade is minutes of input; medians would be prohibitive), after
+      // a 1×-decade warm-up that amortizes codegen/classloading for the
+      // whole sweep. Superlinear state behavior shows as sec-per-Mrow
+      // GROWING across decades.
+      def run(n: Int, tws: Boolean, provider: String): (Long, Double) =
+        Confs.withConf(spark,
+          "spark.sql.streaming.stateStore.providerClass" -> provider) {
+          val (path, rows) = fixture(n)
+          (rows, timeRun(sessions(path, tws)))
+        }
+      run(1, tws = false, Hdfs); run(1, tws = true, Rocks) // warm-up
+      val decades = Seq(1, 10, 100).map { n =>
+        val (rows, v1) = run(n, tws = false, Hdfs)
+        val (_, v2) = run(n, tws = true, Rocks)
+        System.err.println(
+          f"scale x$n%-4d rows=$rows%,d fmgws_hdfs=$v1%6.2fs tws_rocksdb=$v2%6.2fs " +
+            f"(${v1 / (rows / 1e6)}%.2f / ${v2 / (rows / 1e6)}%.2f s/Mrow)")
+        s""""x$n":{"rows":$rows,"fmgws_hdfs_sec":${f"$v1%.3f"},"tws_rocksdb_sec":${f"$v2%.3f"}}"""
+      }
+      println(s"""{"metric":"stream_state_scale","decades":${decades.mkString("{", ",", "}")},"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
+    }
+
     spark.stop()
   }
 }
