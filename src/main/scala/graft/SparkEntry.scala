@@ -51,7 +51,7 @@ object SparkEntry {
   // streaming), q52/q54/q55/q59 (stream-stream join modes), q58/q62
   // (sessionization, v1 and transformWithState), q60/q63 (chained
   // stateful), q61 (stream dedup), q64 (state-v2 profile), q65/q69
-  // (checkpoint restarts), q66/q67/q68 (disordered feeds), q70
+  // (checkpoint restarts), q66/q67/q68 (disordered feeds), q70/q72
   // (mid-batch failure + replay), q71 (beyond-tolerance drop) — are
   // deliberately absent: their wall time is
   // dominated by the harness (file-stream setup, checkpoint +

@@ -1275,6 +1275,70 @@ object StreamGateQueries {
     s.read.parquet(s"$out/batch_*").orderBy($"user_id", $"session_start_ms")
   }
 
+  /** q72 — q70's mid-batch failure on the OTHER state API and backend:
+    * `transformWithState` sessionization on RocksDB, crashed on the
+    * first attempt of data batch 2 after the sink write, restarted
+    * against the same checkpoint. Completes the failure matrix the way
+    * q69 completed q65's restart matrix (q70 = FMGWS/HDFS-backed,
+    * q72 = TWS/RocksDB): the replay must reload batch 2's STARTING
+    * state from the RocksDB commit of batch 1 (snapshot/changelog load
+    * path — the failed attempt's uncommitted RocksDB writes must be
+    * discarded), re-register every open session's event-time timer,
+    * re-derive identical emissions, and the batch-dir union must meet
+    * q58's oracle verbatim. See q70's scaladoc for the recovery
+    * contract and determinism argument.
+    */
+  def q72MidBatchFailureTws(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+    import s.implicits._
+    val staged = stageTimeSplit(s, dir, "q72", n = 6)
+    val out = Files.createTempDirectory("graft-q72-out").toString
+    val ck = Files.createTempDirectory("graft-q72-ck").toString
+    val failAt = 2L
+    val injectedMsg = s"q72 injected mid-batch failure (first attempt of batch $failAt)"
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(tag: String): StreamingQuery = {
+      val events = stagedStream(s, staged)
+        .select($"user_id", $"ts", $"value")
+        .withWatermark("ts", "10 minutes")
+      StreamJobs.sessionizeTws(events, gapMinutes = 360).toDF()
+        .select($"user_id",
+          unix_millis($"session_start").as("session_start_ms"),
+          unix_millis($"session_end").as("session_end_ms"),
+          $"events".as("n_events"))
+        .writeStream
+        .queryName(s"q72_midbatch_failure_tws_$tag")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (batchId == failAt && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+        }
+        .start()
+    }
+    val run1 = runOnce("run1")
+    val err = try { run1.awaitTermination(); None } catch {
+      case e: Throwable => Some(e)
+    }
+    val chain = err.iterator.flatMap(e =>
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
+    require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
+      s"q72 run 1 must terminate with the injected mid-batch failure, got: " +
+        err.fold("clean termination")(_.toString))
+    require(Files.exists(failMarker), "q72 fault injection did not fire")
+    val run2 = runOnce("run2")
+    run2.awaitTermination()
+    requireMultiBatch(run2, "q72 run2")
+    dropStaged(staged)
+    s.read.parquet(s"$out/batch_*").orderBy($"user_id", $"session_start_ms")
+  }
+
   /** q71 — the beyond-tolerance DROP path, oracle-gated: every staged
     * feed so far is constructed so NOTHING drops (that is what makes the
     * oracles layout-invariant); this gate makes the complementary
@@ -1399,7 +1463,8 @@ object StreamGateQueries {
     "q68_disordered_sessionize" -> (q68DisorderedSessionize _),
     "q69_restart_sessionize_tws" -> (q69RestartSessionizeTws _),
     "q70_midbatch_failure" -> (q70MidBatchFailure _),
-    "q71_late_drop_window" -> (q71LateDropWindow _))
+    "q71_late_drop_window" -> (q71LateDropWindow _),
+    "q72_midbatch_failure_tws" -> (q72MidBatchFailureTws _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -1431,5 +1496,7 @@ object StreamGateQueries {
     "q70_midbatch_failure" -> q58Oracle,
     // beyond-tolerance late rows drop; on-time rows don't — the emitted
     // set is the closed-window set over the ORIGINAL events alone
-    "q71_late_drop_window" -> q49Oracle)
+    "q71_late_drop_window" -> q49Oracle,
+    // crash-replay invisibility must hold on BOTH state APIs/backends
+    "q72_midbatch_failure_tws" -> q58Oracle)
 }
