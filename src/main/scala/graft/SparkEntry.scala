@@ -115,5 +115,8 @@ object SparkEntry {
     // appended round 7: corpus source-balancing ops (map-side hash
     // sampling; q57 additionally exercises the native top-k operator)
     "q56_stratified_sample",
-    "q57_source_cap")
+    "q57_source_cap",
+    // appended round 10: incremental corpus dedup (anti-join probe of
+    // the incoming batch against the standing corpus's fingerprints)
+    "q73_incremental_dedup")
 }

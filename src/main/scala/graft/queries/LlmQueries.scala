@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{TextOps, VectorOps}
+import graft.operators.{Sampling, TextOps, VectorOps}
 
 /** LLM-training-data-pipeline operators over the driver-provided
   * `documents` (doc_id, text, lang, source, n_chars) and `embeddings`
@@ -1197,6 +1197,65 @@ object LlmQueries {
       |WHERE rn <= 5
       |ORDER BY rk.doc_id, rk.tf DESC, rk.term""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+
+  /** q73 — INCREMENTAL corpus dedup: admit a new batch of documents
+    * against an already-ingested corpus — the shape a production
+    * training-data pipeline actually runs (nobody re-dedups the standing
+    * 100 TB corpus per ingest; each arriving batch is checked against
+    * the corpus's fingerprint index and within itself). The
+    * corpus/incoming split is the deterministic content-hash uniform
+    * over doc_id ([[graft.operators.Sampling]], the q37/q56 primitive),
+    * so the gate needs no extra fixture and the split is
+    * reshard/retry-stable. A doc is ADMITTED iff (a) no corpus doc
+    * shares its bag-of-words fingerprint (the corpus's planted duplicate
+    * class, q15 — an exact-text key would make the cross-corpus check
+    * vacuous on this fixture) and (b) it is the smallest-id holder of
+    * its fingerprint within the incoming batch (first-wins within the
+    * batch, q14/q15's keep rule); `batch_dups` records the in-batch
+    * group size.
+    *
+    * Scale: fingerprints are map-side; the left-anti probe and the
+    * keep-first groupBy shuffle 32-char fingerprints + ids only, never
+    * text — and partial aggregation combines map-side. At 100 TB the
+    * corpus side is the standing fingerprint index, bucketed by
+    * fingerprint at ingest (q51's BucketedLake discipline), making each
+    * incremental batch's anti-join zero-exchange on the corpus side;
+    * this gate is the unbucketed spelling of that plan.
+    */
+  def q73IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id",
+        TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"),
+        Sampling.uniform01($"doc_id").as("u"))
+    val corpus = docs.filter($"u" >= 0.3).select($"fingerprint")
+    val incoming = docs.filter($"u" < 0.3)
+    incoming
+      .join(corpus, Seq("fingerprint"), "left_anti")
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("batch_dups"))
+      .select($"doc_id", $"fingerprint", $"batch_dups")
+      .orderBy($"doc_id")
+  }
+
+  val q73Oracle: String = {
+    val u = Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(
+       |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))), ' ')) AS fingerprint,
+       |    $u AS u
+       |  FROM documents)
+       |SELECT min(i.doc_id) AS doc_id, i.fingerprint,
+       |  count(*) AS batch_dups
+       |FROM f i
+       |WHERE i.u < 0.3 AND NOT EXISTS (
+       |  SELECT 1 FROM f c WHERE c.u >= 0.3 AND c.fingerprint = i.fingerprint)
+       |GROUP BY i.fingerprint
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1214,7 +1273,8 @@ object LlmQueries {
     "q32_ann_ivf"           -> (q32AnnIvf _),
     "q40_dedup_clusters"    -> (q40DedupClusters _),
     "q43_top_terms"         -> (q43TopTerms _),
-    "q46_corpus_prep"       -> (q46CorpusPrep _))
+    "q46_corpus_prep"       -> (q46CorpusPrep _),
+    "q73_incremental_dedup" -> (q73IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1231,5 +1291,6 @@ object LlmQueries {
     "q32_ann_ivf"           -> q32Oracle,
     "q40_dedup_clusters"    -> q40Oracle,
     "q43_top_terms"         -> q43Oracle,
-    "q46_corpus_prep"       -> q46Oracle)
+    "q46_corpus_prep"       -> q46Oracle,
+    "q73_incremental_dedup" -> q73Oracle)
 }

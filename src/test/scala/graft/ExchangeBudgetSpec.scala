@@ -90,6 +90,9 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q45_user_setops" -> 6,        // three set ops, two shuffles each
     "q46_corpus_prep" -> 5,
     "q47_json_extract" -> 3,
+    // anti-join shuffles fingerprints per side; the keep-first groupBy
+    // reuses the join's hash partitioning and adds no exchange
+    "q73_incremental_dedup" -> 2,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg
     "q51_bucketed_join" -> 2,      // the bucketed join itself adds ZERO
