@@ -208,7 +208,7 @@ object StreamBench {
       // full-snapshot load vs changelog replay, the number the changelog
       // mode exists for. Fresh fixture copy per cell (the tiny file
       // mutates the dir).
-      def cell(changelog: Boolean, n: Int): (Long, Long, Double, Double) =
+      def cell(changelog: Boolean, n: Int): (Long, Long, Double, Double, Double) =
         Confs.withConf(spark,
           "spark.sql.streaming.stateStore.providerClass" -> Rocks,
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
@@ -220,31 +220,33 @@ object StreamBench {
           val keys = spark.read.parquet(path).select($"user_id").distinct().count()
           val rows = spark.read.parquet(path).count()
           val ck = Files.createTempDirectory(s"graft-rec-$tag-ck").toString
-          val build = {
-            val ev = events(path, maxFilesPerTrigger = Some(8))
+          def restartRun(trickle: Option[Int]): Double = {
+            val ev = events(path, maxFilesPerTrigger = trickle)
               .select($"user_id", $"ts", $"value")
               .withWatermark("ts", "10 minutes")
             timeRun(StreamJobs.sessionizeTws(ev, gapMinutes = 360).toDF(), ck)
           }
+          val build = restartRun(trickle = Some(8))
+          // startup FLOOR: a restart with NOTHING new runs no data batch,
+          // so RocksDB never loads state (per-partition lazy load) — this
+          // prices query planning/scheduling alone, and
+          // `recover − baseline` is the reload-attributable cost
+          val baseline = restartRun(trickle = None)
           val maxTs = spark.read.parquet(path).agg(max($"ts")).head.getLong(0)
           Seq((Long.MaxValue - 1, maxTs + 1000000000L, 1L, "click", 1.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.mode("append").parquet(path)
-          val recover = {
-            val ev = events(path)
-              .select($"user_id", $"ts", $"value")
-              .withWatermark("ts", "10 minutes")
-            timeRun(StreamJobs.sessionizeTws(ev, gapMinutes = 360).toDF(), ck)
-          }
-          (rows, keys, build, recover)
+          val recover = restartRun(trickle = None)
+          (rows, keys, build, baseline, recover)
         }
       val sizes = Seq(1, shards)
       val cells = for (n <- sizes; cl <- Seq(false, true)) yield {
-        val (rows, keys, build, recover) = cell(cl, n)
+        val (rows, keys, build, baseline, recover) = cell(cl, n)
         val mode = if (cl) "changelog" else "snapshot"
         System.err.println(
-          f"recovery/$mode%-9s shards=$n%-3d keys=$keys%,d build=$build%6.2fs recover=$recover%6.2fs")
-        s""""${mode}_x$n":{"rows":$rows,"state_keys":$keys,"build_sec":${f"$build%.3f"},"recover_sec":${f"$recover%.3f"}}"""
+          f"recovery/$mode%-9s shards=$n%-3d keys=$keys%,d build=$build%6.2fs " +
+            f"baseline=$baseline%6.2fs recover=$recover%6.2fs reload=${recover - baseline}%6.2fs")
+        s""""${mode}_x$n":{"rows":$rows,"state_keys":$keys,"build_sec":${f"$build%.3f"},"baseline_sec":${f"$baseline%.3f"},"recover_sec":${f"$recover%.3f"}}"""
       }
       println(s"""{"metric":"stream_recovery","cells":${cells.mkString("{", ",", "}")},"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
     }
@@ -255,20 +257,29 @@ object StreamBench {
       // a 1×-decade warm-up that amortizes codegen/classloading for the
       // whole sweep. Superlinear state behavior shows as sec-per-Mrow
       // GROWING across decades.
-      def run(n: Int, tws: Boolean, provider: String): (Long, Double) =
+      def dedup(path: String): DataFrame = events(path)
+        .select($"user_id", $"event_type", $"ts")
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      def run(n: Int, subject: String => DataFrame, provider: String): (Long, Double) =
         Confs.withConf(spark,
           "spark.sql.streaming.stateStore.providerClass" -> provider) {
           val (path, rows) = fixture(n)
-          (rows, timeRun(sessions(path, tws)))
+          (rows, timeRun(subject(path)))
         }
-      run(1, tws = false, Hdfs); run(1, tws = true, Rocks) // warm-up
+      // warm-up at the cheap decade (codegen/classes for the whole sweep)
+      run(1, sessions(_, tws = false), Hdfs)
+      run(1, sessions(_, tws = true), Rocks)
+      run(1, dedup, Rocks)
       val decades = Seq(1, 10, 100).map { n =>
-        val (rows, v1) = run(n, tws = false, Hdfs)
-        val (_, v2) = run(n, tws = true, Rocks)
+        val (rows, v1) = run(n, sessions(_, tws = false), Hdfs)
+        val (_, v2) = run(n, sessions(_, tws = true), Rocks)
+        val (_, v3) = run(n, dedup, Rocks)
         System.err.println(
           f"scale x$n%-4d rows=$rows%,d fmgws_hdfs=$v1%6.2fs tws_rocksdb=$v2%6.2fs " +
-            f"(${v1 / (rows / 1e6)}%.2f / ${v2 / (rows / 1e6)}%.2f s/Mrow)")
-        s""""x$n":{"rows":$rows,"fmgws_hdfs_sec":${f"$v1%.3f"},"tws_rocksdb_sec":${f"$v2%.3f"}}"""
+            f"dedup_rocksdb=$v3%6.2fs " +
+            f"(${v1 / (rows / 1e6)}%.2f / ${v2 / (rows / 1e6)}%.2f / ${v3 / (rows / 1e6)}%.2f s/Mrow)")
+        s""""x$n":{"rows":$rows,"fmgws_hdfs_sec":${f"$v1%.3f"},"tws_rocksdb_sec":${f"$v2%.3f"},"dedup_rocksdb_sec":${f"$v3%.3f"}}"""
       }
       println(s"""{"metric":"stream_state_scale","decades":${decades.mkString("{", ",", "}")},"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
     }
