@@ -217,8 +217,9 @@ object StreamBench {
           val path = s"target/streambench_rec_${tag}_$n"
           Tables.shardedEvents(spark, base, n)
             .repartition(32).write.mode("overwrite").parquet(path)
-          val keys = spark.read.parquet(path).select($"user_id").distinct().count()
-          val rows = spark.read.parquet(path).count()
+          val stats = spark.read.parquet(path)
+            .agg(count(lit(1)), countDistinct($"user_id"), max($"ts")).head
+          val (rows, keys, maxTs) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
           val ck = Files.createTempDirectory(s"graft-rec-$tag-ck").toString
           def restartRun(trickle: Option[Int]): Double = {
             val ev = events(path, maxFilesPerTrigger = trickle)
@@ -232,14 +233,13 @@ object StreamBench {
           // prices query planning/scheduling alone, and
           // `recover − baseline` is the reload-attributable cost
           val baseline = restartRun(trickle = None)
-          val maxTs = spark.read.parquet(path).agg(max($"ts")).head.getLong(0)
           Seq((Long.MaxValue - 1, maxTs + 1000000000L, 1L, "click", 1.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.mode("append").parquet(path)
           val recover = restartRun(trickle = None)
           (rows, keys, build, baseline, recover)
         }
-      val sizes = Seq(1, shards)
+      val sizes = Seq(1, shards).distinct
       val cells = for (n <- sizes; cl <- Seq(false, true)) yield {
         val (rows, keys, build, baseline, recover) = cell(cl, n)
         val mode = if (cl) "changelog" else "snapshot"

@@ -118,6 +118,17 @@ class CdcTable(
   private def clean(prevV: Long, prevC: Long): Unit = {
     (1L until prevV).foreach(v => deleteRecursively(Paths.get(baseDir(v))))
     deltaDirs.filter(deltaSeq(_) <= prevC).foreach(deleteRecursively)
+    // orphaned staging dirs (a writer that crashed between its staging
+    // write and the rename): single-writer discipline means no staging
+    // can be LIVE while this (same-writer) table-state change runs
+    val p = Paths.get(logDir)
+    if (Files.exists(p)) {
+      val st = Files.list(p)
+      try st.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(".staging_delta_"))
+        .foreach(deleteRecursively)
+      finally st.close()
+    }
   }
 
   private def merge(df: DataFrame, mode: CdcMerge.DeleteMode): DataFrame =
@@ -179,9 +190,13 @@ class CdcTable(
     val staging = Paths.get(f"$logDir/.staging_delta_$seq%06d_${java.util.UUID.randomUUID}")
     batch.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val dst = Paths.get(f"$logDir/delta_$seq%06d")
+    // only a rename failure that is ACTUALLY a destination collision is
+    // reported as a concurrent writer; any other rename error (mount
+    // without atomic dir rename, permissions, transient IO) propagates
+    // as-is WITH the staged batch left on disk for inspection
     try Files.move(staging, dst, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case e: java.nio.file.FileSystemException =>
+      case e: java.nio.file.FileSystemException if Files.exists(dst) =>
         deleteRecursively(staging)
         throw new IllegalStateException(
           s"concurrent writer detected: delta commit $seq already exists — " +

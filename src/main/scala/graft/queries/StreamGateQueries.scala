@@ -343,12 +343,16 @@ object StreamGateQueries {
   /** Delete a gate's staged source dir(s) NOW: once the streaming query
     * has terminated the source files have all been read, and the gate's
     * read-back DataFrame scans only the SINK dir — so the dump copy is
-    * dead weight for the rest of the sweep (ADVICE r9).
+    * dead weight for the rest of the sweep (ADVICE r9). Best-effort: a
+    * cleanup IO error must not fail a gate whose run and read-back
+    * already succeeded — the dir stays queued for the shutdown hook.
     */
   private def dropStaged(paths: String*): Unit = paths.foreach { p =>
     val path = Paths.get(p)
-    stagedDirs.remove(path)
-    deleteTree(path)
+    try {
+      deleteTree(path)
+      stagedDirs.remove(path)
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Stage the events topic dump as `n` TIME-ORDERED, NON-OVERLAPPING
@@ -403,6 +407,11 @@ object StreamGateQueries {
       .withColumn("_k", sortKey.cast("double"))
     val cuts = src.stat.approxQuantile(
       "_k", (1 until n).map(_.toDouble / n).toArray, 0.001)
+    // coinciding cuts (a sort key where one value holds > 1/n of the
+    // mass) would yield an empty slice and a confusing one-file require
+    // failure downstream — name the real cause instead
+    require(cuts.distinct.length == cuts.length,
+      s"$tag: events sort key too skewed for an $n-way time split (duplicate quantile cuts)")
     val slice = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when($"_k" > c, 1).otherwise(0) }
     src.withColumn("_slice", slice).drop("_k")
@@ -1222,27 +1231,41 @@ object StreamGateQueries {
     */
   def q70MidBatchFailure(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    midBatchFailureGate(s, dir, "q70", tws = false)
+  }
+
+  /** Shared fault-injection harness for the mid-batch-failure gates —
+    * ONE implementation of the injection, error-chain inspection, and
+    * replay requires, so the two state-API gates (q70 FMGWS, q72 TWS)
+    * can never drift apart. See q70's scaladoc for the recovery
+    * contract and determinism argument.
+    */
+  private def midBatchFailureGate(
+      s: SparkSession, dir: String, tag: String, tws: Boolean): DataFrame = {
     import s.implicits._
-    val staged = stageTimeSplit(s, dir, "q70", n = 6)
-    val out = Files.createTempDirectory("graft-q70-out").toString
-    val ck = Files.createTempDirectory("graft-q70-ck").toString
+    val staged = stageTimeSplit(s, dir, tag, n = 6)
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
     val failAt = 2L
-    val injectedMsg = s"q70 injected mid-batch failure (first attempt of batch $failAt)"
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch $failAt)"
     // driver-side first-attempt marker: underscore-prefixed, outside the
     // batch_* read-back glob, so the second invocation of batch `failAt`
     // (the replay) runs to completion
     val failMarker = Paths.get(out, "_fail_injected")
-    def runOnce(tag: String): StreamingQuery = {
+    def runOnce(run: String): StreamingQuery = {
       val events = stagedStream(s, staged)
         .select($"user_id", $"ts", $"value")
         .withWatermark("ts", "10 minutes")
-      StreamJobs.sessionize(events, gapMinutes = 360).toDF()
+      val sessions =
+        if (tws) StreamJobs.sessionizeTws(events, gapMinutes = 360)
+        else StreamJobs.sessionize(events, gapMinutes = 360)
+      sessions.toDF()
         .select($"user_id",
           unix_millis($"session_start").as("session_start_ms"),
           unix_millis($"session_end").as("session_end_ms"),
           $"events".as("n_events"))
         .writeStream
-        .queryName(s"q70_midbatch_failure_$tag")
+        .queryName(s"${tag}_midbatch_failure_$run")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
@@ -1265,12 +1288,12 @@ object StreamGateQueries {
     val chain = err.iterator.flatMap(e =>
       Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
     require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
-      s"q70 run 1 must terminate with the injected mid-batch failure, got: " +
+      s"$tag run 1 must terminate with the injected mid-batch failure, got: " +
         err.fold("clean termination")(_.toString))
-    require(Files.exists(failMarker), "q70 fault injection did not fire")
+    require(Files.exists(failMarker), s"$tag fault injection did not fire")
     val run2 = runOnce("run2")
     run2.awaitTermination()
-    requireMultiBatch(run2, "q70 run2") // replayed batch + the 3 undelivered files
+    requireMultiBatch(run2, s"$tag run2") // replayed batch + the 3 undelivered files
     dropStaged(staged)
     s.read.parquet(s"$out/batch_*").orderBy($"user_id", $"session_start_ms")
   }
@@ -1292,51 +1315,7 @@ object StreamGateQueries {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-    import s.implicits._
-    val staged = stageTimeSplit(s, dir, "q72", n = 6)
-    val out = Files.createTempDirectory("graft-q72-out").toString
-    val ck = Files.createTempDirectory("graft-q72-ck").toString
-    val failAt = 2L
-    val injectedMsg = s"q72 injected mid-batch failure (first attempt of batch $failAt)"
-    val failMarker = Paths.get(out, "_fail_injected")
-    def runOnce(tag: String): StreamingQuery = {
-      val events = stagedStream(s, staged)
-        .select($"user_id", $"ts", $"value")
-        .withWatermark("ts", "10 minutes")
-      StreamJobs.sessionizeTws(events, gapMinutes = 360).toDF()
-        .select($"user_id",
-          unix_millis($"session_start").as("session_start_ms"),
-          unix_millis($"session_end").as("session_end_ms"),
-          $"events".as("n_events"))
-        .writeStream
-        .queryName(s"q72_midbatch_failure_tws_$tag")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
-          if (batchId == failAt && !Files.exists(failMarker)) {
-            Files.createFile(failMarker)
-            throw new RuntimeException(injectedMsg)
-          }
-        }
-        .start()
-    }
-    val run1 = runOnce("run1")
-    val err = try { run1.awaitTermination(); None } catch {
-      case e: Throwable => Some(e)
-    }
-    val chain = err.iterator.flatMap(e =>
-      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
-    require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
-      s"q72 run 1 must terminate with the injected mid-batch failure, got: " +
-        err.fold("clean termination")(_.toString))
-    require(Files.exists(failMarker), "q72 fault injection did not fire")
-    val run2 = runOnce("run2")
-    run2.awaitTermination()
-    requireMultiBatch(run2, "q72 run2")
-    dropStaged(staged)
-    s.read.parquet(s"$out/batch_*").orderBy($"user_id", $"session_start_ms")
+    midBatchFailureGate(s, dir, "q72", tws = true)
   }
 
   /** q71 — the beyond-tolerance DROP path, oracle-gated: every staged

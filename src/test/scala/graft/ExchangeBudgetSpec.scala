@@ -90,8 +90,11 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q45_user_setops" -> 6,        // three set ops, two shuffles each
     "q46_corpus_prep" -> 5,
     "q47_json_extract" -> 3,
-    // anti-join shuffles fingerprints per side; the keep-first groupBy
-    // reuses the join's hash partitioning and adds no exchange
+    // measured plan: the corpus side broadcasts at fixture scale
+    // (BroadcastHashJoin LeftAnti, no join shuffle), leaving the
+    // keep-first groupBy + final orderBy exchanges; at a scale where
+    // the corpus stops broadcasting, the anti-join adds its per-side
+    // fingerprint shuffles — re-pin deliberately via ExchangeAudit
     "q73_incremental_dedup" -> 2,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg
