@@ -472,6 +472,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sessionize DROPS a beyond-tolerance late event on both state APIs (q71's drop path for custom state)") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // the complement of the within-tolerance backwards-extension law:
+    // an event BELOW the watermark is filtered before the state function
+    // (FMGWS under EventTimeTimeout and TWS in event-time mode both
+    // apply the late-data filter), so it can neither extend the open
+    // session backwards nor resurrect a closed one — without the filter
+    // the min-start merge would emit [10:00, 10:30] with sales 6.0
+    def run(tws: Boolean, name: String): Set[(Long, String, String, Long, Double)] = {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val events = ms.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "10 minutes")
+      val sessions =
+        if (tws) graft.streaming.StreamJobs.sessionizeTws(events, gapMinutes = 30)
+        else graft.streaming.StreamJobs.sessionize(events, gapMinutes = 30)
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        ms.addData((1L, t(10, 30), 1.0))
+        q.processAllAvailable() // watermark -> 10:20
+        ms.addData((1L, t(10, 0), 5.0)) // BELOW the watermark: dropped
+        q.processAllAvailable()
+        ms.addData((9L, t(23, 0), 0.0)) // watermark -> 22:50 closes user 1
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select($"user_id", date_format($"session_start", "HH:mm").as("s"),
+          date_format($"session_end", "HH:mm").as("e"), $"events", $"sales")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    }
+    val expected = Set((1L, "10:30", "10:30", 1L, 1.0))
+    assert(run(tws = false, "t_drop_v1") === expected)
+    withConf("spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider) {
+      assert(run(tws = true, "t_drop_tws") === expected)
+    }
+  }
+
   test("transformWithState sessionization equals flatMapGroupsWithState on the same feed") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
