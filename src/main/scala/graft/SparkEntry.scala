@@ -118,5 +118,7 @@ object SparkEntry {
     "q57_source_cap",
     // appended round 10: incremental corpus dedup (anti-join probe of
     // the incoming batch against the standing corpus's fingerprints)
-    "q73_incremental_dedup")
+    // and deterministic token-budget packing (prefix-sum bin chunking)
+    "q73_incremental_dedup",
+    "q74_token_packing")
 }

@@ -1256,6 +1256,75 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q74
+
+  /** q74 — deterministic token-budget PACKING: lay each (split, source)
+    * document stream out in doc_id order and chunk it by CUMULATIVE
+    * token offset into fixed-budget bins — the step between corpus prep
+    * and batch materialization in every pretraining pipeline ("pack
+    * documents into ~N-token training rows"). Bin k holds the docs whose
+    * start offset falls in [k·B, (k+1)·B): a windowed-prefix-sum
+    * spelling of greedy packing that is a pure function of the ordered
+    * stream — deterministic, reshard/retry-stable, and expressible
+    * identically on both engines (true first-fit is a sequential
+    * recurrence no SQL engine runs in parallel). The split is q37's
+    * content-hash rule, so the gate composes two verified primitives;
+    * tokens are q17's whitespace count.
+    *
+    * Scale: ONE shuffle — the window partition on (split, source); the
+    * per-bin groupBy reuses that partitioning ((split, source) is a
+    * subset of the grouping key, so the clustering requirement is
+    * already met) and only the final presentation sort adds a range
+    * exchange. The prefix sum is per-partition sequential, which is fine
+    * when sources are many (the 100 TB shape); a single giant source
+    * would be sub-sharded by a second content hash exactly like the
+    * skew operator fans out hot join keys.
+    */
+  def q74TokenPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 512
+    val bucket = Sampling.hash60(TextOps.normText($"text")) % 100
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(TextOps.tokens(TextOps.normText($"text"))).as("n_tokens"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+    val w = Window.partitionBy($"split", $"source").orderBy($"doc_id")
+    val startOffset = sum($"n_tokens").over(w) - $"n_tokens"
+    docs
+      .withColumn("bin", floor(startOffset / lit(budget)))
+      .groupBy($"split", $"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("bin_tokens"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"))
+      .orderBy($"split", $"source", $"bin")
+  }
+
+  val q74Oracle: String = {
+    val h = Sampling.duckHash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+       |      AS n_tokens,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |o AS (
+       |  SELECT split, source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+       |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+       |  FROM d)
+       |SELECT split, source, CAST(floor(off / 512.0) AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM o
+       |GROUP BY split, source, bin
+       |ORDER BY split, source, bin""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1274,7 +1343,8 @@ object LlmQueries {
     "q40_dedup_clusters"    -> (q40DedupClusters _),
     "q43_top_terms"         -> (q43TopTerms _),
     "q46_corpus_prep"       -> (q46CorpusPrep _),
-    "q73_incremental_dedup" -> (q73IncrementalDedup _))
+    "q73_incremental_dedup" -> (q73IncrementalDedup _),
+    "q74_token_packing"     -> (q74TokenPacking _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1292,5 +1362,6 @@ object LlmQueries {
     "q40_dedup_clusters"    -> q40Oracle,
     "q43_top_terms"         -> q43Oracle,
     "q46_corpus_prep"       -> q46Oracle,
-    "q73_incremental_dedup" -> q73Oracle)
+    "q73_incremental_dedup" -> q73Oracle,
+    "q74_token_packing"     -> q74Oracle)
 }
