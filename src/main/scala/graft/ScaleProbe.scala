@@ -26,7 +26,7 @@ object ScaleProbe {
   private val AllProbes = Seq(
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
     "q51_bucketed_join", "q43_top_terms", "q16_neardup_lsh",
-    "q73_incremental_dedup",
+    "q73_incremental_dedup", "q74_token_packing",
     // events-side workloads: per-key window dedup, native session
     // windows, and the KMV sketch (whose state must stay k per group
     // no matter how the input grows)
@@ -41,7 +41,8 @@ object ScaleProbe {
 
   private val DocProbes = Set(
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
-    "q43_top_terms", "q16_neardup_lsh", "q73_incremental_dedup")
+    "q43_top_terms", "q16_neardup_lsh", "q73_incremental_dedup",
+    "q74_token_packing")
   private val SalesProbes = Set("q51_bucketed_join")
   private val EventProbes = Set(
     "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
