@@ -81,6 +81,37 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("incremental dedup against a bucketed corpus fingerprint index: zero join exchanges (q73's 100 TB shape)") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{Sampling, TextOps}
+    // q73's scaladoc claims the 100 TB shape keeps the standing corpus's
+    // fingerprint index bucketed by fingerprint so each incremental
+    // batch's anti-join probe needs no corpus-side shuffle — this pins
+    // that claim as a plan property, q51-style
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"),
+        Sampling.uniform01($"doc_id").as("u"))
+    docs.filter($"u" >= 0.3).select($"fingerprint").write
+      .bucketBy(4, "fingerprint").sortBy("fingerprint")
+      .mode("overwrite").saveAsTable("corpus_fp_bkt")
+    docs.filter($"u" < 0.3).select($"doc_id", $"fingerprint").write
+      .bucketBy(4, "fingerprint").sortBy("fingerprint")
+      .mode("overwrite").saveAsTable("incoming_bkt")
+    val probe = spark.table("incoming_bkt")
+      .join(spark.table("corpus_fp_bkt"), Seq("fingerprint"), "left_anti")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(fingerprint"),
+      s"bucketed anti-join must not shuffle either side:\n$plan")
+    // and the bucketed probe admits exactly what q73's unbucketed
+    // pipeline admits
+    val expected = docs.filter($"u" < 0.3)
+      .join(docs.filter($"u" >= 0.3).select($"fingerprint"), Seq("fingerprint"), "left_anti")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val got = probe.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("one-file-per-bucket + legacy outputOrdering flag: SMJ plans with zero Sorts") {
     // The last step of the bucketed-lake story: writeBucketed also
     // sortBy(key)s each bucket and its repartition-first discipline
