@@ -261,6 +261,15 @@ object StreamBench {
         .select($"user_id", $"event_type", $"ts")
         .withWatermark("ts", "35 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
+      def join(path: String): DataFrame = {
+        def side(kind: String, p: String): DataFrame = events(path)
+          .filter($"event_type" === kind)
+          .select($"event_id".as(s"${p}_id"), $"user_id".as(s"${p}_k"),
+            $"ts".as(s"${p}_ts"))
+        StreamJobs.streamStreamCorrelate(
+          side("click", "l"), side("purchase", "r"),
+          window = "10 minutes", delay = "10 minutes")
+      }
       def run(n: Int, subject: String => DataFrame, provider: String): (Long, Double) =
         Confs.withConf(spark,
           "spark.sql.streaming.stateStore.providerClass" -> provider) {
@@ -271,15 +280,18 @@ object StreamBench {
       run(1, sessions(_, tws = false), Hdfs)
       run(1, sessions(_, tws = true), Rocks)
       run(1, dedup, Rocks)
+      run(1, join, Rocks)
       val decades = Seq(1, 10, 100).map { n =>
         val (rows, v1) = run(n, sessions(_, tws = false), Hdfs)
         val (_, v2) = run(n, sessions(_, tws = true), Rocks)
         val (_, v3) = run(n, dedup, Rocks)
+        val (_, v4) = run(n, join, Rocks)
         System.err.println(
           f"scale x$n%-4d rows=$rows%,d fmgws_hdfs=$v1%6.2fs tws_rocksdb=$v2%6.2fs " +
-            f"dedup_rocksdb=$v3%6.2fs " +
-            f"(${v1 / (rows / 1e6)}%.2f / ${v2 / (rows / 1e6)}%.2f / ${v3 / (rows / 1e6)}%.2f s/Mrow)")
-        s""""x$n":{"rows":$rows,"fmgws_hdfs_sec":${f"$v1%.3f"},"tws_rocksdb_sec":${f"$v2%.3f"},"dedup_rocksdb_sec":${f"$v3%.3f"}}"""
+            f"dedup_rocksdb=$v3%6.2fs join_rocksdb=$v4%6.2fs " +
+            f"(${v1 / (rows / 1e6)}%.2f / ${v2 / (rows / 1e6)}%.2f / " +
+            f"${v3 / (rows / 1e6)}%.2f / ${v4 / (rows / 1e6)}%.2f s/Mrow)")
+        s""""x$n":{"rows":$rows,"fmgws_hdfs_sec":${f"$v1%.3f"},"tws_rocksdb_sec":${f"$v2%.3f"},"dedup_rocksdb_sec":${f"$v3%.3f"},"join_rocksdb_sec":${f"$v4%.3f"}}"""
       }
       println(s"""{"metric":"stream_state_scale","decades":${decades.mkString("{", ",", "}")},"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
     }
