@@ -90,8 +90,8 @@ object ScaleProbe {
     }
 
     if (Probes.exists(EventProbes)) {
-      // raw nanos-long ts: the rewrite stores a plain int64, so
-      // Tables.events' `ts div 1000` keeps working on the fixture
+      // ts normalized to µs TimestampType by the shared builder, so
+      // Tables.events reads the fixture back spelling-stably
       Tables.shardedEvents(spark, base, Shards)
         .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     }

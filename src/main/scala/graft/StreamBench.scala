@@ -54,7 +54,7 @@ object StreamBench {
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -70,8 +70,15 @@ object StreamBench {
     val shards = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHARDS", "10").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale")
     val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
-      "sessionize,join,dedup,recovery,scale").split(",").map(_.trim).toSet
+      "sessionize,join,dedup,recovery,scale")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // a typo'd or empty subject list would otherwise run ZERO subjects
+    // and exit cleanly — indistinguishable from a recorded run (ADVICE)
+    require(subjects.nonEmpty && subjects.subsetOf(knownSubjects),
+      s"unknown/empty SPARK_GRAFT_STREAM_SUBJECTS ${subjects -- knownSubjects}; " +
+        s"known: ${knownSubjects.mkString(",")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,8 +90,8 @@ object StreamBench {
     import spark.implicits._
 
     // fixtures: N shards of the events dump (shared builder — user_id
-    // shifts per shard so state rows scale N×; ts stays the raw nanos
-    // long, written back as plain int64), built once per size
+    // shifts per shard so state rows scale N×; ts normalized to µs
+    // TimestampType by the builder), built once per size
     val fixtures = scala.collection.mutable.Map.empty[Int, (String, Long)]
     def fixture(n: Int): (String, Long) = fixtures.getOrElseUpdate(n, {
       val path = s"target/streambench$n"
@@ -97,7 +104,6 @@ object StreamBench {
       val r = spark.readStream.schema(eventsSchema)
       maxFilesPerTrigger.foreach(m => r.option("maxFilesPerTrigger", m.toString))
       r.parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
 
     /** One AvailableNow run to a noop sink against a fresh checkpoint;
@@ -218,8 +224,8 @@ object StreamBench {
           Tables.shardedEvents(spark, base, n)
             .repartition(32).write.mode("overwrite").parquet(path)
           val stats = spark.read.parquet(path)
-            .agg(count(lit(1)), countDistinct($"user_id"), max($"ts")).head
-          val (rows, keys, maxTs) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+            .agg(count(lit(1)), countDistinct($"user_id"), max(unix_micros($"ts"))).head
+          val (rows, keys, maxTsUs) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
           val ck = Files.createTempDirectory(s"graft-rec-$tag-ck").toString
           def restartRun(trickle: Option[Int]): Double = {
             val ev = events(path, maxFilesPerTrigger = trickle)
@@ -233,8 +239,10 @@ object StreamBench {
           // prices query planning/scheduling alone, and
           // `recover − baseline` is the reload-attributable cost
           val baseline = restartRun(trickle = None)
-          Seq((Long.MaxValue - 1, maxTs + 1000000000L, 1L, "click", 1.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          Seq((Long.MaxValue - 1, maxTsUs + 1000000L, 1L, "click", 1.0, "{}"))
+            .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+            .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us")
+            .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
             .coalesce(1).write.mode("append").parquet(path)
           val recover = restartRun(trickle = None)
           (rows, keys, build, baseline, recover)

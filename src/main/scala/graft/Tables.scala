@@ -27,39 +27,53 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads as a nanosecond LongType behind the legacy flag. Normalize to
-    * TimestampType (microseconds) with integral `div` — ns-since-epoch
-    * (~1.7e18) exceeds double precision, so the division must never go
-    * through a float. DuckDB's CAST(ts AS TIMESTAMP) truncates ns→us the
-    * same way, so oracles stay comparable.
-    *
-    * NOTE: `nanosAsLong` is session-global and the flag must be live when
-    * the scan's schema is resolved, so it cannot be scoped per-read. Any
-    * session that loads `events` therefore reads *other* TIMESTAMP(NANOS)
-    * parquet as LongType too. None of the testdata tables besides `events`
-    * carry nanos, so this is benign here, but long-lived sessions mixing
-    * sources should set the flag at build time instead (Bench/Verify do).
+  /** Normalize an events-shaped frame's `ts` column to TimestampType
+    * (µs, session-tz UTC) from whichever physical spelling the file
+    * carries — the driver's testdata has shipped it two ways across
+    * rounds, and self-written fixtures add a third:
+    *  - parquet TIMESTAMP(NANOS), read as a nanosecond LongType behind
+    *    `spark.sql.legacy.parquet.nanosAsLong`: integral `div` to µs —
+    *    ns-since-epoch (~1.7e18) exceeds double precision, so the
+    *    division must never go through a float;
+    *  - TIMESTAMP_NTZ (isAdjustedToUTC=false µs, the current testdata):
+    *    cast — under the UTC session the instant is unchanged;
+    *  - TimestampType already (our own normalized fixture writes): no-op.
+    * DuckDB's `CAST(ts AS TIMESTAMP)` lands on the same µs value for all
+    * three, so oracles are spelling-invariant.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  /** NOTE: `nanosAsLong` is session-global and must be live when a
+    * nanos-spelled scan's schema is resolved, so it cannot be scoped
+    * per-read; it is inert for the µs spellings. Set defensively so a
+    * legacy-spelled events file never aborts the read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** Deterministic N× replica of the RAW events dump (ts stays the nanos
-    * long — read under the session's `nanosAsLong`): event_id AND user_id
-    * shift per shard, so DISTINCT USERS scale with the data — the
-    * dimension that grows state for windows, sketches, sessions, and
-    * state backends. Shared by ScaleProbe's fixture and StreamBench so
-    * the two scale stories can never drift apart.
+  /** Deterministic N× replica of the events dump, ts normalized to
+    * TimestampType ([[normalizeTs]] — fixture writes then carry plain µs
+    * and read back spelling-stably): event_id AND user_id shift per
+    * shard, so DISTINCT USERS scale with the data — the dimension that
+    * grows state for windows, sketches, sessions, and state backends.
+    * Shared by ScaleProbe's fixture and StreamBench so the two scale
+    * stories can never drift apart.
     */
   def shardedEvents(s: SparkSession, dir: String, shards: Int): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val ev = apply(s, dir, "events")
+    val ev = events(s, dir)
     (0 until shards).map { k =>
       ev.withColumn("event_id", ev("event_id") + lit(k * 1000000000000L))
         .withColumn("user_id", ev("user_id") + lit(k * 100000000L))

@@ -114,22 +114,38 @@ class CdcTable(
     * the state that was already superseded BEFORE this change — so every
     * artifact survives exactly one extra table-state change for in-flight
     * readers.
+    *
+    * The staging GC is AGE-GATED against `stagingCutoff` — the pointer's
+    * modification time as observed when this table-state change STARTED:
+    * single-writer discipline means no staging can legally be live now,
+    * but if the contract is ever violated (a concurrent upsert
+    * mid-staging during a compact), its fresh staging dir survives this
+    * GC and the violation surfaces loudly at the rename collision in
+    * [[commitDelta]] instead of as an opaque missing-path error mid-write
+    * (ADVICE r10). Only dirs older than the previous commit — provably
+    * orphans of a crashed writer — are collected.
     */
-  private def clean(prevV: Long, prevC: Long): Unit = {
+  private def clean(prevV: Long, prevC: Long,
+      stagingCutoff: java.nio.file.attribute.FileTime): Unit = {
     (1L until prevV).foreach(v => deleteRecursively(Paths.get(baseDir(v))))
     deltaDirs.filter(deltaSeq(_) <= prevC).foreach(deleteRecursively)
-    // orphaned staging dirs (a writer that crashed between its staging
-    // write and the rename): single-writer discipline means no staging
-    // can be LIVE while this (same-writer) table-state change runs
     val p = Paths.get(logDir)
     if (Files.exists(p)) {
       val st = Files.list(p)
       try st.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith(".staging_delta_"))
+        .filter(f => f.getFileName.toString.startsWith(".staging_delta_") &&
+          Files.getLastModifiedTime(f).compareTo(stagingCutoff) < 0)
         .foreach(deleteRecursively)
       finally st.close()
     }
   }
+
+  /** The live pointer's mtime, or MIN when no base exists yet — the
+    * staging-GC cutoff captured at the start of a table-state change.
+    */
+  private def metaMtime: java.nio.file.attribute.FileTime =
+    if (Files.exists(metaFile)) Files.getLastModifiedTime(metaFile)
+    else java.nio.file.attribute.FileTime.fromMillis(Long.MinValue)
 
   private def merge(df: DataFrame, mode: CdcMerge.DeleteMode): DataFrame =
     CdcMerge.mergeByKey(keyCols, orderingCols, deleteMode = mode)(df)
@@ -141,13 +157,14 @@ class CdcTable(
     */
   def bulkInsert(changelog: DataFrame): Unit = {
     val (v, c) = meta
+    val cutoff = metaMtime
     val discardThrough = (deltaDirs.map(deltaSeq) :+ c).max
     merge(changelog, CdcMerge.Rewrite).write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(baseDir(v + 1))
     commitMeta(v + 1, discardThrough)
-    clean(v, c)
+    clean(v, c, cutoff)
   }
 
   /** Append a change batch to the log as the next delta commit
@@ -241,6 +258,7 @@ class CdcTable(
     */
   def compact(): Unit = {
     val (v, c) = meta
+    val cutoff = metaMtime
     val pend = pendingDeltas(c)
     if (pend.isEmpty) return
     realTime(CdcMerge.Rewrite).write
@@ -248,7 +266,7 @@ class CdcTable(
       .partitionBy(partitionCol)
       .parquet(baseDir(v + 1))
     commitMeta(v + 1, pend.map(deltaSeq).max)
-    clean(v, c)
+    clean(v, c, cutoff)
   }
 
   /** Register the Hudi-style `<name>_ro` / `<name>_rt` temp view pair

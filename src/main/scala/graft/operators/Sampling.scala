@@ -66,4 +66,19 @@ object Sampling {
   /** DuckDB spelling of [[uniform01]] over `sqlExpr`. */
   def duckUniform01(sqlExpr: String): String =
     s"(CAST(${duckHash60(sqlExpr)} AS DOUBLE) / ${TwoPow60}.0)"
+
+  /** A SECOND hash from the SAME digest: hex chars 16-17 of the md5
+    * (the 8 bits right after [[hash60]]'s 60) as a long in `[0, 256)`.
+    * Distinct md5 output bits are independent, so a decision keyed on
+    * [[hash8]] (e.g. a skew-shard assignment) is decorrelated from one
+    * keyed on [[hash60]] (e.g. a train/val/test split) without paying a
+    * second digest — Catalyst's common-subexpression elimination reuses
+    * the one `md5` call.
+    */
+  def hash8(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 16, 2), 16, 10).cast("long")
+
+  /** DuckDB spelling of [[hash8]] over `sqlExpr` (already a VARCHAR). */
+  def duckHash8(sqlExpr: String): String =
+    duckHexToLong(s"md5($sqlExpr)", 16, 2)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{Sampling, TextOps, VectorOps}
+import graft.operators.{Sampling, TextOps, TokenPacking, VectorOps}
 
 /** LLM-training-data-pipeline operators over the driver-provided
   * `documents` (doc_id, text, lang, source, n_chars) and `embeddings`
@@ -1271,58 +1271,59 @@ object LlmQueries {
     * content-hash rule, so the gate composes two verified primitives;
     * tokens are q17's whitespace count.
     *
-    * Scale: ONE shuffle — the window partition on (split, source); the
-    * per-bin groupBy reuses that partitioning ((split, source) is a
-    * subset of the grouping key, so the clustering requirement is
-    * already met) and only the final presentation sort adds a range
-    * exchange. The prefix sum is per-partition sequential, which is fine
-    * when sources are many (the 100 TB shape); a single giant source
-    * would be sub-sharded by a second content hash exactly like the
-    * skew operator fans out hot join keys.
+    * Scale: ONE data shuffle — the window partition on (split, source,
+    * shard); the per-bin groupBy reuses that partitioning (the window
+    * partition key is a subset of the grouping key, so the clustering
+    * requirement is already met) and only the final presentation sort
+    * adds a range exchange. The prefix sum is per-partition sequential;
+    * the deterministic content-hash SHARD column
+    * ([[graft.operators.TokenPacking.shard]] — the 8 md5 bits after the
+    * 60 the split consumes, so shard ⟂ split from one digest) fans each
+    * (split, source) stream out 16 ways, so a dominant source (the
+    * common 100 TB shape: one crawl is most of the corpus) no longer
+    * serializes through a single task — see TokenPacking's scaladoc for
+    * the sizing rule and LlmQueriesSpec's skewed-fixture law for the
+    * measured fan-out.
     */
   def q74TokenPacking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val budget = 512
-    val bucket = Sampling.hash60(TextOps.normText($"text")) % 100
+    val norm = TextOps.normText($"text")
+    val bucket = Sampling.hash60(norm) % 100
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source",
-        size(TextOps.tokens(TextOps.normText($"text"))).as("n_tokens"),
+        size(TextOps.tokens(norm)).as("n_tokens"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-          .as("split"))
-    val w = Window.partitionBy($"split", $"source").orderBy($"doc_id")
-    val startOffset = sum($"n_tokens").over(w) - $"n_tokens"
-    docs
-      .withColumn("bin", floor(startOffset / lit(budget)))
-      .groupBy($"split", $"source", $"bin")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_tokens").cast("long").as("bin_tokens"),
-        min($"doc_id").as("min_doc_id"),
-        max($"doc_id").as("max_doc_id"))
-      .orderBy($"split", $"source", $"bin")
+          .as("split"),
+        TokenPacking.shard(norm).as("shard"))
+    TokenPacking.pack(docs, budget = 512,
+        streamCols = Seq("split", "source", "shard"))
+      .orderBy($"split", $"source", $"shard", $"bin")
   }
 
   val q74Oracle: String = {
-    val h = Sampling.duckHash60("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")
+    val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val h = Sampling.duckHash60(normSql)
+    val sh = TokenPacking.duckShard(normSql)
     s"""WITH d AS (
        |  SELECT doc_id, source,
-       |    len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
-       |      AS n_tokens,
+       |    len(string_split($normSql, ' ')) AS n_tokens,
        |    CASE WHEN $h % 100 < 80 THEN 'train'
        |         WHEN $h % 100 < 90 THEN 'val'
-       |         ELSE 'test' END AS split
+       |         ELSE 'test' END AS split,
+       |    $sh AS shard
        |  FROM documents),
        |o AS (
-       |  SELECT split, source, doc_id, n_tokens,
-       |    sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+       |  SELECT split, source, shard, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY split, source, shard ORDER BY doc_id
        |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS off
        |  FROM d)
-       |SELECT split, source, CAST(floor(off / 512.0) AS BIGINT) AS bin,
+       |SELECT split, source, shard, CAST(floor(off / 512.0) AS BIGINT) AS bin,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
        |FROM o
-       |GROUP BY split, source, bin
-       |ORDER BY split, source, bin""".stripMargin
+       |GROUP BY split, source, shard, bin
+       |ORDER BY split, source, shard, bin""".stripMargin
   }
 
   // --------------------------------------------------------------------

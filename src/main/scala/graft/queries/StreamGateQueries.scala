@@ -12,6 +12,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.Confs.withConf
+import graft.Tables
 import graft.streaming.StreamJobs
 
 /** Driver-gated streaming queries: the append-mode watermark path run
@@ -308,12 +309,13 @@ object StreamGateQueries {
       |       AND CAST(b.ts AS TIMESTAMP) <= m.wm_base - INTERVAL 10 MINUTE)
       |ORDER BY coalesce(click_id, -1), coalesce(purchase_id, -1)""".stripMargin
 
-  /** The events topic-dump schema shared by every gate here (the ts
-    * column is the raw TIMESTAMP(NANOS) long — see q49's scaladoc).
+  /** The events topic-dump schema shared by every gate here — staged
+    * files carry ts already normalized to TimestampType (µs, UTC) by
+    * [[stageTimeSplit]], whatever spelling the source dump used.
     */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -390,19 +392,24 @@ object StreamGateQueries {
     // long as 2·jitter < the watermark delay nothing is ever dropped:
     // the real production shape (disorder bounded by the tolerance),
     // with the same watermark-determined result set
-    val jitterNs = jitterMinutes * 60L * 1000000000L
+    // sort key in epoch-µs long space (exact in a double up to ~2255:
+    // µs-since-epoch ~1.7e15 < 2^53); staged files carry ts already
+    // normalized to TimestampType, so every downstream reader — the
+    // file stream, phase-2 read-backs — is spelling-free
+    val jitterUs = jitterMinutes * 60L * 1000000L
+    val tsUs = unix_micros($"ts")
     val sortKey =
-      if (jitterMinutes == 0) $"ts"
-      else $"ts" - ($"event_id" % 3) * lit(jitterNs)
+      if (jitterMinutes == 0) tsUs
+      else tsUs - ($"event_id" % 3) * lit(jitterUs)
     // ONE shuffle-free slicing pass: quantile cuts are compared in double
-    // space on both sides (ns longs exceed double precision, but a
-    // consistent lossy cast still yields a monotone, deterministic
-    // assignment — slices only need to be non-overlapping and non-empty);
-    // hash-distributing on _slice then sends each slice to exactly one
-    // task, and partitionBy peels the column off, so each _slice=<i> dir
-    // holds exactly one data file of event columns
+    // space on both sides (a consistent cast yields a monotone,
+    // deterministic assignment — slices only need to be non-overlapping
+    // and non-empty); hash-distributing on _slice then sends each slice
+    // to exactly one task, and partitionBy peels the column off, so each
+    // _slice=<i> dir holds exactly one data file of event columns
     val scratch = Files.createTempDirectory(s"graft-$tag-part")
-    val src = s.read.option("basePath", dir).parquet(s"$dir/events*.parquet")
+    val src = Tables.normalizeTs(
+        s.read.option("basePath", dir).parquet(s"$dir/events*.parquet"))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
       .withColumn("_k", sortKey.cast("double"))
     val cuts = src.stat.approxQuantile(
@@ -412,6 +419,13 @@ object StreamGateQueries {
     // failure downstream — name the real cause instead
     require(cuts.distinct.length == cuts.length,
       s"$tag: events sort key too skewed for an $n-way time split (duplicate quantile cuts)")
+    // distinct cuts still leave the TOP slice empty when the highest cut
+    // equals the dataset max (skewed tail): require a row strictly above
+    // the last cut — one extra agg on the already-computed _k column
+    val kMax = src.agg(max($"_k")).head.getDouble(0)
+    require(kMax > cuts.last,
+      s"$tag: events sort key too skewed for an $n-way time split " +
+        s"(top slice empty: max sort key $kMax ≤ top cut ${cuts.last})")
     val slice = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when($"_k" > c, 1).otherwise(0) }
     src.withColumn("_slice", slice).drop("_k")
@@ -433,15 +447,14 @@ object StreamGateQueries {
     staged.toString
   }
 
-  /** File-stream over a staged time-split dir: one file per micro-batch,
-    * ts normalized to µs (the staged files carry the raw nanos long).
+  /** File-stream over a staged time-split dir: one file per micro-batch
+    * (staged ts is already TimestampType — see [[stageTimeSplit]]).
     */
   private def stagedStream(s: SparkSession, staged: String): DataFrame =
     s.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** A multi-batch gate must actually exercise cross-batch state: require
     * ≥ 3 micro-batches WITH INPUT ROWS in the executed query's progress
@@ -1389,14 +1402,13 @@ object StreamGateQueries {
     require(droppedByWatermark(run1) == 0,
       "q71 run 1 is wholly on-time and must drop nothing")
     // phase 2a: the late file — file 1 shifted 40 days into the past
-    // (staged files carry the raw nanos long, so the shift is plain
-    // int64 arithmetic), mod-time-ordered BEFORE the on-time file so it
-    // is dropped against the restored watermark, not a later one
-    val shiftNs = 40L * 86400L * 1000000000L
+    // (staged ts is TimestampType, so the shift is interval arithmetic),
+    // mod-time-ordered BEFORE the on-time file so it is dropped against
+    // the restored watermark, not a later one
     val lateGroups = {
       val lateTmp = Files.createTempDirectory("graft-q71-late")
       s.read.parquet(live.resolve(names.head).toString)
-        .withColumn("ts", $"ts" - shiftNs)
+        .withColumn("ts", $"ts" - expr("INTERVAL 40 DAYS"))
         .coalesce(1).write.mode("overwrite").parquet(lateTmp.toString)
       val part = lateTmp.toFile.listFiles()
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
@@ -1408,8 +1420,8 @@ object StreamGateQueries {
       // (window, event_type) groups (see scaladoc — the engine counts
       // dropped GROUPS post-partial-aggregation, not raw input rows)
       s.read.parquet(dst.toString)
-        .select(timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type")
-        .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+        .select($"ts", $"event_type")
+        .groupBy(window($"ts", StreamJobs.SalesWindow, StreamJobs.SalesSlide), $"event_type")
         .count().count()
     }
     // phase 2b: the final on-time file, then run 2

@@ -38,16 +38,25 @@ object StreamJobs {
         sum(dec2(col("value"))).cast("double").as("sales"),
         count(col("value")).as("orders"))
 
+  /** [[slidingWindowSales]]'s window/slide/tolerance spec — ONE
+    * definition shared with the gates that reason about it (q71 computes
+    * its exact expected drop count from the same spec, so the gate can
+    * never drift from the job; ADVICE r10).
+    */
+  val SalesWindow: String = "10 minutes"
+  val SalesSlide: String = "5 minutes"
+  val SalesWatermark: String = "10 minutes"
+
   /** Watermarked sliding-window aggregate (ref `05_streaming_read_kafka_console_window.py:77-82`:
     * `withWatermark("timestamp", "10 minutes")` + `window(ts, "10 minutes",
     * "5 minutes")`). Under complete mode the watermark is inert (reference
     * semantics, reproduced deliberately); under append mode the same plan
     * evicts window state once the watermark passes — the scale path.
     */
-  def slidingWindowSales(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  def slidingWindowSales(events: DataFrame, watermark: String = SalesWatermark): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .groupBy(window(col("ts"), SalesWindow, SalesSlide), col("event_type"))
       .agg(
         sum(dec2(col("value"))).cast("double").as("sales"),
         count(lit(1)).as("orders"))

@@ -96,8 +96,9 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the corpus stops broadcasting, the anti-join adds its per-side
     // fingerprint shuffles — re-pin deliberately via ExchangeAudit
     "q73_incremental_dedup" -> 2,
-    // window partition on (split, source) + presentation sort; the
-    // per-bin groupBy reuses the window's hash partitioning
+    // window partition on (split, source, shard) + presentation sort;
+    // the per-bin groupBy reuses the window's hash partitioning (its
+    // keys are a superset of the window partition key)
     "q74_token_packing" -> 2,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg

@@ -153,6 +153,55 @@ class LlmQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("token packing de-skews a dominant source: content-hash shards fan the " +
+      "prefix-sum window out; bins stay deterministic under resharding") {
+    // the 100 TB failure shape the shard column exists for: one crawl
+    // holds 85% of the corpus, so an unsharded (split, source) window
+    // key would funnel 85% of the data through ONE sequential prefix-sum
+    // task. Synthetic fixture (not sf0.001 — its sources are balanced;
+    // the law needs the pathological distribution).
+    val ss = spark; import ss.implicits._
+    import graft.operators.{Sampling, TokenPacking}
+    val docs0 = spark.range(3000).select(
+      $"id".as("doc_id"),
+      when($"id" % 20 < 17, "crawl")
+        .otherwise(concat(lit("src"), $"id" % 3)).as("source"),
+      concat(lit("doc "), $"id", lit(" body "),
+        md5($"id".cast("string"))).as("text"))
+    val norm = TextOps.normText($"text")
+    val bucket = Sampling.hash60(norm) % 100
+    val docs = docs0.select($"doc_id", $"source",
+      size(TextOps.tokens(norm)).as("n_tokens"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .as("split"),
+      TokenPacking.shard(norm).as("shard")).cache()
+
+    // window-partition population per key, sharded vs unsharded spelling
+    val sharded = docs.groupBy($"split", $"source", $"shard").count()
+      .agg(max($"count")).head.getLong(0)
+    val unsharded = docs.groupBy($"split", $"source").count()
+      .agg(max($"count")).head.getLong(0)
+    val crawlShards = docs.filter($"source" === "crawl")
+      .select($"shard").distinct().count()
+    assert(unsharded >= (3000 * 0.8 * 0.85 * 0.9).toLong,
+      s"fixture lost its dominant source (max unsharded partition $unsharded)")
+    assert(crawlShards >= TokenPacking.Shards - 2,
+      s"dominant source landed in only $crawlShards shards")
+    // the serialized run is bounded by ~1/Shards of the stream: allow 2×
+    // the ideal share for hash variance
+    assert(sharded <= 2 * unsharded / TokenPacking.Shards + 1,
+      s"max sharded window partition $sharded vs unsharded $unsharded — " +
+        "the shard column is not fanning the dominant source out")
+
+    // bins are a pure function of content: identical under resharding
+    val stream = Seq("split", "source", "shard")
+    val a = TokenPacking.pack(docs, 512, stream).collect().toSet
+    val b = TokenPacking.pack(docs.repartition(7), 512, stream).collect().toSet
+    assert(a === b, "packing must be reshard-invariant")
+    assert(a.nonEmpty)
+    docs.unpersist()
+  }
+
   test("minhash signature is permutation-invariant over shingle sets") {
     val ss = spark; import ss.implicits._
     val df = Seq(
