@@ -120,5 +120,8 @@ object SparkEntry {
     // the incoming batch against the standing corpus's fingerprints)
     // and deterministic token-budget packing (prefix-sum bin chunking)
     "q73_incremental_dedup",
-    "q74_token_packing")
+    "q74_token_packing",
+    // appended round 11: incremental near-dup admission (band-index
+    // probe of the incoming batch against the standing corpus)
+    "q75_incremental_neardup")
 }

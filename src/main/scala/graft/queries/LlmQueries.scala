@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -112,6 +112,43 @@ object LlmQueries {
       s"(strpos('0123456789abcdef', substring($hexCol, ${from + k}, 1)) - 1) * $pow"
     }.mkString("(", " + ", ")")
 
+  /** (doc_id, band, bk) LSH band keys over a `(doc_id, sh)` shingle
+    * frame — the ONE banding spelling shared by the self-join pair
+    * finder (q16) and the incremental admission probe (q75), so index
+    * and probe can never drift: 9 minhashes from universal hashes of
+    * the hash-once shingle base value, 3 bands × 3 rows, band key =
+    * the ':'-joined row triple.
+    *
+    * Shuffle-based minhash: the (doc, seed) min combines map-side so the
+    * shuffle carries 9 longs per document, and identical aggregation
+    * subtrees under a self-join collapse via ReuseExchange. *_outer
+    * generators + explicit null filters: the non-outer forms trigger
+    * InferFiltersFromGenerate, which clones the whole generator child
+    * expression into a Filter that predicate pushdown then moves below
+    * the repartition — duplicated CPU on the scan's single input
+    * partition (measured 6x slowdown at sf0.1).
+    */
+  private[graft] def minhashBands(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    base
+      .select($"doc_id", explode_outer($"sh").as("shingle"))
+      .filter($"shingle".isNotNull)
+      .select($"doc_id",
+        (conv(substring(md5($"shingle"), 1, 8), 16, 10).cast("long") % MinhashP).as("x"))
+      .select($"doc_id", posexplode_outer(array(minhashAB.map {
+        case (a, b) => (lit(a) * $"x" + lit(b)) % MinhashP
+      }: _*)))
+      .toDF("doc_id", "seed", "h")
+      .filter($"h".isNotNull)
+      .groupBy($"doc_id", $"seed")
+      .agg(min($"h").as("m"))
+      .groupBy($"doc_id", ($"seed" / 3).cast("int").as("band"))
+      .agg(concat_ws(":",
+        max(when($"seed" % 3 === 0, $"m")),
+        max(when($"seed" % 3 === 1, $"m")),
+        max(when($"seed" % 3 === 2, $"m"))).as("bk"))
+  }
+
   // ---------------------------------------------------------------- q16
 
   /** q16 — MinHash/LSH near-duplicate pairs over word 3-gram shingles:
@@ -145,32 +182,7 @@ object LlmQueries {
       .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
       .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
       .localCheckpoint()
-    // Shuffle-based minhash: the (doc, seed) min combines map-side so the
-    // shuffle carries 9 longs per document, and the two identical
-    // aggregation subtrees under the self-join collapse via ReuseExchange.
-    // *_outer generators + explicit null filters: the non-outer forms
-    // trigger InferFiltersFromGenerate, which clones the whole generator
-    // child expression into a Filter that predicate pushdown then moves
-    // below the repartition — duplicated CPU on the scan's single input
-    // partition (measured 6x slowdown at sf0.1).
-    val mh = base
-      .select($"doc_id", explode_outer($"sh").as("shingle"))
-      .filter($"shingle".isNotNull)
-      .select($"doc_id",
-        (conv(substring(md5($"shingle"), 1, 8), 16, 10).cast("long") % MinhashP).as("x"))
-      .select($"doc_id", posexplode_outer(array(minhashAB.zipWithIndex.map {
-        case ((a, b), _) => (lit(a) * $"x" + lit(b)) % MinhashP
-      }: _*)))
-      .toDF("doc_id", "seed", "h")
-      .filter($"h".isNotNull)
-      .groupBy($"doc_id", $"seed")
-      .agg(min($"h").as("m"))
-    val bands = mh
-      .groupBy($"doc_id", ($"seed" / 3).cast("int").as("band"))
-      .agg(concat_ws(":",
-        max(when($"seed" % 3 === 0, $"m")),
-        max(when($"seed" % 3 === 1, $"m")),
-        max(when($"seed" % 3 === 2, $"m"))).as("bk"))
+    val bands = minhashBands(base)
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
@@ -1326,6 +1338,121 @@ object LlmQueries {
        |ORDER BY split, source, shard, bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q75
+
+  /** q75 — incremental NEAR-dup admission: q73's per-ingest shape
+    * generalized from exact bag fingerprints to the fuzzy case — the
+    * operation every production training-data pipeline runs per batch
+    * (nobody re-pairs the standing 100 TB corpus; the arriving batch
+    * probes the corpus's standing MinHash BAND index). Same
+    * corpus/incoming split as q73 (content-hash uniform over doc_id,
+    * reshard/retry-stable). An incoming doc is ADMITTED unless a
+    * confirmed near-duplicate (exact Jaccard ≥ 0.8 over 3-gram
+    * shingles, q16's confirm spelling) exists among its band-key
+    * collisions with (a) ANY corpus doc, or (b) an EARLIER (smaller-id)
+    * incoming doc — first-wins within the batch. The in-batch rule is
+    * deliberately the PAIRWISE spelling ("an earlier confirmed near-dup
+    * exists", whether or not that doc was itself admitted) — a pure
+    * per-pair predicate both engines spell identically; transitive
+    * cluster admission is a different operator (q40's connected
+    * components) with a different cost class.
+    *
+    * Scale: banding is [[minhashBands]] — ONE spelling for index and
+    * probe, hash-once, 3 (band, bk) rows per doc regardless of doc
+    * size. The probe is a (band, bk) equi-join of the batch's ~3N rows
+    * against the standing index, never all-pairs; Jaccard confirm
+    * touches candidate pairs only. At 100 TB the corpus side is the
+    * standing band index bucketed by (band, bk) at ingest (q51's
+    * BucketedLake discipline) making the probe zero-exchange on the
+    * corpus side — plan-verified in BucketingSpec; this gate is the
+    * unbucketed spelling of that plan. Shuffles carry band keys
+    * (~tens of bytes), ids, and — for candidates only — shingle sets.
+    */
+  def q75IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.spread(s, Tables.documents(s, dir))
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+      .localCheckpoint()
+    def incomingFlag(c: Column): Column = Sampling.uniform01(c) < 0.3
+    val bands = minhashBands(base)
+      .withColumn("incoming", incomingFlag($"doc_id"))
+    val probe = bands.filter($"incoming").select($"doc_id", $"band", $"bk")
+    // corpus blocker: ANY corpus doc sharing a full band key
+    val candCorpus = probe
+      .join(bands.filter(!$"incoming")
+        .select($"doc_id".as("blocker"), $"band", $"bk"), Seq("band", "bk"))
+      .select($"doc_id", $"blocker")
+    // in-batch blocker: an EARLIER incoming doc sharing a band key
+    val candBatch = probe
+      .join(probe.select($"doc_id".as("blocker"), $"band", $"bk"), Seq("band", "bk"))
+      .filter($"blocker" < $"doc_id")
+      .select($"doc_id", $"blocker")
+    val cand = candCorpus.unionByName(candBatch).distinct()
+    val rejected = cand
+      .join(base.select($"doc_id", $"sh".as("sh_i")), "doc_id")
+      .join(base.select($"doc_id".as("blocker"), $"sh".as("sh_b")), "blocker")
+      .withColumn("common", size(array_intersect($"sh_i", $"sh_b")))
+      .withColumn("jaccard", $"common".cast("double") /
+        (size($"sh_i") + size($"sh_b") - $"common"))
+      .filter($"jaccard" >= 0.8)
+      .select($"doc_id").distinct()
+    base
+      .filter(incomingFlag($"doc_id"))
+      .join(rejected, Seq("doc_id"), "left_anti")
+      .select($"doc_id", size($"sh").as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val q75Oracle: String = {
+    val u = Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+    val abRows = minhashAB.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)),
+      |shx AS (
+      |  SELECT doc_id, s, ${duckHex8("md5(s)", 1)} % $MinhashP AS x
+      |  FROM sh),
+      |seeds AS (SELECT * FROM (VALUES $abRows) t(seed, a, b)),
+      |mh AS (
+      |  SELECT doc_id, seed, min((a * x + b) % $MinhashP) AS m
+      |  FROM shx CROSS JOIN seeds GROUP BY doc_id, seed),
+      |bandkeys AS (
+      |  SELECT doc_id, seed // 3 AS band, string_agg(m::VARCHAR, ':' ORDER BY seed) AS bk
+      |  FROM mh GROUP BY doc_id, seed // 3),
+      |flags AS (SELECT doc_id, $u < 0.3 AS incoming FROM documents),
+      |cand AS (
+      |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS blocker
+      |  FROM bandkeys i
+      |  JOIN flags fi ON fi.doc_id = i.doc_id AND fi.incoming
+      |  JOIN bandkeys c ON c.band = i.band AND c.bk = i.bk
+      |  JOIN flags fc ON fc.doc_id = c.doc_id
+      |  WHERE (NOT fc.incoming) OR c.doc_id < i.doc_id),
+      |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_id, c.blocker, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_id
+      |  JOIN sh y ON y.doc_id = c.blocker AND y.s = x.s
+      |  GROUP BY c.doc_id, c.blocker),
+      |rejected AS (
+      |  SELECT DISTINCT inter.doc_id
+      |  FROM inter
+      |  JOIN szs na ON na.doc_id = inter.doc_id
+      |  JOIN szs nb ON nb.doc_id = inter.blocker
+      |  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8)
+      |SELECT f.doc_id, CAST(coalesce(szs.n, 0) AS INT) AS n_shingles
+      |FROM flags f
+      |LEFT JOIN szs ON szs.doc_id = f.doc_id
+      |WHERE f.incoming
+      |  AND f.doc_id NOT IN (SELECT doc_id FROM rejected)
+      |ORDER BY f.doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1345,7 +1472,8 @@ object LlmQueries {
     "q43_top_terms"         -> (q43TopTerms _),
     "q46_corpus_prep"       -> (q46CorpusPrep _),
     "q73_incremental_dedup" -> (q73IncrementalDedup _),
-    "q74_token_packing"     -> (q74TokenPacking _))
+    "q74_token_packing"     -> (q74TokenPacking _),
+    "q75_incremental_neardup" -> (q75IncrementalNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1364,5 +1492,6 @@ object LlmQueries {
     "q43_top_terms"         -> q43Oracle,
     "q46_corpus_prep"       -> q46Oracle,
     "q73_incremental_dedup" -> q73Oracle,
-    "q74_token_packing"     -> q74Oracle)
+    "q74_token_packing"     -> q74Oracle,
+    "q75_incremental_neardup" -> q75Oracle)
 }

@@ -112,6 +112,41 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === expected)
   }
 
+  test("NEAR-dup admission probes a bucketed corpus band index with zero exchanges (q75's 100 TB shape)") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{Sampling, TextOps}
+    // q75's scaladoc claims the 100 TB shape keeps the standing corpus's
+    // MinHash BAND index bucketed by (band, bk) at ingest so each
+    // incremental batch's candidate probe needs no corpus-side shuffle —
+    // pinned as a plan property, q73's discipline. The band spelling is
+    // the SHARED minhashBands, so this law can never drift from the gate.
+    val base = Tables.documents(spark, sf)
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+    val bands = graft.queries.LlmQueries.minhashBands(base)
+      .withColumn("incoming", Sampling.uniform01($"doc_id") < 0.3)
+    bands.filter(!$"incoming").select($"doc_id".as("corpus_id"), $"band", $"bk")
+      .write.bucketBy(4, "band", "bk").sortBy("band", "bk")
+      .mode("overwrite").saveAsTable("corpus_band_ix")
+    bands.filter($"incoming").select($"doc_id", $"band", $"bk")
+      .write.bucketBy(4, "band", "bk").sortBy("band", "bk")
+      .mode("overwrite").saveAsTable("incoming_bands")
+    val probeCand = spark.table("incoming_bands")
+      .join(spark.table("corpus_band_ix"), Seq("band", "bk"))
+    val plan = probeCand.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(band"),
+      s"bucketed band probe must not shuffle either side:\n$plan")
+    // and the bucketed probe yields exactly the unbucketed candidates
+    val expected = bands.filter($"incoming").select($"doc_id", $"band", $"bk")
+      .join(bands.filter(!$"incoming")
+        .select($"doc_id".as("corpus_id"), $"band", $"bk"), Seq("band", "bk"))
+      .select($"doc_id", $"corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = probeCand.select($"doc_id", $"corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("one-file-per-bucket + legacy outputOrdering flag: SMJ plans with zero Sorts") {
     // The last step of the bucketed-lake story: writeBucketed also
     // sortBy(key)s each bucket and its repartition-first discipline

@@ -96,6 +96,13 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the corpus stops broadcasting, the anti-join adds its per-side
     // fingerprint shuffles — re-pin deliberately via ExchangeAudit
     "q73_incremental_dedup" -> 2,
+    // band build (2 aggs, ReuseExchange-collapsed across its 4 uses) +
+    // probe/corpus/batch join sides + candidate distinct + the two
+    // shingle join-backs + rejected distinct + anti-join + final sort;
+    // at fixture scale AQE converts the small candidate sides to
+    // broadcast at runtime, and at 100 TB the corpus side is the
+    // bucketed standing band index (BucketingSpec) — zero-exchange there
+    "q75_incremental_neardup" -> 10,
     // window partition on (split, source, shard) + presentation sort;
     // the per-bin groupBy reuses the window's hash partitioning (its
     // keys are a superset of the window partition key)
