@@ -122,6 +122,8 @@ object SparkEntry {
     "q73_incremental_dedup",
     "q74_token_packing",
     // appended round 11: incremental near-dup admission (band-index
-    // probe of the incoming batch against the standing corpus)
-    "q75_incremental_neardup")
+    // probe of the incoming batch against the standing corpus) and the
+    // ingest capstone (admit, then pack the admitted batch into bins)
+    "q75_incremental_neardup",
+    "q78_ingest_pack")
 }

@@ -1453,6 +1453,87 @@ object LlmQueries {
       |ORDER BY f.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q78
+
+  /** q78 — the INGEST-TO-TRAINING-ROWS capstone: q73's incremental
+    * admission composed with q74's token-budget packing in one pipeline
+    * — admit the arriving batch against the standing corpus (exact bag
+    * fingerprint, first-wins within the batch), then pack exactly the
+    * ADMITTED docs into fixed-budget bins per (split, source, shard)
+    * stream. This is the per-batch path a production pipeline runs
+    * end-to-end (dedup the ingest, emit training rows), mirroring
+    * q46's whole-corpus batch capstone at the incremental shape; every
+    * stage reuses a verified primitive's exact spelling (q73's
+    * admission rule, q37's split, [[TokenPacking]]'s shard + bins), so
+    * the gate pins the COMPOSITION — admission decisions must feed the
+    * prefix sums, a lost or duplicated doc shifts every later bin in
+    * its stream and fails the hash.
+    *
+    * Scale: the admission keep-first here is the window spelling
+    * (row_number over fingerprint — the packing stages need every
+    * per-doc column, so q73's groupBy-min collapse doesn't apply);
+    * shuffles carry (id, fingerprint, split, shard, n_tokens) scalars,
+    * never text, and the corpus side is the standing bucketed
+    * fingerprint index at 100 TB (BucketingSpec's q73 law).
+    */
+  def q78IngestPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = TextOps.normText($"text")
+    val bucket = Sampling.hash60(norm) % 100
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        TextOps.bagFingerprint(norm).as("fingerprint"),
+        Sampling.uniform01($"doc_id").as("u"),
+        size(TextOps.tokens(norm)).as("n_tokens"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"),
+        TokenPacking.shard(norm).as("shard"))
+    val corpus = docs.filter($"u" >= 0.3).select($"fingerprint")
+    val admitted = docs.filter($"u" < 0.3)
+      .join(corpus, Seq("fingerprint"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"fingerprint").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+    TokenPacking.pack(admitted, budget = 512,
+        streamCols = Seq("split", "source", "shard"))
+      .orderBy($"split", $"source", $"shard", $"bin")
+  }
+
+  val q78Oracle: String = {
+    val u = Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+    val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val h = Sampling.duckHash60(normSql)
+    val sh = TokenPacking.duckShard(normSql)
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(list_sort(list_distinct(string_split($normSql, ' '))), ' ')) AS fingerprint,
+       |    $u AS u,
+       |    len(string_split($normSql, ' ')) AS n_tokens,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    $sh AS shard
+       |  FROM documents),
+       |adm AS (
+       |  SELECT i.*,
+       |    row_number() OVER (PARTITION BY i.fingerprint ORDER BY i.doc_id) AS rn
+       |  FROM f i
+       |  WHERE i.u < 0.3 AND NOT EXISTS (
+       |    SELECT 1 FROM f c WHERE c.u >= 0.3 AND c.fingerprint = i.fingerprint)),
+       |o AS (
+       |  SELECT split, source, shard, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY split, source, shard ORDER BY doc_id
+       |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+       |  FROM adm WHERE rn = 1)
+       |SELECT split, source, shard, CAST(floor(off / 512.0) AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM o
+       |GROUP BY split, source, shard, bin
+       |ORDER BY split, source, shard, bin""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1473,7 +1554,8 @@ object LlmQueries {
     "q46_corpus_prep"       -> (q46CorpusPrep _),
     "q73_incremental_dedup" -> (q73IncrementalDedup _),
     "q74_token_packing"     -> (q74TokenPacking _),
-    "q75_incremental_neardup" -> (q75IncrementalNearDup _))
+    "q75_incremental_neardup" -> (q75IncrementalNearDup _),
+    "q78_ingest_pack"       -> (q78IngestPack _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1493,5 +1575,6 @@ object LlmQueries {
     "q46_corpus_prep"       -> q46Oracle,
     "q73_incremental_dedup" -> q73Oracle,
     "q74_token_packing"     -> q74Oracle,
-    "q75_incremental_neardup" -> q75Oracle)
+    "q75_incremental_neardup" -> q75Oracle,
+    "q78_ingest_pack"       -> q78Oracle)
 }

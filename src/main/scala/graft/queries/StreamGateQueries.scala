@@ -1244,17 +1244,43 @@ object StreamGateQueries {
     */
   def q70MidBatchFailure(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
-    midBatchFailureGate(s, dir, "q70", tws = false)
+    midBatchFailureGate(s, dir, "q70", sessionPipeline(s, tws = false),
+      sortCols = Seq("user_id", "session_start_ms"), statefulOps = 1)
+  }
+
+  /** The q58 sessionization pipeline over a staged time-split dir — the
+    * subject the single-operator crash gates (q70, q72) replay.
+    */
+  private def sessionPipeline(s: SparkSession, tws: Boolean)(staged: String): DataFrame = {
+    import s.implicits._
+    val events = stagedStream(s, staged)
+      .select($"user_id", $"ts", $"value")
+      .withWatermark("ts", "10 minutes")
+    val sessions =
+      if (tws) StreamJobs.sessionizeTws(events, gapMinutes = 360)
+      else StreamJobs.sessionize(events, gapMinutes = 360)
+    sessions.toDF()
+      .select($"user_id",
+        unix_millis($"session_start").as("session_start_ms"),
+        unix_millis($"session_end").as("session_end_ms"),
+        $"events".as("n_events"))
   }
 
   /** Shared fault-injection harness for the mid-batch-failure gates —
     * ONE implementation of the injection, error-chain inspection, and
-    * replay requires, so the two state-API gates (q70 FMGWS, q72 TWS)
-    * can never drift apart. See q70's scaladoc for the recovery
-    * contract and determinism argument.
+    * replay requires, so the state-API gates (q70 FMGWS, q72 TWS) and
+    * the chained-pipeline gate (q76, TWO state stores restored to the
+    * same committed version) can never drift apart. See q70's scaladoc
+    * for the recovery contract and determinism argument; `statefulOps`
+    * pins how many stateful operators the replayed query must report —
+    * the chained case is the harder replay (join buffers AND window
+    * state must restore consistently to batch `failAt − 1`'s commit).
     */
   private def midBatchFailureGate(
-      s: SparkSession, dir: String, tag: String, tws: Boolean): DataFrame = {
+      s: SparkSession, dir: String, tag: String,
+      pipeline: String => DataFrame,
+      sortCols: Seq[String],
+      statefulOps: Int): DataFrame = {
     import s.implicits._
     val staged = stageTimeSplit(s, dir, tag, n = 6)
     val out = Files.createTempDirectory(s"graft-$tag-out").toString
@@ -1266,17 +1292,7 @@ object StreamGateQueries {
     // (the replay) runs to completion
     val failMarker = Paths.get(out, "_fail_injected")
     def runOnce(run: String): StreamingQuery = {
-      val events = stagedStream(s, staged)
-        .select($"user_id", $"ts", $"value")
-        .withWatermark("ts", "10 minutes")
-      val sessions =
-        if (tws) StreamJobs.sessionizeTws(events, gapMinutes = 360)
-        else StreamJobs.sessionize(events, gapMinutes = 360)
-      sessions.toDF()
-        .select($"user_id",
-          unix_millis($"session_start").as("session_start_ms"),
-          unix_millis($"session_end").as("session_end_ms"),
-          $"events".as("n_events"))
+      pipeline(staged)
         .writeStream
         .queryName(s"${tag}_midbatch_failure_$run")
         .outputMode("append")
@@ -1307,8 +1323,12 @@ object StreamGateQueries {
     val run2 = runOnce("run2")
     run2.awaitTermination()
     requireMultiBatch(run2, s"$tag run2") // replayed batch + the 3 undelivered files
+    val stateful = Option(run2.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.size == statefulOps,
+      s"$tag replay must restore $statefulOps stateful operator(s), got $stateful")
     dropStaged(staged)
-    s.read.parquet(s"$out/batch_*").orderBy($"user_id", $"session_start_ms")
+    s.read.parquet(s"$out/batch_*").orderBy(sortCols.map(col): _*)
   }
 
   /** q72 — q70's mid-batch failure on the OTHER state API and backend:
@@ -1328,7 +1348,54 @@ object StreamGateQueries {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-    midBatchFailureGate(s, dir, "q72", tws = true)
+    midBatchFailureGate(s, dir, "q72", sessionPipeline(s, tws = true),
+      sortCols = Seq("user_id", "session_start_ms"), statefulOps = 1)
+  }
+
+  /** q76 — the mid-batch crash applied to the CHAINED pipeline: q60's
+    * interval join → tumbling-window aggregation run through
+    * [[midBatchFailureGate]]'s injected sink-side crash (first attempt
+    * of data batch 2 dies after its durable batch-keyed write, before
+    * the commit). This is the harder replay case the single-operator
+    * crash gates (q70/q72) cannot see: TWO state stores — the join's
+    * per-side buffered-row state and the aggregation's open-window
+    * state — must BOTH restore to batch 1's committed version (a
+    * mixed-version restore would attribute purchases against a
+    * click-buffer from the wrong batch, or re-emit/lose closed
+    * windows), the join's output watermark must be re-derived from the
+    * restored per-side watermarks, and the replayed batch must emit
+    * identical rows into its overwritten batch dir. The harness
+    * additionally requires the replayed query to report BOTH stateful
+    * operators; the batch-dir union must meet q60's oracle VERBATIM —
+    * any inconsistency between the two restored stores shifts either
+    * `n_attributed` or the closed-window set and fails the hash.
+    */
+  def q76MidBatchFailureChained(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    def pipeline(staged: String): DataFrame = {
+      def side(kind: String, p: String, extra: Column*): DataFrame =
+        stagedStream(s, staged)
+          .filter($"event_type" === kind)
+          .select(Seq(
+            $"event_id".as(s"${p}_id"),
+            $"user_id".as(s"${p}_k"),
+            $"ts".as(s"${p}_ts")) ++ extra: _*)
+      StreamJobs.streamStreamCorrelate(
+          side("click", "l"),
+          side("purchase", "r", $"value".as("r_value")),
+          window = "10 minutes", delay = "10 minutes")
+        .groupBy(window($"r_ts", "10 minutes"))
+        .agg(
+          count(lit(1)).as("n_attributed"),
+          sum($"r_value".cast(DecimalType(12, 2))).cast("double").as("attributed_value"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          $"n_attributed", $"attributed_value")
+    }
+    midBatchFailureGate(s, dir, "q76", pipeline,
+      sortCols = Seq("window_start"), statefulOps = 2)
   }
 
   /** q71 — the beyond-tolerance DROP path, oracle-gated: every staged
@@ -1365,48 +1432,76 @@ object StreamGateQueries {
   def q71LateDropWindow(s: SparkSession, dir: String): DataFrame = withConf(s,
     "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
     import s.implicits._
-    val staged = Paths.get(stageTimeSplit(s, dir, "q71", n = 4))
-    val live = Files.createTempDirectory("graft-q71-live")
+    lateDropGate(s, dir, "q71",
+      pipeline = live => StreamJobs.slidingWindowSales(stagedStream(s, live))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          $"event_type", $"sales", $"orders"),
+      // the exact drop count the stream must report: distinct late
+      // (window, event_type) groups (see scaladoc — the engine counts
+      // dropped GROUPS post-partial-aggregation, not raw input rows)
+      expectedDrops = late => s.read.parquet(late)
+        .select($"ts", $"event_type")
+        .groupBy(window($"ts", StreamJobs.SalesWindow, StreamJobs.SalesSlide), $"event_type")
+        .count().count(),
+      dropUnit = "late groups",
+      sortCols = Seq($"window_start", $"event_type"))
+  }
+
+  /** Shared two-phase beyond-tolerance-drop harness (see q71's scaladoc
+    * for the layout and determinism argument): phase 1 drains the first
+    * 3 time-split files, PINNING the checkpointed watermark; phase 2
+    * admits a wholly-late copy of file 1 (event times shifted down 40
+    * days — staged ts is TimestampType, so the shift is interval
+    * arithmetic), mod-time-ordered BEFORE the final on-time file so it
+    * is judged against the restored watermark, not a later one. The
+    * gate requires ZERO drops in run 1, `numRowsDroppedByWatermark` ==
+    * the caller-computed EXACT count in run 2, and the read-back to
+    * meet the original clean-run oracle. ONE implementation for the
+    * aggregation gate (q71) and the join gate (q77), so the two
+    * stateful shapes' drop semantics can never drift apart.
+    */
+  private def lateDropGate(
+      s: SparkSession, dir: String, tag: String,
+      pipeline: String => DataFrame,
+      expectedDrops: String => Long,
+      dropUnit: String,
+      sortCols: Seq[Column]): DataFrame = {
+    import s.implicits._
+    val staged = Paths.get(stageTimeSplit(s, dir, tag, n = 4))
+    val live = Files.createTempDirectory(s"graft-$tag-live")
     stagedDirs.add(live) // crash backstop; dropStaged cleans after run 2
     val names = {
       val st = Files.list(staged)
       try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
       finally st.close()
     }
-    val out = Files.createTempDirectory("graft-q71-out").toString
-    val ck = Files.createTempDirectory("graft-q71-ck").toString
-    def runOnce(tag: String): StreamingQuery = {
-      val events = stagedStream(s, live.toString)
-      StreamJobs.slidingWindowSales(events)
-        .select(
-          date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          date_format($"window.end", "yyyy-MM-dd HH:mm:ss").as("window_end"),
-          $"event_type", $"sales", $"orders")
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    def runOnce(run: String): StreamingQuery =
+      pipeline(live.toString)
         .writeStream
-        .queryName(s"q71_late_drop_window_$tag")
+        .queryName(s"${tag}_late_drop_$run")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .format("parquet")
         .start(out)
-    }
     // phase 1: drain the first 3 files — the checkpoint now holds the
-    // pinned watermark max(file-3 ts) − 10 min
+    // pinned watermark derived from file 3's event times
     def droppedByWatermark(q: StreamingQuery): Long = q.recentProgress
       .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
     val (first, rest) = names.splitAt(3)
     first.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
     val run1 = runOnce("run1")
     run1.awaitTermination()
-    requireMultiBatch(run1, "q71 run1")
+    requireMultiBatch(run1, s"$tag run1")
     require(droppedByWatermark(run1) == 0,
-      "q71 run 1 is wholly on-time and must drop nothing")
-    // phase 2a: the late file — file 1 shifted 40 days into the past
-    // (staged ts is TimestampType, so the shift is interval arithmetic),
-    // mod-time-ordered BEFORE the on-time file so it is dropped against
-    // the restored watermark, not a later one
-    val lateGroups = {
-      val lateTmp = Files.createTempDirectory("graft-q71-late")
+      s"$tag run 1 is wholly on-time and must drop nothing")
+    // phase 2a: the late file
+    val expected = {
+      val lateTmp = Files.createTempDirectory(s"graft-$tag-late")
       s.read.parquet(live.resolve(names.head).toString)
         .withColumn("ts", $"ts" - expr("INTERVAL 40 DAYS"))
         .coalesce(1).write.mode("overwrite").parquet(lateTmp.toString)
@@ -1416,24 +1511,58 @@ object StreamGateQueries {
       Files.move(part.toPath, dst)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + 3 * 60000L + 30000L))
       deleteTree(lateTmp)
-      // the exact drop count the stream must report: distinct late
-      // (window, event_type) groups (see scaladoc — the engine counts
-      // dropped GROUPS post-partial-aggregation, not raw input rows)
-      s.read.parquet(dst.toString)
-        .select($"ts", $"event_type")
-        .groupBy(window($"ts", StreamJobs.SalesWindow, StreamJobs.SalesSlide), $"event_type")
-        .count().count()
+      expectedDrops(dst.toString)
     }
     // phase 2b: the final on-time file, then run 2
     rest.foreach(n => Files.move(staged.resolve(n), live.resolve(n)))
     val run2 = runOnce("run2")
     run2.awaitTermination()
-    requireMultiBatch(run2, "q71 run2", min = 2) // late batch + on-time batch
+    requireMultiBatch(run2, s"$tag run2", min = 2) // late batch + on-time batch
     val dropped = droppedByWatermark(run2)
-    require(dropped == lateGroups,
-      s"q71 must drop exactly the $lateGroups late groups, dropped $dropped")
+    require(dropped == expected,
+      s"$tag must drop exactly $expected $dropUnit, dropped $dropped")
     dropStaged(staged.toString, live.toString)
-    s.read.parquet(out).orderBy($"window_start", $"event_type")
+    s.read.parquet(out).orderBy(sortCols: _*)
+  }
+
+  /** q77 — the beyond-tolerance drop at the LAST stateful shape: q52's
+    * stream–stream interval join through [[lateDropGate]]'s two-phase
+    * layout. The join's late-data filter drops each beyond-tolerance
+    * INPUT ROW before it reaches join state (no partial-agg collapse
+    * here, unlike q71 — the exact expected count is the late file's
+    * click + purchase rows, each side's filtered stream contributing its
+    * rows to the shared `numRowsDroppedByWatermark`). The drop is
+    * observable in the output too, not just the metric: the late file's
+    * clicks and purchases are shifted by the SAME 40 days, so their
+    * intervals still align — an engine that failed to drop them would
+    * emit spurious duplicate attribution pairs at 40-day-old times and
+    * miss q52's oracle, which contains only the original events' pairs.
+    */
+  def q77LateDropJoin(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    lateDropGate(s, dir, "q77",
+      pipeline = { live =>
+        def side(kind: String, p: String): DataFrame = stagedStream(s, live)
+          .filter($"event_type" === kind)
+          .select(
+            $"event_id".as(s"${p}_id"),
+            $"user_id".as(s"${p}_k"),
+            $"ts".as(s"${p}_ts"))
+        StreamJobs.streamStreamCorrelate(
+            side("click", "l"), side("purchase", "r"),
+            window = "10 minutes", delay = "10 minutes")
+          .select(
+            $"l_id".as("click_id"), $"r_id".as("purchase_id"),
+            $"l_k".as("user_id"),
+            date_format($"l_ts", "yyyy-MM-dd HH:mm:ss").as("click_time"),
+            date_format($"r_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+      },
+      // each late row reaching a join side is dropped individually
+      expectedDrops = late => s.read.parquet(late)
+        .filter($"event_type".isin("click", "purchase")).count(),
+      dropUnit = "late join-input rows",
+      sortCols = Seq($"click_id", $"purchase_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1455,7 +1584,9 @@ object StreamGateQueries {
     "q69_restart_sessionize_tws" -> (q69RestartSessionizeTws _),
     "q70_midbatch_failure" -> (q70MidBatchFailure _),
     "q71_late_drop_window" -> (q71LateDropWindow _),
-    "q72_midbatch_failure_tws" -> (q72MidBatchFailureTws _))
+    "q72_midbatch_failure_tws" -> (q72MidBatchFailureTws _),
+    "q76_midbatch_failure_chained" -> (q76MidBatchFailureChained _),
+    "q77_late_drop_join" -> (q77LateDropJoin _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -1489,5 +1620,11 @@ object StreamGateQueries {
     // set is the closed-window set over the ORIGINAL events alone
     "q71_late_drop_window" -> q49Oracle,
     // crash-replay invisibility must hold on BOTH state APIs/backends
-    "q72_midbatch_failure_tws" -> q58Oracle)
+    "q72_midbatch_failure_tws" -> q58Oracle,
+    // ... and through a TWO-state-store chain: the replayed join+window
+    // pipeline's batch-dir union meets the clean-run chained oracle
+    "q76_midbatch_failure_chained" -> q60Oracle,
+    // beyond-tolerance rows drop at the JOIN's late-data filter too;
+    // the emitted pair set is the original events' alone
+    "q77_late_drop_join" -> q52Oracle)
 }

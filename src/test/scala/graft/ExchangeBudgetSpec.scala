@@ -103,6 +103,11 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast at runtime, and at 100 TB the corpus side is the
     // bucketed standing band index (BucketingSpec) — zero-exchange there
     "q75_incremental_neardup" -> 10,
+    // admission keep-first window (fingerprint) + packing window
+    // (split, source, shard — groupBy reuses it) + presentation sort;
+    // the corpus anti-join broadcasts at fixture scale (bucketed
+    // standing index at 100 TB — BucketingSpec)
+    "q78_ingest_pack" -> 3,
     // window partition on (split, source, shard) + presentation sort;
     // the per-bin groupBy reuses the window's hash partitioning (its
     // keys are a superset of the window partition key)
