@@ -30,7 +30,14 @@ object ScaleProbe {
     // events-side workloads: per-key window dedup, native session
     // windows, and the KMV sketch (whose state must stay k per group
     // no matter how the input grows)
-    "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
+    "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct",
+    // ingest axis: FIXED batch, GROWING corpus — the real per-ingest
+    // ratio (q73/q75 grow both sides N×; here the arriving batch stays
+    // the base's incoming set while the standing MATERIALIZED index —
+    // fingerprints, band keys, shingle store — grows N×). A rising
+    // exponent here would falsify the standing-index claim before
+    // production scale does.
+    "q73_ingest_probe", "q75_ingest_probe")
 
   // SPARK_GRAFT_PROBE_QUERIES=q03_...,q35_... probes a subset (and the
   // fixture builder then materializes only the tables that subset reads
@@ -46,9 +53,72 @@ object ScaleProbe {
   private val SalesProbes = Set("q51_bucketed_join")
   private val EventProbes = Set(
     "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
+  private val IngestProbes = Set("q73_ingest_probe", "q75_ingest_probe")
 
   private val Shards =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_SHARDS", "10").toInt
+
+  /** The standing corpus for the ingest axis: everything EXCEPT the base
+    * (shard-0) incoming batch — at 1× exactly q73/q75's corpus
+    * (`u ≥ 0.3`); at N× that plus every replica shard in full, so the
+    * corpus grows N× while the probed batch does not.
+    */
+  private def corpusFlag(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    !(graft.operators.Sampling.uniform01(c) < 0.3 && c < 10000000L)
+
+  /** Materialize the standing indexes the ingest probes hit: the
+    * fingerprint index (q73's), and the MinHash band index + shingle
+    * store (q75's). Built once per corpus version — the pay-once ingest
+    * write, deliberately OUTSIDE the timed probe.
+    */
+  private def buildIngestIndex(spark: SparkSession, docsDir: String, root: String): Unit = {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, docsDir).filter(corpusFlag($"doc_id"))
+    docs.select(TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+      .repartition(32).write.mode("overwrite").parquet(s"$root/fp.parquet")
+    docs
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+      .repartition(32).write.mode("overwrite").parquet(s"$root/sh.parquet")
+    graft.queries.LlmQueries.minhashBands(spark.read.parquet(s"$root/sh.parquet"))
+      .repartition(32).write.mode("overwrite").parquet(s"$root/bands.parquet")
+  }
+
+  /** The fixed arriving batch: the BASE corpus's incoming set (`u <
+    * 0.3`), identical on both sides of the ingest-axis ratio.
+    */
+  private def ingestBatch(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, base)
+      .filter(graft.operators.Sampling.uniform01($"doc_id") < 0.3)
+  }
+
+  /** Ingest-axis probes, keyed like queries but taking the INDEX root as
+    * their dir; batch fingerprint/shingle computation is inside the
+    * timed run (it is per-ingest work), index builds are not.
+    */
+  private def ingestProbes(base: String): Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.operators.TextOps
+    Map(
+      "q73_ingest_probe" -> ((s, root) => {
+        import s.implicits._
+        graft.queries.LlmQueries.admitByFingerprint(
+          ingestBatch(s, base).select($"doc_id",
+            TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint")),
+          s.read.parquet(s"$root/fp.parquet"))
+      }),
+      "q75_ingest_probe" -> ((s, root) => {
+        import s.implicits._
+        val batchSh = Tables.spread(s, ingestBatch(s, base))
+          .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+          .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+          .localCheckpoint()
+        graft.queries.LlmQueries.admitByBandIndex(batchSh,
+          s.read.parquet(s"$root/bands.parquet"),
+          s.read.parquet(s"$root/sh.parquet"))
+      }))
+  }
 
   private def buildFixture(spark: SparkSession, base: String, out: String): Unit = {
     import spark.implicits._
@@ -64,7 +134,7 @@ object ScaleProbe {
       if (k == 0) c
       else translate(c, a1 + a2, rot(a1, k % 10) + rot(a2, k / 10))
 
-    if (Probes.exists(DocProbes)) {
+    if (Probes.exists(DocProbes) || Probes.exists(IngestProbes)) {
       val docs = Tables.documents(spark, base)
       val docsN = (0 until Shards).map { k =>
         docs.select(
@@ -95,6 +165,11 @@ object ScaleProbe {
       Tables.shardedEvents(spark, base, Shards)
         .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     }
+
+    if (Probes.exists(IngestProbes)) {
+      buildIngestIndex(spark, base, "target/scaleingest1")
+      buildIngestIndex(spark, out, s"$out/ingest")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,13 +199,21 @@ object ScaleProbe {
       System.gc()
     }
 
+    val probes = ingestProbes(base)
     def time(name: String, dir: String): Double = {
       scrub()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      SparkEntry.queries.getOrElse(name, probes(name))(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+
+    // per-probe (1×, N×) dirs: ingest-axis probes read the materialized
+    // index roots (batch fixed at the base's incoming set); everything
+    // else reads the data dirs
+    def sides(name: String): (String, String) =
+      if (IngestProbes(name)) ("target/scaleingest1", s"$fixture/ingest")
+      else (base, fixture)
 
     // warm codegen/classloading so pass 1 of the probe isn't a JVM probe;
     // derived from the configured base (sibling sf0.001 when present) so
@@ -139,12 +222,15 @@ object ScaleProbe {
       val sib = java.nio.file.Paths.get(base).resolveSibling("sf0.001")
       if (java.nio.file.Files.isDirectory(sib)) sib.toString else base
     })
-    Probes.foreach(time(_, warmDir))
+    Probes.foreach(n => time(n, if (IngestProbes(n)) sides(n)._1 else warmDir))
 
     // interleave (1x, 10x) within each pass so a load spike or heap
     // phase hits both sides of a ratio, not one; min-of-passes per side
     val samples: Seq[Seq[(String, Double, Double)]] = (1 to passes).map { _ =>
-      Probes.map(name => (name, time(name, base), time(name, fixture)))
+      Probes.map { name =>
+        val (d1, dN) = sides(name)
+        (name, time(name, d1), time(name, dN))
+      }
     }
     val rows = Probes.map { name =>
       val t1 = samples.map(_.find(_._1 == name).get._2).min

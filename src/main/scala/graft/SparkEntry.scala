@@ -125,5 +125,10 @@ object SparkEntry {
     // probe of the incoming batch against the standing corpus) and the
     // ingest capstone (admit, then pack the admitted batch into bins)
     "q75_incremental_neardup",
-    "q78_ingest_pack")
+    "q78_ingest_pack",
+    // appended round 11: token-budget mixture sampling (two-phase
+    // distributed prefix sum — the de-serialized running total) and
+    // embedding-side incremental admission (bucket-index probe)
+    "q79_mixture_sample",
+    "q80_embedding_admission")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{Sampling, TextOps, TokenPacking, VectorOps}
+import graft.operators.{PrefixSum, Sampling, TextOps, TokenPacking, VectorOps}
 
 /** LLM-training-data-pipeline operators over the driver-provided
   * `documents` (doc_id, text, lang, source, n_chars) and `embeddings`
@@ -1453,6 +1453,72 @@ object LlmQueries {
       |ORDER BY f.doc_id""".stripMargin
   }
 
+  // ---------------------------- standing-index probe API (ingest shape)
+
+  /** The STANDING-INDEX spelling of q73's admission: admit a
+    * fingerprinted batch (`doc_id`, `fingerprint`) against a
+    * materialized corpus fingerprint index (`fingerprint`) — the form a
+    * production ingest actually runs, where the corpus side is a
+    * persisted index (bucketed by fingerprint at 100 TB, q51's
+    * discipline) and only the arriving batch is computed per run. q73
+    * is the single-table spelling of exactly this plan (its corpus side
+    * is derived in-query); LlmQueriesSpec pins the equivalence, and
+    * ScaleProbe's ingest axis times THIS function against a corpus
+    * index grown 100× under a fixed batch — the real ingest ratio.
+    * Shuffles carry 32-char fingerprints + ids only, never text.
+    */
+  def admitByFingerprint(batch: DataFrame, index: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .join(index.select($"fingerprint"), Seq("fingerprint"), "left_anti")
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("batch_dups"))
+      .select($"doc_id", $"fingerprint", $"batch_dups")
+      .orderBy($"doc_id")
+  }
+
+  /** The STANDING-INDEX spelling of q75's near-dup admission: probe a
+    * materialized MinHash band index (`doc_id`, `band`, `bk` — built by
+    * [[minhashBands]] over the corpus, persisted at ingest) with a new
+    * batch's shingle frame (`doc_id`, `sh`), exact-confirm candidates
+    * against a corpus shingle store (`doc_id`, `sh`), and admit
+    * non-matching docs first-wins within the batch. One banding
+    * spelling ([[minhashBands]]) on both sides, so index and probe can
+    * never drift. The candidate-confirm fetch reads `corpusSh` by
+    * blocker id — at fixture scale a scan-join; at 100 TB that fetch is
+    * the point-lookup step a bucket-pruned doc store (q53's discipline)
+    * or KV store serves, touching candidate buckets only — candidates
+    * are bounded by the batch's band collisions, never the corpus.
+    */
+  def admitByBandIndex(
+      batchSh: DataFrame, corpusBands: DataFrame, corpusSh: DataFrame): DataFrame = {
+    import batchSh.sparkSession.implicits._
+    val probe = minhashBands(batchSh).select($"doc_id", $"band", $"bk")
+    val candCorpus = probe
+      .join(corpusBands.select($"doc_id".as("blocker"), $"band", $"bk"),
+        Seq("band", "bk"))
+      .select($"doc_id", $"blocker")
+    val candBatch = probe
+      .join(probe.select($"doc_id".as("blocker"), $"band", $"bk"), Seq("band", "bk"))
+      .filter($"blocker" < $"doc_id")
+      .select($"doc_id", $"blocker")
+    val cand = candCorpus.unionByName(candBatch).distinct()
+    val blockerSh = corpusSh.unionByName(batchSh)
+      .select($"doc_id".as("blocker"), $"sh".as("sh_b"))
+    val rejected = cand
+      .join(batchSh.select($"doc_id", $"sh".as("sh_i")), "doc_id")
+      .join(blockerSh, "blocker")
+      .withColumn("common", size(array_intersect($"sh_i", $"sh_b")))
+      .withColumn("jaccard", $"common".cast("double") /
+        (size($"sh_i") + size($"sh_b") - $"common"))
+      .filter($"jaccard" >= 0.8)
+      .select($"doc_id").distinct()
+    batchSh
+      .join(rejected, Seq("doc_id"), "left_anti")
+      .select($"doc_id", size($"sh").as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- q78
 
   /** q78 — the INGEST-TO-TRAINING-ROWS capstone: q73's incremental
@@ -1534,6 +1600,162 @@ object LlmQueries {
        |ORDER BY split, source, shard, bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+
+  /** q79 — deterministic token-budget MIXTURE sampling, the "data
+    * mixing" step of a pretraining pipeline: each source is assigned a
+    * token budget (up-weighting curated sources, capping the crawl) and
+    * contributes its documents in deterministic content-hash priority
+    * order until the budget fills — a doc is selected iff its START
+    * offset in the source's priority-ordered token stream is under the
+    * source's budget (so the last selected doc may straddle the cap,
+    * q74's bin rule). Priority = [[Sampling.uniform01]] over doc_id: a
+    * seedless deterministic shuffle, so the mixture is reproducible
+    * run-to-run and a source whose budget exceeds its supply simply
+    * contributes everything (src0/src2/src4 at the small SFs —
+    * deliberately exercised).
+    *
+    * Scale: the per-source running total is [[PrefixSum.runningTotal]]
+    * — the two-phase distributed scan, NOT a per-source window, so a
+    * dominant source (the 100 TB shape: one crawl is most of the
+    * corpus) cuts into contiguous runs across many tasks instead of
+    * serializing through one; cross-run coordination is a
+    * kilobyte-scale offsets frame, broadcast back. Everything shuffled
+    * is scalar (doc_id, source, n_tokens, u) — never text.
+    */
+  def q79MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = TextOps.normText($"text")
+    // localCheckpoint: the two-phase scan reads its input twice (run
+    // side + offsets side); persist the SCALAR frame so tokenization —
+    // the dominant cost — runs once and both sides re-scan four scalar
+    // columns (q75's sketch-persist rationale)
+    val docs = Tables.documents(s, dir).select(
+      $"doc_id", $"source",
+      size(TextOps.tokens(norm)).as("n_tokens"),
+      Sampling.uniform01($"doc_id").as("u"))
+      .localCheckpoint()
+    val budget = when($"source".isin("src0", "src2", "src4"), 2000L)
+      .when($"source".isin("src1", "src3"), 1000L)
+      .otherwise(500L)
+    PrefixSum.runningTotal(docs, Seq("source"), Seq("u", "doc_id"),
+        "n_tokens", outCol = "cum")
+      .withColumn("start_offset", $"cum" - $"n_tokens")
+      .filter($"start_offset" < budget)
+      .select($"doc_id", $"source", $"n_tokens", $"start_offset")
+      .orderBy($"doc_id")
+  }
+
+  val q79Oracle: String = {
+    val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val u = Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    len(string_split($normSql, ' ')) AS n_tokens,
+       |    $u AS u
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+       |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+       |  FROM d)
+       |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       |  CAST(start_offset AS BIGINT) AS start_offset
+       |FROM c
+       |WHERE start_offset < CASE WHEN source IN ('src0','src2','src4') THEN 2000
+       |                          WHEN source IN ('src1','src3') THEN 1000
+       |                          ELSE 500 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q80
+
+  /** q80 — incremental EMBEDDING-side admission, completing the
+    * per-ingest family across all three dedup modalities (q73 exact
+    * fingerprints, q75 text near-dup, here semantic near-dup): the
+    * arriving batch of vectors probes the standing corpus's sign-LSH
+    * bucket index (q28's planes — ONE bucketing spelling for index and
+    * probe), candidates are confirmed with the exact integer-scaled
+    * cosine, and a vector is admitted unless a confirmed semantic
+    * near-duplicate (cosine ≥ 0.4) exists in the corpus or earlier in
+    * the batch (first-wins, q75's pairwise rule). Same corpus/incoming
+    * split primitive as q73/q75 (content-hash uniform over vec_id).
+    *
+    * Scale: the probe is a bucket-key equi-join against the standing
+    * index — never all-pairs; cosine confirm touches bucket collisions
+    * only. At 100 TB the index is bucketed by LSH key at ingest (q51's
+    * discipline) and the per-batch probe shuffles only the batch's
+    * bucket ids; multi-probe (q30's bit flips) is the recall knob when
+    * the plane count rises.
+    */
+  def q80EmbeddingAdmission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sv = Tables.embeddings(s, dir)
+      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+      .withColumn("bucket", VectorOps.signLshBucket($"v", planes))
+      .withColumn("incoming", Sampling.uniform01($"vec_id") < 0.3)
+      .localCheckpoint()
+    val probe = sv.filter($"incoming")
+    val blockers = sv.select($"bucket", $"vec_id".as("blocker"),
+      $"v".as("bv"), $"nsq".as("bn"), $"incoming".as("b_incoming"))
+    val rejected = probe.join(blockers, "bucket")
+      .filter(!$"b_incoming" || $"blocker" < $"vec_id")
+      .withColumn("cosine",
+        VectorOps.cosineFromParts(VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
+      .filter($"cosine" >= 0.4)
+      .select($"vec_id").distinct()
+    probe
+      .join(rejected, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"bucket")
+      .orderBy($"vec_id")
+  }
+
+  val q80Oracle: String = {
+    val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val u = Sampling.duckUniform01("CAST(vec_id AS VARCHAR)")
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v,
+       |    $u < 0.3 AS incoming
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, v, incoming,
+       |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM sv),
+       |pl AS (SELECT $planesSql AS m),
+       |proj AS (
+       |  SELECT vec_id, p, sum(v[i] * m[p + 1][i]) AS s
+       |  FROM nn, pl,
+       |       unnest(generate_series(0, ${NumPlanes - 1})) tp(p),
+       |       unnest(generate_series(1, len(v))) ti(i)
+       |  GROUP BY vec_id, p),
+       |buck AS (
+       |  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |cand AS (
+       |  SELECT a.vec_id, b.vec_id AS blocker
+       |  FROM buck a
+       |  JOIN nn fa ON fa.vec_id = a.vec_id AND fa.incoming
+       |  JOIN buck b ON b.bucket = a.bucket
+       |  JOIN nn fb ON fb.vec_id = b.vec_id
+       |  WHERE (NOT fb.incoming) OR b.vec_id < a.vec_id),
+       |dt AS (
+       |  SELECT c.vec_id, c.blocker, na.nsq AS qn, nb.nsq AS bn,
+       |    CAST(sum(na.v[i] * nb.v[i]) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN nn na ON na.vec_id = c.vec_id
+       |  JOIN nn nb ON nb.vec_id = c.blocker,
+       |       unnest(generate_series(1, len(na.v))) t(i)
+       |  GROUP BY c.vec_id, c.blocker, na.nsq, nb.nsq),
+       |rejected AS (
+       |  SELECT DISTINCT vec_id FROM dt
+       |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) >= 0.4)
+       |SELECT s.vec_id, buck.bucket
+       |FROM sv s
+       |JOIN buck ON buck.vec_id = s.vec_id
+       |WHERE s.incoming AND s.vec_id NOT IN (SELECT vec_id FROM rejected)
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1555,7 +1777,9 @@ object LlmQueries {
     "q73_incremental_dedup" -> (q73IncrementalDedup _),
     "q74_token_packing"     -> (q74TokenPacking _),
     "q75_incremental_neardup" -> (q75IncrementalNearDup _),
-    "q78_ingest_pack"       -> (q78IngestPack _))
+    "q78_ingest_pack"       -> (q78IngestPack _),
+    "q79_mixture_sample"    -> (q79MixtureSample _),
+    "q80_embedding_admission" -> (q80EmbeddingAdmission _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1576,5 +1800,7 @@ object LlmQueries {
     "q73_incremental_dedup" -> q73Oracle,
     "q74_token_packing"     -> q74Oracle,
     "q75_incremental_neardup" -> q75Oracle,
-    "q78_ingest_pack"       -> q78Oracle)
+    "q78_ingest_pack"       -> q78Oracle,
+    "q79_mixture_sample"    -> q79Oracle,
+    "q80_embedding_admission" -> q80Oracle)
 }

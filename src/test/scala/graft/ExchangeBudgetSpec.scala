@@ -112,6 +112,18 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the per-bin groupBy reuses the window's hash partitioning (its
     // keys are a superset of the window partition key)
     "q74_token_packing" -> 2,
+    // two-phase distributed scan: range partition ×2 (run side +
+    // offsets side, both over the checkpointed scalar frame) + the
+    // local window's (run, source) hash + the kilobyte offsets frame's
+    // agg/window + presentation sort; offsets rejoin is BROADCAST —
+    // deliberately more static exchanges than a serial per-source
+    // window (1) in exchange for no single-task funnel under a
+    // dominant source (PrefixSum scaladoc)
+    "q79_mixture_sample" -> 5,
+    // bucket-collision probe join + rejected distinct + anti-join over
+    // the checkpointed vector sketch; candidate sides broadcast at
+    // fixture scale, bucketed standing index at 100 TB (q51 discipline)
+    "q80_embedding_admission" -> 3,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg
     "q51_bucketed_join" -> 2,      // the bucketed join itself adds ZERO

@@ -211,4 +211,29 @@ class LlmQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(sigs(1L) === sigs(2L))
   }
+
+  test("standing-index probe APIs reproduce the single-table gates " +
+      "(q73 ≡ admitByFingerprint, q75 ≡ admitByBandIndex on the split inputs)") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val norm = TextOps.normText($"text")
+
+    val fp = docs.select($"doc_id", TextOps.bagFingerprint(norm).as("fingerprint"),
+      Sampling.uniform01($"doc_id").as("u"))
+    val probe73 = LlmQueries.admitByFingerprint(
+      fp.filter($"u" < 0.3).select($"doc_id", $"fingerprint"),
+      fp.filter($"u" >= 0.3).select($"fingerprint"))
+    assert(probe73.collect().toSeq ===
+      LlmQueries.q73IncrementalDedup(spark, sf).collect().toSeq)
+
+    val sh = docs.select($"doc_id", TextOps.tokens(norm).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+    val batchSh = sh.filter(Sampling.uniform01($"doc_id") < 0.3).localCheckpoint()
+    val corpusSh = sh.filter(Sampling.uniform01($"doc_id") >= 0.3).localCheckpoint()
+    val probe75 = LlmQueries.admitByBandIndex(
+      batchSh, LlmQueries.minhashBands(corpusSh), corpusSh)
+    assert(probe75.collect().toSeq ===
+      LlmQueries.q75IncrementalNearDup(spark, sf).collect().toSeq)
+  }
 }

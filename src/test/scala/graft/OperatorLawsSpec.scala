@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{AsOf, ConnectedComponents, TopK}
+import graft.operators.{AsOf, ConnectedComponents, PrefixSum, TopK}
 
 /** Property-based laws for the round-3 operators, checked against
   * straight-line Scala reference models on randomized inputs — the
@@ -170,5 +170,41 @@ class OperatorLawsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(durable === ccLabels(nodes, edges))
     // the durable path actually wrote checkpoint data
     assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("PrefixSum.runningTotal equals the serial per-key window on random data, " +
+      "independent of input partitioning") {
+    val ss = spark; import ss.implicits._
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      ord <- Gen.choose(0, 50)
+      v <- Gen.choose(1, 100)
+    } yield (k, ord, v)
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, rowGen)
+      parts <- Gen.choose(1, 7)
+    } yield (rows, parts)
+    val prop = Prop.forAll(gen) { case (rows, parts) =>
+      // unique per-key order: (ord, id) with a synthetic unique id
+      val df = rows.zipWithIndex
+        .map { case ((k, o, v), i) => (k, o, i.toLong, v) }
+        .toDF("k", "ord", "id", "v")
+        .repartition(parts) // result must not depend on input layout
+      val got = PrefixSum.runningTotal(df, Seq("k"), Seq("ord", "id"), "v", "cum")
+        .select($"k", $"id", $"cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // reference model: straight-line scan of the sorted rows
+      val expect = rows.zipWithIndex
+        .map { case ((k, o, v), i) => (k, o, i.toLong, v) }
+        .groupBy(_._1).flatMap { case (_, g) =>
+          val sorted = g.sortBy(r => (r._2, r._3))
+          sorted.zip(sorted.scanLeft(0L)(_ + _._4).tail)
+            .map { case (r, c) => (r._1, r._3) -> c }
+        }
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
   }
 }
