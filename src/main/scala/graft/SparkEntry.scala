@@ -130,5 +130,8 @@ object SparkEntry {
     // distributed prefix sum — the de-serialized running total) and
     // embedding-side incremental admission (bucket-index probe)
     "q79_mixture_sample",
-    "q80_embedding_admission")
+    "q80_embedding_admission",
+    // appended round 11: cross-split decontamination (band-index probe
+    // of the test split against the train split)
+    "q81_decontamination")
 }

@@ -72,12 +72,17 @@ object Tables {
     * stories can never drift apart.
     */
   def shardedEvents(s: SparkSession, dir: String, shards: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
+    // crossJoin against a shard range instead of an N-branch union: same
+    // row set, but the plan stays CONSTANT-size, so a 1000× replica (the
+    // recovery decade probe) doesn't stall the analyzer on a 1000-way
+    // Union tree
     val ev = events(s, dir)
-    (0 until shards).map { k =>
-      ev.withColumn("event_id", ev("event_id") + lit(k * 1000000000000L))
-        .withColumn("user_id", ev("user_id") + lit(k * 100000000L))
-    }.reduce(_ unionByName _)
+    val k = s.range(shards).select(col("id").as("_k"))
+    ev.crossJoin(k)
+      .withColumn("event_id", col("event_id") + col("_k") * lit(1000000000000L))
+      .withColumn("user_id", col("user_id") + col("_k") * lit(100000000L))
+      .drop("_k")
   }
 
   /** Spread a CPU-bound per-row stage across cores when the scan

@@ -1756,6 +1756,104 @@ object LlmQueries {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q81
+
+  /** q81 — cross-split DECONTAMINATION: find test-split documents with a
+    * confirmed near-duplicate in the train split — the eval-leakage
+    * check every LLM pipeline runs before publishing a benchmark split
+    * (a test doc whose near-copy was trained on reports inflated
+    * scores). Composes three verified spellings with ZERO new
+    * primitives: the train/val/test content-hash split is q74's rule
+    * (same [[Sampling.hash60]] buckets, so this audits exactly the
+    * split q74 packs), candidates come from the shared [[minhashBands]]
+    * LSH banding, and the confirm is q16/q75's exact 3-gram Jaccard ≥
+    * 0.8. Output: one row per contaminated (test, train) pair with the
+    * integer intersection/size evidence — doubles never cross the gate.
+    *
+    * Scale: band-key equi-join between the splits — never all-pairs;
+    * at 100 TB the train side is the standing band index (q75's
+    * bucketed discipline, BucketingSpec) and the test split is smaller
+    * than any ingest batch, so decontamination rides the same plan as
+    * incremental admission.
+    */
+  def q81Decontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = TextOps.normText($"text")
+    val bucket = Sampling.hash60(norm) % 100
+    val base = Tables.spread(s, Tables.documents(s, dir))
+      .select($"doc_id",
+        TextOps.shingles(TextOps.tokens(norm), 3).as("sh"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .localCheckpoint()
+    val bands = minhashBands(base.select($"doc_id", $"sh"))
+      .join(base.select($"doc_id", $"split"), "doc_id")
+    val cand = bands.filter($"split" === "test")
+      .select($"doc_id".as("test_doc_id"), $"band", $"bk")
+      .join(bands.filter($"split" === "train")
+        .select($"doc_id".as("train_doc_id"), $"band", $"bk"), Seq("band", "bk"))
+      .select($"test_doc_id", $"train_doc_id").distinct()
+    cand
+      .join(base.select($"doc_id".as("test_doc_id"), $"sh".as("sh_t")), "test_doc_id")
+      .join(base.select($"doc_id".as("train_doc_id"), $"sh".as("sh_r")), "train_doc_id")
+      .withColumn("common", size(array_intersect($"sh_t", $"sh_r")))
+      .filter($"common".cast("double") /
+        (size($"sh_t") + size($"sh_r") - $"common") >= 0.8)
+      .select($"test_doc_id", $"train_doc_id", $"common",
+        size($"sh_t").as("n_test_sh"), size($"sh_r").as("n_train_sh"))
+      .orderBy($"test_doc_id", $"train_doc_id")
+  }
+
+  val q81Oracle: String = {
+    val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val h = Sampling.duckHash60(normSql)
+    val abRows = minhashAB.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN $h % 100 < 80 THEN 'train'
+      |         WHEN $h % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, string_split($normSql, ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)),
+      |shx AS (
+      |  SELECT doc_id, s, ${duckHex8("md5(s)", 1)} % $MinhashP AS x
+      |  FROM sh),
+      |seeds AS (SELECT * FROM (VALUES $abRows) t(seed, a, b)),
+      |mh AS (
+      |  SELECT doc_id, seed, min((a * x + b) % $MinhashP) AS m
+      |  FROM shx CROSS JOIN seeds GROUP BY doc_id, seed),
+      |bandkeys AS (
+      |  SELECT doc_id, seed // 3 AS band, string_agg(m::VARCHAR, ':' ORDER BY seed) AS bk
+      |  FROM mh GROUP BY doc_id, seed // 3),
+      |cand AS (
+      |  SELECT DISTINCT t.doc_id AS test_doc_id, r.doc_id AS train_doc_id
+      |  FROM bandkeys t
+      |  JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'test'
+      |  JOIN bandkeys r ON r.band = t.band AND r.bk = t.bk
+      |  JOIN sp sr ON sr.doc_id = r.doc_id AND sr.split = 'train'),
+      |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.test_doc_id, c.train_doc_id, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.test_doc_id
+      |  JOIN sh y ON y.doc_id = c.train_doc_id AND y.s = x.s
+      |  GROUP BY c.test_doc_id, c.train_doc_id)
+      |SELECT inter.test_doc_id, inter.train_doc_id,
+      |  CAST(i AS INT) AS common,
+      |  CAST(nt.n AS INT) AS n_test_sh, CAST(nr.n AS INT) AS n_train_sh
+      |FROM inter
+      |JOIN szs nt ON nt.doc_id = inter.test_doc_id
+      |JOIN szs nr ON nr.doc_id = inter.train_doc_id
+      |WHERE CAST(i AS DOUBLE) / (nt.n + nr.n - i) >= 0.8
+      |ORDER BY inter.test_doc_id, inter.train_doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1779,7 +1877,8 @@ object LlmQueries {
     "q75_incremental_neardup" -> (q75IncrementalNearDup _),
     "q78_ingest_pack"       -> (q78IngestPack _),
     "q79_mixture_sample"    -> (q79MixtureSample _),
-    "q80_embedding_admission" -> (q80EmbeddingAdmission _))
+    "q80_embedding_admission" -> (q80EmbeddingAdmission _),
+    "q81_decontamination"   -> (q81Decontamination _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1802,5 +1901,6 @@ object LlmQueries {
     "q75_incremental_neardup" -> q75Oracle,
     "q78_ingest_pack"       -> q78Oracle,
     "q79_mixture_sample"    -> q79Oracle,
-    "q80_embedding_admission" -> q80Oracle)
+    "q80_embedding_admission" -> q80Oracle,
+    "q81_decontamination"   -> q81Oracle)
 }

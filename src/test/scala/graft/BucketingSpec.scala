@@ -147,6 +147,41 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === expected)
   }
 
+  test("embedding admission probes a bucketed corpus LSH index with zero exchanges (q80's 100 TB shape)") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{Sampling, VectorOps}
+    // completes the standing-index discipline across the third admission
+    // modality (q73 fingerprints, q75 band keys, here sign-LSH vector
+    // buckets): the corpus's bucket index is bucketBy(bucket) at ingest,
+    // so the per-batch candidate probe needs no corpus-side shuffle.
+    // Same bucketing spelling as the gate (VectorOps.signLshBucket).
+    val sv = Tables.embeddings(spark, sf)
+      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+      .withColumn("bucket", VectorOps.signLshBucket($"v", VectorOps.rademacherPlanes(4, 64)))
+      .withColumn("incoming", Sampling.uniform01($"vec_id") < 0.3)
+    sv.filter(!$"incoming")
+      .select($"vec_id".as("blocker"), $"bucket", $"v".as("bv"), $"nsq".as("bn"))
+      .write.bucketBy(4, "bucket").sortBy("bucket")
+      .mode("overwrite").saveAsTable("corpus_vec_ix")
+    sv.filter($"incoming").select($"vec_id", $"bucket", $"v", $"nsq")
+      .write.bucketBy(4, "bucket").sortBy("bucket")
+      .mode("overwrite").saveAsTable("incoming_vecs")
+    val probeCand = spark.table("incoming_vecs")
+      .join(spark.table("corpus_vec_ix"), Seq("bucket"))
+    val plan = probeCand.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(bucket"),
+      s"bucketed vector probe must not shuffle either side:\n$plan")
+    val expected = sv.filter($"incoming").select($"vec_id", $"bucket")
+      .join(sv.filter(!$"incoming")
+        .select($"vec_id".as("blocker"), $"bucket"), Seq("bucket"))
+      .select($"vec_id", $"blocker")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = probeCand.select($"vec_id", $"blocker")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("one-file-per-bucket + legacy outputOrdering flag: SMJ plans with zero Sorts") {
     // The last step of the bucketed-lake story: writeBucketed also
     // sortBy(key)s each bucket and its repartition-first discipline

@@ -124,6 +124,12 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the checkpointed vector sketch; candidate sides broadcast at
     // fixture scale, bucketed standing index at 100 TB (q51 discipline)
     "q80_embedding_admission" -> 3,
+    // band build aggs + split join-back + cross-split candidate join +
+    // pair distinct + the two shingle fetch-backs + final sort over the
+    // checkpointed shingle frame; candidate sides broadcast at fixture
+    // scale, train side = the standing band index at 100 TB (q75's
+    // bucketed discipline)
+    "q81_decontamination" -> 6,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg
     "q51_bucketed_join" -> 2,      // the bucketed join itself adds ZERO
