@@ -407,24 +407,40 @@ object StreamGateQueries {
     // and non-empty); hash-distributing on _slice then sends each slice
     // to exactly one task, and partitionBy peels the column off, so each
     // _slice=<i> dir holds exactly one data file of event columns
-    val scratch = Files.createTempDirectory(s"graft-$tag-part")
     val src = Tables.normalizeTs(
         s.read.option("basePath", dir).parquet(s"$dir/events*.parquet"))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
       .withColumn("_k", sortKey.cast("double"))
+    sliceByKey(staged, tag, src, n, filePrefix = "events")
+    staged.toString
+  }
+
+  /** The shared quantile slicer behind [[stageTimeSplit]] (events, keyed
+    * by event time) and [[stageDocSplit]] (documents, keyed by doc_id):
+    * splits `src` — which must carry a `_k` double sort-key column — at
+    * `approxQuantile` boundaries into `n` non-empty, non-overlapping,
+    * key-ordered files under `staged`, named and modification-stamped
+    * ascending so `FileStreamSource` + `maxFilesPerTrigger=1` delivers
+    * them in key order, one file per micro-batch.
+    */
+  private def sliceByKey(
+      staged: java.nio.file.Path, tag: String, src: DataFrame, n: Int,
+      filePrefix: String): Unit = {
+    import src.sparkSession.implicits._
+    val scratch = Files.createTempDirectory(s"graft-$tag-part")
     val cuts = src.stat.approxQuantile(
       "_k", (1 until n).map(_.toDouble / n).toArray, 0.001)
     // coinciding cuts (a sort key where one value holds > 1/n of the
     // mass) would yield an empty slice and a confusing one-file require
     // failure downstream — name the real cause instead
     require(cuts.distinct.length == cuts.length,
-      s"$tag: events sort key too skewed for an $n-way time split (duplicate quantile cuts)")
+      s"$tag: $filePrefix sort key too skewed for an $n-way split (duplicate quantile cuts)")
     // distinct cuts still leave the TOP slice empty when the highest cut
     // equals the dataset max (skewed tail): require a row strictly above
     // the last cut — one extra agg on the already-computed _k column
     val kMax = src.agg(max($"_k")).head.getDouble(0)
     require(kMax > cuts.last,
-      s"$tag: events sort key too skewed for an $n-way time split " +
+      s"$tag: $filePrefix sort key too skewed for an $n-way split " +
         s"(top slice empty: max sort key $kMax ≤ top cut ${cuts.last})")
     val slice = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when($"_k" > c, 1).otherwise(0) }
@@ -436,7 +452,7 @@ object StreamGateQueries {
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       require(parts.length == 1,
         s"slice $i must be exactly one file, got ${parts.length}")
-      val dst = staged.resolve(f"events-$i%04d.parquet")
+      val dst = staged.resolve(f"$filePrefix-$i%04d.parquet")
       Files.move(parts.head.toPath, dst)
       // deterministic strictly-increasing mod times: FileStreamSource
       // orders new files by timestamp, so file i IS micro-batch i
@@ -444,6 +460,24 @@ object StreamGateQueries {
     }
     deleteTree(scratch) // only empty _slice dirs + _SUCCESS remain
     stagedDirs.add(staged)
+  }
+
+  /** Stage q73's INCOMING document batch (the content-hash uniform split
+    * `u < 0.3` — [[graft.operators.Sampling]], reshard/retry-stable) as
+    * `n` doc_id-ordered files, one per micro-batch: the arriving-batch
+    * trickle for the streaming ingest-admission gate (q84). Only
+    * (doc_id, text) is staged — fingerprints are computed IN the stream,
+    * map-side, which is where an ingest pipeline computes them.
+    */
+  private def stageDocSplit(
+      s: SparkSession, dir: String, tag: String, n: Int = 4): String = {
+    import s.implicits._
+    val staged = Files.createTempDirectory(s"graft-$tag-src")
+    val src = Tables.documents(s, dir)
+      .filter(graft.operators.Sampling.uniform01($"doc_id") < 0.3)
+      .select($"doc_id", $"text")
+      .withColumn("_k", $"doc_id".cast("double"))
+    sliceByKey(staged, tag, src, n, filePrefix = "docs")
     staged.toString
   }
 
@@ -1565,6 +1599,159 @@ object StreamGateQueries {
       sortCols = Seq($"click_id", $"purchase_id"))
   }
 
+  /** q82 — the mid-batch crash at the stream–stream JOIN shape, the one
+    * stateful state layout the failure matrix had not crashed (q70/q72 =
+    * per-key session state, q76 = join + window chained): q52's interval
+    * join run through [[midBatchFailureGate]]. The join's state is the
+    * TWO-SIDED buffered-row store (`StreamingSymmetricHashJoin` keeps
+    * every not-yet-evictable input row per side), so the replay contract
+    * differs from the aggregation shapes in kind: run 2 must restore
+    * BOTH side buffers to batch 1's committed version and RE-PROBE the
+    * replayed batch's rows against them — a buffer restored one version
+    * ahead would re-emit pairs already committed by batch 1's sink call
+    * (duplicates in the batch-dir union), one behind would miss
+    * cross-batch matches (a purchase in batch 2 joining a click buffered
+    * in batch 1). Either way the union misses q52's oracle, which holds
+    * each interval pair EXACTLY once. Same injected sink-side crash:
+    * first attempt of data batch 2 dies after its durable batch-keyed
+    * write, before the commit; the idempotent overwrite makes the replay
+    * invisible.
+    */
+  def q82MidBatchFailureJoin(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    def pipeline(staged: String): DataFrame = {
+      def side(kind: String, p: String): DataFrame = stagedStream(s, staged)
+        .filter($"event_type" === kind)
+        .select(
+          $"event_id".as(s"${p}_id"),
+          $"user_id".as(s"${p}_k"),
+          $"ts".as(s"${p}_ts"))
+      StreamJobs.streamStreamCorrelate(
+          side("click", "l"), side("purchase", "r"),
+          window = "10 minutes", delay = "10 minutes")
+        .select(
+          $"l_id".as("click_id"), $"r_id".as("purchase_id"),
+          $"l_k".as("user_id"),
+          date_format($"l_ts", "yyyy-MM-dd HH:mm:ss").as("click_time"),
+          date_format($"r_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+    }
+    midBatchFailureGate(s, dir, "q82", pipeline,
+      sortCols = Seq("click_id", "purchase_id"), statefulOps = 1)
+  }
+
+  /** q83 — the mid-batch crash at the streaming-DEDUP shape, completing
+    * the failure matrix across all four stateful state layouts (per-key
+    * session state q70/q72, chained join+window q76, two-sided join
+    * buffer q82, and the key-presence store here): q61's
+    * `dropDuplicatesWithinWatermark` pipeline through
+    * [[midBatchFailureGate]]. Dedup is the shape where a WRONG restored
+    * state version is most directly visible in the output: each key
+    * emits exactly once per state lifetime, so a replay that restored
+    * state one version AHEAD (i.e. kept the failed attempt's
+    * uncommitted key-presence writes) would suppress the replayed
+    * batch's first-seen keys entirely — they were already overwritten
+    * out of the crashed attempt's batch dir — losing rows; a restore
+    * one BEHIND would re-emit keys batch 1 committed, duplicating rows
+    * in the union. Both miss q61's DISTINCT oracle. The 35-day horizon
+    * (q61's sizing rule) spans the fixture, so the emitted key set is
+    * batch-layout- and crash-invariant.
+    */
+  def q83MidBatchFailureDedup(s: SparkSession, dir: String): DataFrame = withConf(s,
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    import s.implicits._
+    def pipeline(staged: String): DataFrame =
+      stagedStream(s, staged)
+        .select($"user_id", $"event_type", $"ts")
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select($"user_id", $"event_type")
+    midBatchFailureGate(s, dir, "q83", pipeline,
+      sortCols = Seq("user_id", "event_type"), statefulOps = 1)
+  }
+
+  /** q84 — STREAMING ingest admission: the per-ingest corpus-dedup shape
+    * (q73) run through the REAL streaming engine, which is where a
+    * production pipeline actually runs it — documents arrive
+    * continuously; each is admitted iff its bag fingerprint is absent
+    * from the STANDING corpus index. The arriving batch trickles in as
+    * ≥ 4 doc_id-ordered files ([[stageDocSplit]], one per micro-batch);
+    * fingerprints are computed map-side IN the stream; the probe is a
+    * stream–static LEFT-ANTI join against the corpus's fingerprint
+    * index — stateless on the stream side (the static index is the
+    * state, exactly the standing-index discipline of the batch gates;
+    * at 100 TB the static side is the fingerprint-bucketed index
+    * BucketingSpec plan-verifies, and the stream side broadcasts
+    * per-batch or bucket-routes). Within-batch first-wins (q73's
+    * smallest-id rule) is the one genuinely STATEFUL step: an
+    * update-mode `groupBy(fingerprint).agg(min(doc_id), count)` whose
+    * state row per admitted fingerprint accumulates ACROSS micro-batches
+    * — a later-arriving in-batch duplicate must fold into the group its
+    * earlier twin opened two batches ago, not emit a second admission.
+    *
+    * Sink + read-back: update mode re-emits a fingerprint's row in every
+    * batch that touches it (the topic-sink contract, q64's shape), so
+    * the `foreachBatch` sink tags rows with their batch id and the
+    * read-back keeps each fingerprint's LATEST snapshot (W3
+    * latest-wins) — the final min/count, which is a pure function of
+    * the full stream contents, batch-layout-invariant. The oracle is
+    * q73's VERBATIM: the streaming spelling must land on byte-identical
+    * admissions with the batch spelling. State is fingerprint-count-
+    * bounded; at 100 TB you bound its lifetime with the dedup horizon
+    * (q61's sizing rule) — admission state only needs to span the
+    * window within which one logical batch's duplicates can arrive.
+    */
+  def q84StreamingAdmission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = stageDocSplit(s, dir, "q84")
+    val corpus = Tables.documents(s, dir)
+      .select(
+        graft.operators.TextOps.bagFingerprint(
+          graft.operators.TextOps.normText($"text")).as("fingerprint"),
+        graft.operators.Sampling.uniform01($"doc_id").as("u"))
+      .filter($"u" >= 0.3)
+      .select($"fingerprint")
+    val incoming = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .select($"doc_id",
+        graft.operators.TextOps.bagFingerprint(
+          graft.operators.TextOps.normText($"text")).as("fingerprint"))
+    val admitted = incoming
+      .join(corpus, Seq("fingerprint"), "left_anti")
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("batch_dups"))
+    val out = Files.createTempDirectory("graft-q84-out").toString
+    val ck = Files.createTempDirectory("graft-q84-ck").toString
+    val query = admitted.writeStream
+      .queryName("q84_streaming_admission")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent batch-keyed overwrite (the q64/q70 sink discipline)
+        batch.withColumn("_batch", lit(batchId))
+          .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+      }
+      .start()
+    query.awaitTermination()
+    requireMultiBatch(query, "q84")
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.size == 1,
+      s"q84 must run ONE stateful operator (the admission agg; the " +
+        s"stream-static probe is stateless), got $stateful")
+    dropStaged(staged)
+    val latest = Window.partitionBy($"fingerprint").orderBy($"_batch".desc)
+    s.read.parquet(s"$out/batch_*")
+      .withColumn("_rn", row_number().over(latest))
+      .filter($"_rn" === 1)
+      .select($"doc_id", $"fingerprint", $"batch_dups")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
@@ -1586,7 +1773,10 @@ object StreamGateQueries {
     "q71_late_drop_window" -> (q71LateDropWindow _),
     "q72_midbatch_failure_tws" -> (q72MidBatchFailureTws _),
     "q76_midbatch_failure_chained" -> (q76MidBatchFailureChained _),
-    "q77_late_drop_join" -> (q77LateDropJoin _))
+    "q77_late_drop_join" -> (q77LateDropJoin _),
+    "q82_midbatch_failure_join" -> (q82MidBatchFailureJoin _),
+    "q83_midbatch_failure_dedup" -> (q83MidBatchFailureDedup _),
+    "q84_streaming_admission" -> (q84StreamingAdmission _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -1626,5 +1816,13 @@ object StreamGateQueries {
     "q76_midbatch_failure_chained" -> q60Oracle,
     // beyond-tolerance rows drop at the JOIN's late-data filter too;
     // the emitted pair set is the original events' alone
-    "q77_late_drop_join" -> q52Oracle)
+    "q77_late_drop_join" -> q52Oracle,
+    // crash-replay invisibility at the join's two-sided buffer: the
+    // batch-dir union holds each interval pair exactly once
+    "q82_midbatch_failure_join" -> q52Oracle,
+    // ... and at the dedup key-presence store: the union is DISTINCT
+    "q83_midbatch_failure_dedup" -> q61Oracle,
+    // the streaming spelling of incremental admission must land on
+    // byte-identical admissions with the batch spelling (q73)
+    "q84_streaming_admission" -> LlmQueries.q73Oracle)
 }
