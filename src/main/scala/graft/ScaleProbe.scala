@@ -27,6 +27,11 @@ object ScaleProbe {
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
     "q51_bucketed_join", "q43_top_terms", "q16_neardup_lsh",
     "q73_incremental_dedup", "q74_token_packing",
+    // round-11 additions: the distributed prefix-sum mixture sampler
+    // (whose whole point is that a source's growing stream fans out
+    // instead of serializing) and cross-split decontamination (band
+    // joins growing on both sides)
+    "q79_mixture_sample", "q81_decontamination", "q85_quality_gate",
     // events-side workloads: per-key window dedup, native session
     // windows, and the KMV sketch (whose state must stay k per group
     // no matter how the input grows)
@@ -49,7 +54,8 @@ object ScaleProbe {
   private val DocProbes = Set(
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
     "q43_top_terms", "q16_neardup_lsh", "q73_incremental_dedup",
-    "q74_token_packing")
+    "q74_token_packing", "q79_mixture_sample", "q81_decontamination",
+    "q85_quality_gate")
   private val SalesProbes = Set("q51_bucketed_join")
   private val EventProbes = Set(
     "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
@@ -122,27 +128,13 @@ object ScaleProbe {
 
   private def buildFixture(spark: SparkSession, base: String, out: String): Unit = {
     import spark.implicits._
-    require(Shards <= 100, "the composite rotation is distinct for k < 100")
-    // composite bijective character map, distinct for every shard k<100:
-    // rotate "a..j" by k mod 10 and "k..t" by k/10 — shards can never
-    // share a mapping, so cross-shard copies of a document stay
-    // dissimilar at ANY shard count (a single 10-letter rotation would
-    // collide at k and k+10)
-    val a1 = "abcdefghij"; val a2 = "klmnopqrst"
-    def rot(a: String, r: Int): String = a.drop(r % 10) + a.take(r % 10)
-    def shuffled(k: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      if (k == 0) c
-      else translate(c, a1 + a2, rot(a1, k % 10) + rot(a2, k / 10))
-
+    // doc replication = Tables.shardedDocuments (the composite bijective
+    // rotation: within-shard dup structure preserved exactly, cross-shard
+    // copies dissimilar — see its scaladoc for why that measures an N×
+    // BIGGER problem, not a quadratically HARDER one)
     if (Probes.exists(DocProbes) || Probes.exists(IngestProbes)) {
-      val docs = Tables.documents(spark, base)
-      val docsN = (0 until Shards).map { k =>
-        docs.select(
-          ($"doc_id" + lit(k * 10000000L)).as("doc_id"),
-          shuffled(k, $"text").as("text"),
-          $"lang", $"source", $"n_chars")
-      }.reduce(_ unionByName _)
-      docsN.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Tables.shardedDocuments(spark, base, Shards)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
 
     if (Probes.exists(SalesProbes)) {

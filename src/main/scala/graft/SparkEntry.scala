@@ -132,6 +132,8 @@ object SparkEntry {
     "q79_mixture_sample",
     "q80_embedding_admission",
     // appended round 11: cross-split decontamination (band-index probe
-    // of the test split against the train split)
-    "q81_decontamination")
+    // of the test split against the train split) and per-source
+    // quality-percentile gating (PrefixSum rank over the quality order)
+    "q81_decontamination",
+    "q85_quality_gate")
 }

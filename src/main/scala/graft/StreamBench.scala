@@ -40,6 +40,11 @@ import graft.streaming.StreamJobs
   *    batch probes' two-decade discipline: sessionize at 1×/10×/100×
   *    users on fmgws_hdfs and tws_rocksdb, one timed pass per decade;
   *    sec-per-Mrow across decades exposes superlinear state behavior.
+  *  - `admission` — streaming ingest admission (q84's shape): an N×
+  *    document stream fingerprinted map-side and probed against the
+  *    base corpus's standing fingerprint index (stream-static
+  *    left-anti), then the update-mode admission agg; docs/s, HDFS vs
+  *    RocksDB on the agg's store.
   *
   * Not a driver gate — run manually (`runMain graft.StreamBench`);
   * numbers are recorded in COVERAGE.md, one JSON line per subject.
@@ -70,9 +75,10 @@ object StreamBench {
     val shards = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHARDS", "10").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale")
+    val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale",
+      "admission")
     val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
-      "sessionize,join,dedup,recovery,scale")
+      "sessionize,join,dedup,recovery,scale,admission")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // a typo'd or empty subject list would otherwise run ZERO subjects
     // and exit cleanly — indistinguishable from a recorded run (ADVICE)
@@ -109,13 +115,13 @@ object StreamBench {
     /** One AvailableNow run to a noop sink against a fresh checkpoint;
       * returns wall seconds.
       */
-    def timeRun(out: DataFrame, ck: String = null): Double = {
+    def timeRun(out: DataFrame, ck: String = null, mode: String = "append"): Double = {
       val checkpoint =
         if (ck != null) ck
         else Files.createTempDirectory("graft-streambench-ck").toString
       val t0 = System.nanoTime()
       val query = out.writeStream
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpoint)
         .format("noop")
@@ -257,6 +263,45 @@ object StreamBench {
         s""""${mode}_x$n":{"rows":$rows,"state_keys":$keys,"build_sec":${f"$build%.3f"},"baseline_sec":${f"$baseline%.3f"},"recover_sec":${f"$recover%.3f"}}"""
       }
       println(s"""{"metric":"stream_recovery","cells":${cells.mkString("{", ",", "}")},"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
+    }
+
+    if (subjects("admission")) {
+      // streaming ingest admission (q84's shape): an N× document stream
+      // — Tables.shardedDocuments, so cross-shard texts are genuinely
+      // distinct and fingerprint work is real — probed against the BASE
+      // corpus's standing fingerprint index (built once, outside the
+      // timed runs: the pay-once ingest write) via stream-static
+      // left-anti, then the update-mode min/count admission agg. Docs/s
+      // through fingerprint + probe + admission state, HDFS vs RocksDB
+      // on the agg's store.
+      import graft.operators.{Sampling, TextOps}
+      val docsPath = s"target/streambench_docs$shards"
+      Tables.shardedDocuments(spark, base, shards)
+        .repartition(32).write.mode("overwrite").parquet(docsPath)
+      val rows = spark.read.parquet(docsPath).count()
+      val corpus = Tables.documents(spark, base)
+        .filter(Sampling.uniform01($"doc_id") >= 0.3)
+        .select(TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+        .localCheckpoint()
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      def run(provider: String): Double =
+        Confs.withConf(spark,
+          "spark.sql.streaming.stateStore.providerClass" -> provider) {
+          val incoming = spark.readStream.schema(docsSchema).parquet(docsPath)
+            .select($"doc_id",
+              TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+          timeRun(incoming
+            .join(corpus, Seq("fingerprint"), "left_anti")
+            .groupBy($"fingerprint")
+            .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("batch_dups")),
+            mode = "update")
+        }
+      jsonLine("stream_admission", rows, measure(Seq(
+        ("hdfs", () => run(Hdfs)),
+        ("rocksdb", () => run(Rocks)))))
     }
 
     if (subjects("scale")) {

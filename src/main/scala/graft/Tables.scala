@@ -85,6 +85,35 @@ object Tables {
       .drop("_k")
   }
 
+  /** Deterministic N× replica of the documents table (seedless): doc_id
+    * shifts per shard; TEXT is per-shard `translate`d through a
+    * composite two-alphabet rotation — a bijective character map
+    * preserves length, token boundaries, and the WITHIN-shard duplicate/
+    * near-duplicate structure exactly, while making cross-shard copies
+    * of the same document dissimilar, so dedup/near-dup work grows
+    * linearly with data instead of every doc gaining N−1 artificial
+    * near-dups (which would measure a quadratically harder problem, not
+    * an N× bigger one). Distinct for every shard k < 100: "a..j" rotates
+    * by k mod 10 and "k..t" by k/10, so no two shards share a mapping.
+    * Shared by ScaleProbe's corpus fixtures and StreamBench's admission
+    * subject so the two scale stories can never drift apart.
+    */
+  def shardedDocuments(s: SparkSession, dir: String, shards: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, translate}
+    require(shards <= 100, "the composite rotation is distinct for k < 100")
+    val a1 = "abcdefghij"; val a2 = "klmnopqrst"
+    def rot(a: String, r: Int): String = a.drop(r % 10) + a.take(r % 10)
+    val docs = documents(s, dir)
+    (0 until shards).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        (if (k == 0) col("text")
+         else translate(col("text"), a1 + a2, rot(a1, k % 10) + rot(a2, k / 10)))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Spread a CPU-bound per-row stage across cores when the scan
     * under-partitions (the testdata tables are single parquet splits, so
     * map-heavy chains would otherwise run one-core). Guarded: at

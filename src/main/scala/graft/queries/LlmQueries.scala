@@ -1854,6 +1854,84 @@ object LlmQueries {
       |ORDER BY inter.test_doc_id, inter.train_doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q85
+
+  /** q85 — per-source quality-PERCENTILE gating: keep each document
+    * strictly above its OWN source's 40th quality percentile — the
+    * adaptive per-domain threshold modern curation pipelines use in
+    * place of one global cutoff (a fixed threshold over-prunes clean
+    * domains and under-prunes noisy ones; q46's flat `quality ≥ 0.5` is
+    * the global spelling this generalizes). Quality is q17's composite
+    * — the identical IEEE expression tree on both engines, whose
+    * hash-parity q17/q46 already pin — and the percentile test is EXACT
+    * integer arithmetic: rank·5 > n_source·2 ⟺ rank/n > 0.4, so no
+    * double ratio ever crosses the gate.
+    *
+    * The per-source rank is [[PrefixSum.runningTotal]] over the strict
+    * (quality, doc_id) order — the distributed two-phase scan, NOT a
+    * `row_number() over (partition by source)` window, which would
+    * funnel each source's whole stream through ONE task: at 100 TB the
+    * dominant-crawl source IS most of the corpus, and ranking inside it
+    * must fan out across tasks (q79's operator reused on its second
+    * consumer — ranks are running totals of ones). Per-source doc
+    * counts ride a broadcast join (one row per source).
+    */
+  def q85QualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+      .withColumn("norm", TextOps.normText($"text"))
+      .withColumn("toks", TextOps.tokens($"norm"))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_uniq", size(array_distinct($"toks")))
+      .withColumn("en_h", TextOps.stopwordHits($"toks", stopEn))
+      .withColumn("ttr", $"n_uniq" / $"n_tokens")
+      .withColumn("stop_ratio", $"en_h" / $"n_tokens")
+      .withColumn("quality",
+        least(lit(1.0), $"n_tokens" / lit(100.0)) * lit(0.4) +
+          $"ttr" * lit(0.3) +
+          least(lit(1.0), $"stop_ratio" * lit(5.0)) * lit(0.3))
+      .select($"doc_id", $"source", $"quality")
+      // the scalar (id, source, quality) frame feeds BOTH the rank scan
+      // and the per-source counts: checkpoint it once so the per-doc
+      // regex work runs one pass, not two (q79's discipline)
+      .localCheckpoint()
+    val ranked = PrefixSum.runningTotal(
+      docs.withColumn("_one", lit(1L)),
+      keyCols = Seq("source"), orderCols = Seq("quality", "doc_id"),
+      valueCol = "_one", outCol = "rk").drop("_one")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+    ranked.join(broadcast(counts), "source")
+      .filter($"rk" * 5 > $"n_source" * 2)
+      .select($"doc_id", $"source", $"quality", $"rk", $"n_source")
+      .orderBy($"source", $"rk")
+  }
+
+  val q85Oracle: String = {
+    val en = sqlList(stopEn)
+    s"""WITH cnt AS (
+       |  SELECT doc_id, source,
+       |    len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_uniq,
+       |    len(list_filter(toks, x -> list_contains($en, x))) AS en_h
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |    FROM documents)),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    least(1.0, n_tokens / 100.0) * 0.4 + (n_uniq / n_tokens) * 0.3 +
+       |      least(1.0, (en_h / n_tokens) * 5.0) * 0.3 AS quality
+       |  FROM cnt),
+       |r AS (
+       |  SELECT doc_id, source, quality,
+       |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n_source
+       |  FROM d)
+       |SELECT doc_id, source, quality, rk, n_source
+       |FROM r WHERE rk * 5 > n_source * 2
+       |ORDER BY source, rk""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1878,7 +1956,8 @@ object LlmQueries {
     "q78_ingest_pack"       -> (q78IngestPack _),
     "q79_mixture_sample"    -> (q79MixtureSample _),
     "q80_embedding_admission" -> (q80EmbeddingAdmission _),
-    "q81_decontamination"   -> (q81Decontamination _))
+    "q81_decontamination"   -> (q81Decontamination _),
+    "q85_quality_gate"      -> (q85QualityGate _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -1902,5 +1981,6 @@ object LlmQueries {
     "q78_ingest_pack"       -> q78Oracle,
     "q79_mixture_sample"    -> q79Oracle,
     "q80_embedding_admission" -> q80Oracle,
-    "q81_decontamination"   -> q81Oracle)
+    "q81_decontamination"   -> q81Oracle,
+    "q85_quality_gate"      -> q85Oracle)
 }

@@ -130,6 +130,14 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scale, train side = the standing band index at 100 TB (q75's
     // bucketed discipline)
     "q81_decontamination" -> 6,
+    // PrefixSum's two-phase scan over the checkpointed scalar quality
+    // frame: range partition + (run, source) local window hash +
+    // offsets agg + offsets window (kilobyte frame) + per-source counts
+    // agg (broadcast-joined back) + presentation sort — the same
+    // latency-for-skew trade as q79: a serial per-source row_number
+    // window would be 2 exchanges but funnels a dominant source
+    // through one task
+    "q85_quality_gate" -> 6,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg
     "q51_bucketed_join" -> 2,      // the bucketed join itself adds ZERO
