@@ -41,7 +41,8 @@ object SparkEntry {
     * automatically instead of via hand-synced lists.
     */
   def streamingGates: Set[String] =
-    StreamGateQueries.queries.keySet + "q33_cdc_stream_upsert"
+    StreamGateQueries.queries.keySet +
+      "q33_cdc_stream_upsert" + "q86_cdc_stream_upsert_crash"
 
   /** Headline set timed by graft.Bench — an explicit literal list so the
     * cross-round bench total stays comparable: queries added in later

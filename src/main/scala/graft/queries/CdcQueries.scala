@@ -131,11 +131,120 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  /** q86 — the mid-batch crash applied to the TRANSACTIONAL-TABLE SINK:
+    * q33's streaming CDC upsert pipeline, with the `foreachBatch` sink's
+    * FIRST attempt of micro-batch 1 crashing AFTER `CdcTable.upsert` has
+    * atomically published its delta but BEFORE the engine records the
+    * batch commit — the DeltaStreamer production crash shape (process
+    * dies between the table commit and the checkpoint acknowledgment).
+    * This is a different exactly-once mechanism from the batch-keyed
+    * parquet sinks the q70/q72/q76/q82/q83 gates crash: those are
+    * idempotent by OVERWRITE (replay rewrites the same batch dir); an
+    * append-only upsert log cannot overwrite — the restarted engine
+    * replays batch 1 and the sink appends a SECOND delta carrying the
+    * same row images. Idempotence here is SEMANTIC: the latest-wins
+    * merge (CdcMerge, keyed on (user_id) ordered by (__source_ts_ms,
+    * event_id)) collapses bit-identical duplicate images to one row, so
+    * the `_rt` snapshot converges to the clean-run table — the
+    * Hudi/DeltaStreamer crash-recovery argument, oracle-gated.
+    *
+    * Non-vacuity is REQUIRED three ways: run 1 must terminate
+    * exceptionally with the injected message (the crash provably
+    * fired), the log must hold THREE deltas afterwards (batch 0's,
+    * batch 1's crashed-but-published attempt, and batch 1's replay —
+    * the duplicate delta genuinely landed and the merge genuinely
+    * collapsed it), and the final snapshot must meet q24's oracle
+    * VERBATIM — a replay that skipped the batch would lose images, a
+    * merge that failed to collapse duplicates would emit extra rows.
+    */
+  def q86CdcStreamUpsertCrash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val path = scratch(s"q86_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    locally {
+      val p = Paths.get(path)
+      if (Files.exists(p)) {
+        val st = Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach((f: java.nio.file.Path) => Files.delete(f))
+        finally st.close()
+      }
+    }
+    val op = when($"event_type" === "signup", "c")
+      .when($"event_type" === "error", "d")
+      .otherwise("u")
+    val changelog = Tables.events(s, dir).select(
+      $"user_id", $"event_id", $"value",
+      op.as("__op"),
+      when(op === "d", "true").otherwise("false").as("__deleted"),
+      unix_millis($"ts").as("__source_ts_ms"),
+      $"event_type")
+    val table = new CdcTable(s, path,
+      keyCols = Seq("user_id"),
+      orderingCols = Seq("__source_ts_ms", "event_id"),
+      partitionCol = "event_type")
+    table.bulkInsert(changelog.filter($"event_id" % 3 === 0))
+    val incomingDir = s"$path/_incoming"
+    changelog.filter($"event_id" % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(incomingDir)
+    changelog.filter($"event_id" % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(incomingDir)
+    val failAt = 1L
+    val injectedMsg = s"q86 injected mid-batch failure (first attempt of batch $failAt)"
+    val failMarker = Paths.get(path, "_fail_injected")
+    def runOnce() = s.readStream
+      .schema(changelog.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(incomingDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the delta is durably PUBLISHED first: the crash lands between
+        // the table commit and the engine's checkpoint acknowledgment
+        table.upsert(batch)
+        if (batchId == failAt && !Files.exists(failMarker)) {
+          Files.createFile(failMarker)
+          throw new RuntimeException(injectedMsg)
+        }
+      }
+      .start()
+    val run1 = runOnce()
+    val err = try { run1.awaitTermination(); None } catch {
+      case e: Throwable => Some(e)
+    }
+    val chain = err.iterator.flatMap(e =>
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
+    require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
+      "q86 run 1 must terminate with the injected mid-batch failure, got: " +
+        err.fold("clean termination")(_.toString))
+    require(Files.exists(failMarker), "q86 fault injection did not fire")
+    val run2 = runOnce()
+    run2.awaitTermination()
+    StreamGateQueries.requireMultiBatch(run2, "q86 run2", min = 1) // the replayed batch
+    // the duplicate delta must have genuinely landed: batch 0's, the
+    // crashed attempt's, and the replay's
+    val deltas = Paths.get(path, "log").toFile.listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("delta_"))
+    require(deltas == 3,
+      s"q86 expects 3 published deltas (batch 0 + crashed attempt + replay), got $deltas")
+    table.realTime(CdcMerge.Drop)
+      .select($"user_id", $"event_id", $"value", $"__op")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_cdc_lake_upsert" -> (q24CdcLakeUpsert _),
-    "q33_cdc_stream_upsert" -> (q33CdcStreamUpsert _))
+    "q33_cdc_stream_upsert" -> (q33CdcStreamUpsert _),
+    "q86_cdc_stream_upsert_crash" -> (q86CdcStreamUpsertCrash _))
 
   val oracles: Map[String, String] = Map(
     "q24_cdc_lake_upsert" -> q24Oracle,
-    "q33_cdc_stream_upsert" -> q24Oracle)
+    "q33_cdc_stream_upsert" -> q24Oracle,
+    // batch ingestion, streaming ingestion, and CRASHED-AND-REPLAYED
+    // streaming ingestion of the same changelog must converge to the
+    // same table
+    "q86_cdc_stream_upsert_crash" -> q24Oracle)
 }
