@@ -42,7 +42,10 @@ object ScaleProbe {
     // fingerprints, band keys, shingle store — grows N×). A rising
     // exponent here would falsify the standing-index claim before
     // production scale does.
-    "q73_ingest_probe", "q75_ingest_probe")
+    "q73_ingest_probe", "q75_ingest_probe",
+    // the embedding modality's ingest probe: fixed vector batch vs a
+    // 100×-grown standing sign-LSH bucket index (q80's shape)
+    "q80_ingest_probe")
 
   // SPARK_GRAFT_PROBE_QUERIES=q03_...,q35_... probes a subset (and the
   // fixture builder then materializes only the tables that subset reads
@@ -60,6 +63,9 @@ object ScaleProbe {
   private val EventProbes = Set(
     "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
   private val IngestProbes = Set("q73_ingest_probe", "q75_ingest_probe")
+  private val VecIngestProbes = Set("q80_ingest_probe")
+  // every probe that reads a materialized index root instead of a data dir
+  private val IndexProbes = IngestProbes ++ VecIngestProbes
 
   private val Shards =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_SHARDS", "10").toInt
@@ -89,6 +95,18 @@ object ScaleProbe {
       .repartition(32).write.mode("overwrite").parquet(s"$root/sh.parquet")
     graft.queries.LlmQueries.minhashBands(spark.read.parquet(s"$root/sh.parquet"))
       .repartition(32).write.mode("overwrite").parquet(s"$root/bands.parquet")
+  }
+
+  /** Materialize the standing sign-LSH vector index q80's shape probes
+    * (one [[graft.queries.LlmQueries.vectorSketch]] spelling with the
+    * probe side) — built once per corpus version, outside the timed run.
+    */
+  private def buildVecIndex(spark: SparkSession, embDir: String, root: String): Unit = {
+    import spark.implicits._
+    graft.queries.LlmQueries.vectorSketch(
+        Tables.embeddings(spark, embDir).filter(corpusFlag($"vec_id")))
+      .select($"bucket", $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
+      .repartition(32).write.mode("overwrite").parquet(s"$root/vecindex.parquet")
   }
 
   /** The fixed arriving batch: the BASE corpus's incoming set (`u <
@@ -123,6 +141,14 @@ object ScaleProbe {
         graft.queries.LlmQueries.admitByBandIndex(batchSh,
           s.read.parquet(s"$root/bands.parquet"),
           s.read.parquet(s"$root/sh.parquet"))
+      }),
+      "q80_ingest_probe" -> ((s, root) => {
+        import s.implicits._
+        val batch = graft.queries.LlmQueries.vectorSketch(
+          Tables.embeddings(s, base)
+            .filter(graft.operators.Sampling.uniform01($"vec_id") < 0.3))
+        graft.queries.LlmQueries.admitByVectorIndex(batch,
+          s.read.parquet(s"$root/vecindex.parquet"))
       }))
   }
 
@@ -161,6 +187,15 @@ object ScaleProbe {
     if (Probes.exists(IngestProbes)) {
       buildIngestIndex(spark, base, "target/scaleingest1")
       buildIngestIndex(spark, out, s"$out/ingest")
+    }
+
+    if (Probes.exists(VecIngestProbes)) {
+      // N× vector corpus (per-shard isometry — see Tables
+      // .shardedEmbeddings), then both decades' standing vector indexes
+      Tables.shardedEmbeddings(spark, base, Shards)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      buildVecIndex(spark, base, "target/scaleingest1")
+      buildVecIndex(spark, out, s"$out/ingest")
     }
   }
 
@@ -204,7 +239,7 @@ object ScaleProbe {
     // index roots (batch fixed at the base's incoming set); everything
     // else reads the data dirs
     def sides(name: String): (String, String) =
-      if (IngestProbes(name)) ("target/scaleingest1", s"$fixture/ingest")
+      if (IndexProbes(name)) ("target/scaleingest1", s"$fixture/ingest")
       else (base, fixture)
 
     // warm codegen/classloading so pass 1 of the probe isn't a JVM probe;
@@ -214,7 +249,7 @@ object ScaleProbe {
       val sib = java.nio.file.Paths.get(base).resolveSibling("sf0.001")
       if (java.nio.file.Files.isDirectory(sib)) sib.toString else base
     })
-    Probes.foreach(n => time(n, if (IngestProbes(n)) sides(n)._1 else warmDir))
+    Probes.foreach(n => time(n, if (IndexProbes(n)) sides(n)._1 else warmDir))
 
     // interleave (1x, 10x) within each pass so a load spike or heap
     // phase hits both sides of a ratio, not one; min-of-passes per side

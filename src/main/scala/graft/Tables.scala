@@ -114,6 +114,39 @@ object Tables {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic N× replica of the embeddings table (seedless):
+    * vec_id shifts per shard; each shard's VECTORS go through a
+    * per-shard isometry — a cyclic rotation of the coordinates plus,
+    * for odd shards, a global negation. Both preserve every pairwise
+    * dot product and norm WITHIN a shard exactly (the same permutation/
+    * sign applied to both operands cancels), so within-shard near-dup
+    * structure is replicated bit-faithfully, while cross-shard copies
+    * of the same vector decorrelate (different rotations) or invert
+    * (negation) — semantic-dedup work grows linearly with data instead
+    * of quadratically. The (negate, rotation) pair is distinct for
+    * every shard k < 2·dim (dim = 64 ⇒ k < 128, above the 100-shard
+    * cap the doc rotation already imposes).
+    */
+  def shardedEmbeddings(s: SparkSession, dir: String, shards: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(shards <= 100, "the (negate, rotation) isometry is distinct for k < 128")
+    val emb = embeddings(s, dir)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    (0 until shards).map { k =>
+      val rot = (k / 2) % dim
+      val rolled =
+        if (rot == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      val vec = if (k % 2 == 1) transform(rolled, x => -x) else rolled
+      emb.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        vec.as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Spread a CPU-bound per-row stage across cores when the scan
     * under-partitions (the testdata tables are single parquet splits, so
     * map-heavy chains would otherwise run one-core). Guarded: at

@@ -1519,6 +1519,48 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
+  /** The ONE vector-sketch spelling (q28's planes): (vec_id, embedding)
+    * → (vec_id, v, nsq, bucket) — integer-scaled vector, squared norm,
+    * sign-LSH bucket. Used by q80's gate, the standing vector index
+    * build, and ScaleProbe's embedding ingest probe, so index and probe
+    * bucketing can never drift.
+    */
+  def vectorSketch(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"vec_id", VectorOps.scaled($"embedding").as("v"))
+      .withColumn("nsq", VectorOps.normSqL($"v"))
+      .withColumn("bucket", VectorOps.signLshBucket($"v", planes))
+  }
+
+  /** The STANDING-INDEX spelling of q80's embedding admission: probe a
+    * materialized sign-LSH bucket index (`bucket`, `blocker`, `bv`,
+    * `bn` — [[vectorSketch]] over the corpus, persisted at ingest) with
+    * a new vector batch ([[vectorSketch]] output), exact-confirm bucket
+    * collisions with the integer-scaled cosine ≥ 0.4, and admit
+    * non-matching vectors first-wins within the batch (q75's pairwise
+    * rule). q80 is the single-table spelling of exactly this plan;
+    * ScaleProbe's ingest axis times THIS function against an index
+    * grown 100× under a fixed batch. Candidates are bounded by the
+    * batch's bucket collisions, never the corpus.
+    */
+  def admitByVectorIndex(batch: DataFrame, index: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    val blockers = index
+      .select($"bucket", $"blocker", $"bv", $"bn", lit(false).as("b_incoming"))
+      .unionByName(batch.select($"bucket", $"vec_id".as("blocker"),
+        $"v".as("bv"), $"nsq".as("bn"), lit(true).as("b_incoming")))
+    val rejected = batch.join(blockers, "bucket")
+      .filter(!$"b_incoming" || $"blocker" < $"vec_id")
+      .withColumn("cosine",
+        VectorOps.cosineFromParts(VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
+      .filter($"cosine" >= 0.4)
+      .select($"vec_id").distinct()
+    batch
+      .join(rejected, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"bucket")
+      .orderBy($"vec_id")
+  }
+
   // ---------------------------------------------------------------- q78
 
   /** q78 — the INGEST-TO-TRAINING-ROWS capstone: q73's incremental
@@ -1690,25 +1732,13 @@ object LlmQueries {
     */
   def q80EmbeddingAdmission(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sv = Tables.embeddings(s, dir)
-      .select($"vec_id", VectorOps.scaled($"embedding").as("v"))
-      .withColumn("nsq", VectorOps.normSqL($"v"))
-      .withColumn("bucket", VectorOps.signLshBucket($"v", planes))
+    val sv = vectorSketch(Tables.embeddings(s, dir))
       .withColumn("incoming", Sampling.uniform01($"vec_id") < 0.3)
       .localCheckpoint()
-    val probe = sv.filter($"incoming")
-    val blockers = sv.select($"bucket", $"vec_id".as("blocker"),
-      $"v".as("bv"), $"nsq".as("bn"), $"incoming".as("b_incoming"))
-    val rejected = probe.join(blockers, "bucket")
-      .filter(!$"b_incoming" || $"blocker" < $"vec_id")
-      .withColumn("cosine",
-        VectorOps.cosineFromParts(VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
-      .filter($"cosine" >= 0.4)
-      .select($"vec_id").distinct()
-    probe
-      .join(rejected, Seq("vec_id"), "left_anti")
-      .select($"vec_id", $"bucket")
-      .orderBy($"vec_id")
+    admitByVectorIndex(
+      sv.filter($"incoming").drop("incoming"),
+      sv.filter(!$"incoming").select($"bucket", $"vec_id".as("blocker"),
+        $"v".as("bv"), $"nsq".as("bn")))
   }
 
   val q80Oracle: String = {
