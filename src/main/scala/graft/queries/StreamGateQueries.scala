@@ -1701,9 +1701,38 @@ object StreamGateQueries {
     * (q61's sizing rule) — admission state only needs to span the
     * window within which one logical batch's duplicates can arrive.
     */
-  def q84StreamingAdmission(s: SparkSession, dir: String): DataFrame = {
+  def q84StreamingAdmission(s: SparkSession, dir: String): DataFrame =
+    streamingAdmissionGate(s, dir, "q84", failAt = None)
+
+  /** q87 — the mid-batch crash at the streaming-ADMISSION shape: q84's
+    * pipeline with the sink's FIRST attempt of data batch 2 dying after
+    * its durable batch-keyed write, before the commit (the q70
+    * injection). This crashes the one stateful state layout the matrix
+    * had not (the update-mode min/count admission agg) AND the one
+    * READ-BACK discipline it had not: the other crash gates union
+    * append-mode batch dirs, while q84's update-mode sink re-emits a
+    * fingerprint's row in every batch that touches it and the read-back
+    * keeps each fingerprint's LATEST snapshot. A replay from the wrong
+    * restored state version is directly visible through that window: one
+    * version behind loses the crashed batch's in-batch duplicates from
+    * `batch_dups` (the min/count state would re-fold from stale
+    * values); a skipped replay loses admissions outright. The batch-dir
+    * compaction must meet q73's oracle verbatim, as in q84.
+    */
+  def q87MidBatchFailureAdmission(s: SparkSession, dir: String): DataFrame =
+    streamingAdmissionGate(s, dir, "q87", failAt = Some(2L))
+
+  /** Shared harness behind q84 (clean run) and q87 (crashed + replayed
+    * run) — one implementation of the pipeline, sink, and read-back, so
+    * the two gates can never drift. See q84's scaladoc for the
+    * admission semantics and q70's for the injection contract.
+    */
+  private def streamingAdmissionGate(
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
     import s.implicits._
-    val staged = stageDocSplit(s, dir, "q84")
+    // the crash variant stages 6 files so the replay run still covers
+    // ≥ 3 data micro-batches (replayed batch 2 + files 3-5), q70's layout
+    val staged = stageDocSplit(s, dir, tag, n = if (failAt.isDefined) 6 else 4)
     val corpus = Tables.documents(s, dir)
       .select(
         graft.operators.TextOps.bagFingerprint(
@@ -1711,37 +1740,64 @@ object StreamGateQueries {
         graft.operators.Sampling.uniform01($"doc_id").as("u"))
       .filter($"u" >= 0.3)
       .select($"fingerprint")
-    val incoming = s.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .select($"doc_id",
-        graft.operators.TextOps.bagFingerprint(
-          graft.operators.TextOps.normText($"text")).as("fingerprint"))
-    val admitted = incoming
-      .join(corpus, Seq("fingerprint"), "left_anti")
-      .groupBy($"fingerprint")
-      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("batch_dups"))
-    val out = Files.createTempDirectory("graft-q84-out").toString
-    val ck = Files.createTempDirectory("graft-q84-ck").toString
-    val query = admitted.writeStream
-      .queryName("q84_streaming_admission")
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ck)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // idempotent batch-keyed overwrite (the q64/q70 sink discipline)
-        batch.withColumn("_batch", lit(batchId))
-          .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
-      }
-      .start()
-    query.awaitTermination()
-    requireMultiBatch(query, "q84")
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .select($"doc_id",
+          graft.operators.TextOps.bagFingerprint(
+            graft.operators.TextOps.normText($"text")).as("fingerprint"))
+      incoming
+        .join(corpus, Seq("fingerprint"), "left_anti")
+        .groupBy($"fingerprint")
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("batch_dups"))
+        .writeStream
+        .queryName(s"${tag}_streaming_admission_$run")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // idempotent batch-keyed overwrite (the q64/q70 sink discipline)
+          batch.withColumn("_batch", lit(batchId))
+            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+        }
+        .start()
+    }
+    val run1 = runOnce("run1")
+    val query = failAt match {
+      case None =>
+        run1.awaitTermination()
+        requireMultiBatch(run1, tag)
+        run1
+      case Some(_) =>
+        val err = try { run1.awaitTermination(); None } catch {
+          case e: Throwable => Some(e)
+        }
+        val chain = err.iterator.flatMap(e =>
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
+        require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
+          s"$tag run 1 must terminate with the injected mid-batch failure, got: " +
+            err.fold("clean termination")(_.toString))
+        require(Files.exists(failMarker), s"$tag fault injection did not fire")
+        val run2 = runOnce("run2")
+        run2.awaitTermination()
+        requireMultiBatch(run2, s"$tag run2") // replayed batch + undelivered files
+        run2
+    }
     val stateful = Option(query.lastProgress)
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.size == 1,
-      s"q84 must run ONE stateful operator (the admission agg; the " +
+      s"$tag must run ONE stateful operator (the admission agg; the " +
         s"stream-static probe is stateless), got $stateful")
     dropStaged(staged)
     val latest = Window.partitionBy($"fingerprint").orderBy($"_batch".desc)
@@ -1776,7 +1832,8 @@ object StreamGateQueries {
     "q77_late_drop_join" -> (q77LateDropJoin _),
     "q82_midbatch_failure_join" -> (q82MidBatchFailureJoin _),
     "q83_midbatch_failure_dedup" -> (q83MidBatchFailureDedup _),
-    "q84_streaming_admission" -> (q84StreamingAdmission _))
+    "q84_streaming_admission" -> (q84StreamingAdmission _),
+    "q87_midbatch_failure_admission" -> (q87MidBatchFailureAdmission _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -1824,5 +1881,7 @@ object StreamGateQueries {
     "q83_midbatch_failure_dedup" -> q61Oracle,
     // the streaming spelling of incremental admission must land on
     // byte-identical admissions with the batch spelling (q73)
-    "q84_streaming_admission" -> LlmQueries.q73Oracle)
+    "q84_streaming_admission" -> LlmQueries.q73Oracle,
+    // ... and a crashed-and-replayed admission stream must too
+    "q87_midbatch_failure_admission" -> LlmQueries.q73Oracle)
 }
