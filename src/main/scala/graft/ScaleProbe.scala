@@ -32,6 +32,7 @@ object ScaleProbe {
     // instead of serializing) and cross-split decontamination (band
     // joins growing on both sides)
     "q79_mixture_sample", "q81_decontamination", "q85_quality_gate",
+    "q88_boilerplate_chunks",
     // events-side workloads: per-key window dedup, native session
     // windows, and the KMV sketch (whose state must stay k per group
     // no matter how the input grows)
@@ -58,7 +59,7 @@ object ScaleProbe {
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
     "q43_top_terms", "q16_neardup_lsh", "q73_incremental_dedup",
     "q74_token_packing", "q79_mixture_sample", "q81_decontamination",
-    "q85_quality_gate")
+    "q85_quality_gate", "q88_boilerplate_chunks")
   private val SalesProbes = Set("q51_bucketed_join")
   private val EventProbes = Set(
     "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")

@@ -136,5 +136,8 @@ object SparkEntry {
     // of the test split against the train split) and per-source
     // quality-percentile gating (PrefixSum rank over the quality order)
     "q81_decontamination",
-    "q85_quality_gate")
+    "q85_quality_gate",
+    // appended round 11: sub-document boilerplate detection (chunk-level
+    // cross-document dedup through the multimodal chunk fan-out)
+    "q88_boilerplate_chunks")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{PrefixSum, Sampling, TextOps, TokenPacking, VectorOps}
+import graft.operators.{MultimodalOps, PrefixSum, Sampling, TextOps, TokenPacking, VectorOps}
 
 /** LLM-training-data-pipeline operators over the driver-provided
   * `documents` (doc_id, text, lang, source, n_chars) and `embeddings`
@@ -1962,6 +1962,68 @@ object LlmQueries {
        |ORDER BY source, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q88
+
+  /** q88 — SUB-DOCUMENT boilerplate detection: dedup at CHUNK
+    * granularity — find byte chunks repeated across distinct documents
+    * (headers, footers, templates, licence blocks: the C4/Dolma
+    * "paragraph dedup" curation step the whole-document dedup family
+    * q14/q15/q73 cannot see), and report each affected document's
+    * boilerplate ratio. The chunk fan-out is [[MultimodalOps.chunked]]
+    * (its first ORACLE-gated use — q21 gates the metadata pass; the
+    * payload is the document's bytes, the same opaque-binary plumbing a
+    * media pipeline chunks), chunk identity is the md5 of the chunk
+    * BYTES, and a chunk is boilerplate when it occurs in ≥ 2 distinct
+    * documents. ASCII text makes byte-chunking and string-chunking
+    * coincide, which is what lets DuckDB reproduce the hashes (q21's
+    * parity argument).
+    *
+    * Scale: chunking is a map-side explode (row multiplier bounded by
+    * `chunkBytes`); everything shuffled afterwards is (hash, id)
+    * scalars — the chunk-hash groupBy and the per-doc ratio groupBy —
+    * never chunk bytes; the boilerplate hash set rides a broadcast-able
+    * semi side at fixture scale. This is exactly the whole-doc exact
+    * dedup plan (q14) run one granularity down, so it inherits its
+    * 100 TB shape: shuffle digests, never content.
+    */
+  def q88BoilerplateChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+      .withColumn("payload", $"text".cast("binary"))
+    val ch = MultimodalOps.chunked(docs, "doc_id", "payload", chunkBytes = 256)
+      .withColumn("h", md5($"chunk"))
+      .select($"doc_id", $"h")
+      .localCheckpoint() // feeds the boilerplate index AND the per-doc fold
+    val boiler = ch.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("docs_with"))
+      .filter($"docs_with" >= 2)
+      .select($"h", lit(1L).as("_b"))
+    ch.join(boiler, Seq("h"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), count($"_b").as("n_boiler"))
+      .filter($"n_boiler" >= 1)
+      .select($"doc_id", $"n_chunks", $"n_boiler",
+        ($"n_boiler" / $"n_chunks").as("boiler_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val q88Oracle: String =
+    """WITH ch AS (
+      |  SELECT doc_id, md5(substr(text, i * 256 + 1, 256)) AS h
+      |  FROM documents,
+      |    unnest(generate_series(0,
+      |      CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1)) t(i)),
+      |b AS (
+      |  SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id,
+      |  count(*) AS n_chunks,
+      |  count(CASE WHEN ch.h IN (SELECT h FROM b) THEN 1 END) AS n_boiler,
+      |  count(CASE WHEN ch.h IN (SELECT h FROM b) THEN 1 END) / count(*) AS boiler_ratio
+      |FROM ch
+      |GROUP BY doc_id
+      |HAVING n_boiler >= 1
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1987,7 +2049,8 @@ object LlmQueries {
     "q79_mixture_sample"    -> (q79MixtureSample _),
     "q80_embedding_admission" -> (q80EmbeddingAdmission _),
     "q81_decontamination"   -> (q81Decontamination _),
-    "q85_quality_gate"      -> (q85QualityGate _))
+    "q85_quality_gate"      -> (q85QualityGate _),
+    "q88_boilerplate_chunks" -> (q88BoilerplateChunks _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -2012,5 +2075,6 @@ object LlmQueries {
     "q79_mixture_sample"    -> q79Oracle,
     "q80_embedding_admission" -> q80Oracle,
     "q81_decontamination"   -> q81Oracle,
-    "q85_quality_gate"      -> q85Oracle)
+    "q85_quality_gate"      -> q85Oracle,
+    "q88_boilerplate_chunks" -> q88Oracle)
 }

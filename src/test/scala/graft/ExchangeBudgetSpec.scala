@@ -138,6 +138,10 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // window would be 2 exchanges but funnels a dominant source
     // through one task
     "q85_quality_gate" -> 6,
+    // chunk-hash boilerplate agg + the semi join-back on h + per-doc
+    // fold + presentation sort, over the checkpointed (doc_id, h)
+    // chunk frame — digests shuffle, chunk bytes never do
+    "q88_boilerplate_chunks" -> 4,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg
     "q51_bucketed_join" -> 2,      // the bucketed join itself adds ZERO
