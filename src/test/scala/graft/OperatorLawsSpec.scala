@@ -207,4 +207,40 @@ class OperatorLawsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("shardedEmbeddings isometry: within-shard dot products preserved " +
+      "exactly; a vector's cross-shard replicas never pass the 0.4 confirm") {
+    val ss = spark; import ss.implicits._
+    val shards = 6
+    val shardSize = 10000000L
+    val vecs = graft.Tables.shardedEmbeddings(ss, "/root/testdata/sf0.001", shards)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // the engine's integer-scaled spelling (VectorOps.scaled/dotL):
+    // long addition is associative, so a rotation of the coordinates
+    // cannot perturb the sum — which is exactly why the isometry is
+    // bit-exact on the engine's confirm path
+    def scaled(a: Array[Float]): Array[Long] =
+      a.map(x => (x.toDouble * 10000000.0).toLong)
+    def dot(a: Array[Float], b: Array[Float]): Long =
+      scaled(a).lazyZip(scaled(b)).map((x, y) => x * y).sum
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble)
+    val baseIds = vecs.keys.filter(_ < shardSize).toSeq.sorted.take(8)
+    for (k <- 1 until shards) {
+      // the same permutation + sign applied to BOTH operands cancels:
+      // every within-shard pairwise dot is bit-preserved, so the
+      // replicated shard carries the base shard's near-dup structure
+      for (i <- baseIds; j <- baseIds if i < j)
+        assert(dot(vecs(i), vecs(j)) == dot(vecs(i + k * shardSize), vecs(j + k * shardSize)),
+          s"within-shard dot must be preserved exactly (k=$k, pair=($i,$j))")
+      // while a vector and its OWN replica in another shard decorrelate
+      // (rotation) or invert (negation) below the semantic-dedup confirm
+      // threshold, so cross-shard copies never read as near-duplicates
+      // and dedup work grows linearly with the shard count
+      for (i <- baseIds)
+        assert(cos(vecs(i), vecs(i + k * shardSize)) < 0.4,
+          s"cross-shard replica must not pass the 0.4 confirm (k=$k, id=$i)")
+    }
+  }
 }
