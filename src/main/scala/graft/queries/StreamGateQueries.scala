@@ -1773,27 +1773,7 @@ object StreamGateQueries {
         }
         .start()
     }
-    val run1 = runOnce("run1")
-    val query = failAt match {
-      case None =>
-        run1.awaitTermination()
-        requireMultiBatch(run1, tag)
-        run1
-      case Some(_) =>
-        val err = try { run1.awaitTermination(); None } catch {
-          case e: Throwable => Some(e)
-        }
-        val chain = err.iterator.flatMap(e =>
-          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
-        require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
-          s"$tag run 1 must terminate with the injected mid-batch failure, got: " +
-            err.fold("clean termination")(_.toString))
-        require(Files.exists(failMarker), s"$tag fault injection did not fire")
-        val run2 = runOnce("run2")
-        run2.awaitTermination()
-        requireMultiBatch(run2, s"$tag run2") // replayed batch + undelivered files
-        run2
-    }
+    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
     val stateful = Option(query.lastProgress)
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.size == 1,
