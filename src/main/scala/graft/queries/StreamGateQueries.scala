@@ -1300,6 +1300,45 @@ object StreamGateQueries {
         $"events".as("n_events"))
   }
 
+  /** Shared run1/run2 drive loop for every crash-and-replay gate.
+    * `failAt = None` drives one clean run to termination and requires
+    * ≥ 3 data micro-batches. `failAt = Some(_)` requires run 1 to
+    * terminate with the injected mid-batch failure (the cause chain
+    * must carry `injectedMsg` and the driver-side `failMarker` must
+    * exist — proof the injection actually fired rather than the stream
+    * dying for an unrelated reason), then restarts against the same
+    * checkpoint and requires the replay to cover multiple batches
+    * (the replayed batch plus the undelivered files). Returns the
+    * final (clean or replayed) query so callers can inspect
+    * `lastProgress` for their stateful-operator contracts.
+    */
+  private def driveRuns(
+      tag: String, failAt: Option[Long], injectedMsg: String,
+      failMarker: java.nio.file.Path)(
+      runOnce: String => StreamingQuery): StreamingQuery = {
+    val run1 = runOnce("run1")
+    failAt match {
+      case None =>
+        run1.awaitTermination()
+        requireMultiBatch(run1, tag)
+        run1
+      case Some(_) =>
+        val err = try { run1.awaitTermination(); None } catch {
+          case e: Throwable => Some(e)
+        }
+        val chain = err.iterator.flatMap(e =>
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
+        require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
+          s"$tag run 1 must terminate with the injected mid-batch failure, got: " +
+            err.fold("clean termination")(_.toString))
+        require(Files.exists(failMarker), s"$tag fault injection did not fire")
+        val run2 = runOnce("run2")
+        run2.awaitTermination()
+        requireMultiBatch(run2, s"$tag run2") // replayed batch + undelivered files
+        run2
+    }
+  }
+
   /** Shared fault-injection harness for the mid-batch-failure gates —
     * ONE implementation of the injection, error-chain inspection, and
     * replay requires, so the state-API gates (q70 FMGWS, q72 TWS) and
@@ -1344,19 +1383,7 @@ object StreamGateQueries {
         }
         .start()
     }
-    val run1 = runOnce("run1")
-    val err = try { run1.awaitTermination(); None } catch {
-      case e: Throwable => Some(e)
-    }
-    val chain = err.iterator.flatMap(e =>
-      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
-    require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
-      s"$tag run 1 must terminate with the injected mid-batch failure, got: " +
-        err.fold("clean termination")(_.toString))
-    require(Files.exists(failMarker), s"$tag fault injection did not fire")
-    val run2 = runOnce("run2")
-    run2.awaitTermination()
-    requireMultiBatch(run2, s"$tag run2") // replayed batch + the 3 undelivered files
+    val run2 = driveRuns(tag, Some(failAt), injectedMsg, failMarker)(runOnce)
     val stateful = Option(run2.lastProgress)
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.size == statefulOps,
