@@ -139,5 +139,9 @@ object SparkEntry {
     "q85_quality_gate",
     // appended round 11: sub-document boilerplate detection (chunk-level
     // cross-document dedup through the multimodal chunk fan-out)
-    "q88_boilerplate_chunks")
+    "q88_boilerplate_chunks",
+    // appended round 12: standing-index maintenance (admit → fold →
+    // admit-again; the timed work includes both StandingIndex segment
+    // writes — the honest ingest price, q51's caveat)
+    "q89_index_maintenance")
 }

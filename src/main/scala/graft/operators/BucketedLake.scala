@@ -37,7 +37,9 @@ object BucketedLake {
     * orphaned location. Drop the catalog entry AND clear the default
     * location before writing.
     */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int,
+      key: String, moreKeys: String*): Unit = {
     val spark = df.sparkSession
     // the orphan-location cleanup below derives warehouse/<table>, which
     // only holds for unqualified names in the default database — a
@@ -50,10 +52,10 @@ object BucketedLake {
       warehouse, table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.repartition(buckets, col(key))
+    df.repartition(buckets, (key +: moreKeys).map(col): _*)
       .write
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
       .mode("overwrite")
       .saveAsTable(table)
   }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned, SEGMENTED standing-index lake — the maintenance story for
+  * the per-ingest admission family (q73/q75/q80): after a batch is
+  * admitted, its index keys must FOLD INTO the standing index before the
+  * next batch probes it, the analog of the reference's continuous
+  * DeltaStreamer upsert loop (ref
+  * `hudi/debezium_hudi_demo/demonstration_notes.md` "Run Hudi
+  * DeltaStreamer Continuously", `deltastreamer_jobs_cont_bkgd.sh` — each
+  * cycle upserts the new arrivals into the standing Hudi table that the
+  * next cycle reads).
+  *
+  * Layout = LSM-style segments, NOT rewrite-on-fold: each fold writes the
+  * delta as a NEW bucketed catalog table (`<name>_seg<N>`, bucketed by the
+  * probe key — [[BucketedLake]]'s one-file-per-bucket discipline) and
+  * publishes it with an atomic pointer-file rename ([[CdcTable]]'s
+  * `_meta` linearization discipline: a reader resolves the pointer once
+  * and from then on holds immutable segment tables; a crashed fold leaves
+  * the old pointer and an unreferenced table — invisible, collected by
+  * the next successful fold's cleaner cycle). Rewriting the whole index
+  * per ingest would be O(corpus) per batch — at 100 TB that's the wrong
+  * cost class; appending a segment is O(batch).
+  *
+  * Probing a segmented index is sound because candidate generation
+  * DISTRIBUTES over segments: an equi-join of the probe frame against
+  * `seg_0 ∪ … ∪ seg_N` equals the union of the per-segment joins, and
+  * each per-segment join is zero-exchange on the index side (every
+  * segment is bucketed by the join key — plan-verified in BucketingSpec).
+  * The union is of CANDIDATES (probe-bounded, tiny), never of the index
+  * itself, so no fold ever re-shuffles standing data. Segment count is
+  * bounded by [[compact]] — the off-ingest-path merge of all live
+  * segments into one (Hudi's compaction), after which probes touch one
+  * table again.
+  *
+  * Single-writer, like CdcTable: folds are not concurrent. Scoped to one
+  * SparkSession's catalog + warehouse (segments are catalog tables); the
+  * pointer file lives under the warehouse dir so index state and data
+  * share a root.
+  */
+class StandingIndex(
+    spark: SparkSession,
+    name: String,
+    buckets: Int,
+    keys: Seq[String]) {
+
+  require(!name.contains('.') && name.nonEmpty,
+    s"StandingIndex takes an unqualified catalog-safe name, got '$name'")
+  require(keys.nonEmpty, "StandingIndex needs at least one bucket key")
+
+  private val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    .stripPrefix("file:")
+  private val ptrFile = Paths.get(warehouse, s"_${name}_segments")
+
+  private def segTable(i: Long): String = s"${name}_seg$i"
+
+  /** Live segment ids; empty = index not initialized. */
+  private def live: Seq[Long] =
+    if (Files.exists(ptrFile))
+      Files.readString(ptrFile).trim.split(",").map(_.toLong).toSeq
+    else Seq.empty
+
+  /** Atomic pointer commit — the fold/compact linearization point. */
+  private def commit(segs: Seq[Long]): Unit = {
+    Files.createDirectories(ptrFile.getParent)
+    val tmp = Paths.get(s"$ptrFile.tmp")
+    Files.writeString(tmp, segs.mkString(","))
+    Files.move(tmp, ptrFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeSegment(df: DataFrame, i: Long): Unit =
+    BucketedLake.writeBucketed(df, segTable(i), buckets, keys.head, keys.tail: _*)
+
+  /** Initial index build (the corpus-ingest bulk load). Resets the
+    * index: prior segments are superseded and dropped.
+    */
+  def init(df: DataFrame): Unit = {
+    val prev = live
+    writeSegment(df, 0L)
+    commit(Seq(0L))
+    prev.filter(_ != 0L).foreach(i => spark.sql(s"DROP TABLE IF EXISTS `${segTable(i)}`"))
+  }
+
+  /** Fold an admitted batch's index keys into the standing index: write
+    * the delta as a new bucketed segment, then atomically publish it.
+    * O(batch), never O(corpus) — standing segments are untouched.
+    */
+  def fold(delta: DataFrame): Unit = {
+    val segs = live
+    require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before fold()")
+    val next = segs.max + 1
+    writeSegment(delta, next)
+    commit(segs :+ next)
+  }
+
+  /** The live segments, pointer resolved once — probe each with a
+    * bucket-colocated join and union the RESULTS (see class doc).
+    */
+  def segments: Seq[DataFrame] = {
+    val segs = live
+    require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before reads")
+    segs.map(i => spark.table(segTable(i)))
+  }
+
+  /** Off-ingest-path segment merge (Hudi compaction): rewrite all live
+    * segments as ONE bucketed segment and publish; superseded segments
+    * are dropped after the pointer commit (readers that resolved the old
+    * pointer within this JVM hold cached plans; production would give
+    * one cleaner cycle of grace, CdcTable's retain-one discipline).
+    */
+  def compact(): Unit = {
+    val segs = live
+    require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before compact()")
+    val next = segs.max + 1
+    writeSegment(segments.reduce(_ unionByName _), next)
+    commit(Seq(next))
+    segs.foreach(i => spark.sql(s"DROP TABLE IF EXISTS `${segTable(i)}`"))
+  }
+}

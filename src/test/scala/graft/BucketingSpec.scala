@@ -147,6 +147,58 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === expected)
   }
 
+  test("StandingIndex fold publishes a bucketed segment: post-fold probes stay zero-exchange per segment (q89's maintenance shape)") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{Sampling, StandingIndex, TextOps}
+    // q89's maintenance claim as a plan property: after a fold, the
+    // updated index is the old segments PLUS one new bucketed segment —
+    // standing data is never rewritten, and the next batch's candidate
+    // probe plans zero (band, bk) exchanges against EVERY segment,
+    // old and folded alike. Candidate generation distributes over
+    // segments (admitByBandSegments' soundness argument), so the union
+    // of per-segment candidates must equal the unbucketed single-join
+    // candidates against the full updated index.
+    val base = Tables.documents(spark, sf)
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+    val bands = graft.queries.LlmQueries.minhashBands(base)
+    def u = Sampling.uniform01($"doc_id")
+    val corpusBands = bands.filter(u >= 0.3).select($"doc_id", $"band", $"bk")
+    val b1Bands = bands.filter(u >= 0.15 && u < 0.3).select($"doc_id", $"band", $"bk")
+    val b2Bands = bands.filter(u < 0.15).select($"doc_id", $"band", $"bk")
+    val ix = new StandingIndex(spark, "law_band_ix", buckets = 4,
+      keys = Seq("band", "bk"))
+    ix.init(corpusBands)
+    val corpusN = ix.segments.head.count()
+    ix.fold(b1Bands) // the maintenance step under test
+    assert(ix.segments.size == 2, "fold must append one segment")
+    assert(ix.segments.head.count() == corpusN,
+      "fold must not rewrite the standing segment")
+    // probe side bucketed too (the arriving batch is small at 100 TB;
+    // bucketing it makes the per-segment join's ZERO exchanges visible)
+    b2Bands.write.bucketBy(4, "band", "bk").sortBy("band", "bk")
+      .mode("overwrite").saveAsTable("law_probe_bands")
+    val probe = spark.table("law_probe_bands")
+    val perSeg = ix.segments.map { seg =>
+      probe.join(seg.select($"doc_id".as("blocker"), $"band", $"bk"),
+        Seq("band", "bk")).select($"doc_id", $"blocker")
+    }
+    perSeg.foreach { j =>
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(band"),
+        s"post-fold per-segment probe must not shuffle either side:\n$plan")
+    }
+    val got = perSeg.reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = b2Bands
+      .join(corpusBands.unionByName(b1Bands)
+        .select($"doc_id".as("blocker"), $"band", $"bk"), Seq("band", "bk"))
+      .select($"doc_id", $"blocker")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must produce post-fold candidates")
+  }
+
   test("embedding admission probes a bucketed corpus LSH index with zero exchanges (q80's 100 TB shape)") {
     val ss = spark; import ss.implicits._
     import graft.operators.{Sampling, VectorOps}

@@ -142,6 +142,13 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fold + presentation sort, over the checkpointed (doc_id, h)
     // chunk frame — digests shuffle, chunk bytes never do
     "q88_boilerplate_chunks" -> 4,
+    // TWO q75-shaped admission rounds over the checkpointed shingle
+    // frame (batch-2's round reads the folded standing index, so its
+    // candidate branch fans over two bucketed segments); the fold's own
+    // segment write is outside the returned plan. Candidate sides
+    // broadcast at fixture scale; index side is zero-exchange per
+    // segment at 100 TB (BucketingSpec's maintained-index law)
+    "q89_index_maintenance" -> 13,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg
     "q51_bucketed_join" -> 2,      // the bucketed join itself adds ZERO

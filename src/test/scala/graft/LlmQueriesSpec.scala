@@ -236,4 +236,31 @@ class LlmQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe75.collect().toSeq ===
       LlmQueries.q75IncrementalNearDup(spark, sf).collect().toSeq)
   }
+
+  test("candidate generation distributes over index segments " +
+      "(admitByBandSegments ≡ admitByBandIndex under any segmentation)") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.Sampling
+    // the soundness argument behind StandingIndex's O(batch) fold
+    // (q89): probing segment-by-segment and unioning CANDIDATES admits
+    // exactly what one join against the concatenated index admits —
+    // so how history happened to arrive (one bulk load vs many folds)
+    // can never change an admission decision
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+    val batchSh = sh.filter(Sampling.uniform01($"doc_id") < 0.3).localCheckpoint()
+    val corpusSh = sh.filter(Sampling.uniform01($"doc_id") >= 0.3).localCheckpoint()
+    val bands = LlmQueries.minhashBands(corpusSh).localCheckpoint()
+    val whole = LlmQueries.admitByBandIndex(batchSh, bands, corpusSh)
+      .collect().toSeq
+    val segs = Seq(
+      bands.filter($"doc_id" % 3 === 0),
+      bands.filter($"doc_id" % 3 === 1),
+      bands.filter($"doc_id" % 3 === 2))
+    val segmented = LlmQueries.admitByBandSegments(batchSh, segs, corpusSh)
+      .collect().toSeq
+    assert(segmented === whole)
+    assert(whole.nonEmpty)
+  }
 }
