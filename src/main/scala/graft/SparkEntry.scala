@@ -142,6 +142,8 @@ object SparkEntry {
     "q88_boilerplate_chunks",
     // appended round 12: standing-index maintenance (admit → fold →
     // admit-again; the timed work includes both StandingIndex segment
-    // writes — the honest ingest price, q51's caveat)
-    "q89_index_maintenance")
+    // writes — the honest ingest price, q51's caveat) on the text and
+    // vector modalities
+    "q89_index_maintenance",
+    "q90_vector_index_maintenance")
 }

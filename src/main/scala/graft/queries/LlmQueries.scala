@@ -1560,14 +1560,28 @@ object LlmQueries {
     * grown 100× under a fixed batch. Candidates are bounded by the
     * batch's bucket collisions, never the corpus.
     */
-  def admitByVectorIndex(batch: DataFrame, index: DataFrame): DataFrame = {
+  def admitByVectorIndex(batch: DataFrame, index: DataFrame): DataFrame =
+    admitByVectorSegments(batch, Seq(index))
+
+  /** [[admitByVectorIndex]] generalized to a SEGMENTED standing vector
+    * index ([[graft.operators.StandingIndex]]'s read path, q90's
+    * maintenance shape): the batch probes each bucket-keyed segment
+    * separately and the per-segment CANDIDATES union — the same
+    * distribution-over-segments argument as [[admitByBandSegments]],
+    * here on the sign-LSH bucket key. The in-batch earlier-wins branch
+    * is a batch self-join, independent of segmentation.
+    */
+  def admitByVectorSegments(
+      batch: DataFrame, segments: Seq[DataFrame]): DataFrame = {
     import batch.sparkSession.implicits._
-    val blockers = index
-      .select($"bucket", $"blocker", $"bv", $"bn", lit(false).as("b_incoming"))
-      .unionByName(batch.select($"bucket", $"vec_id".as("blocker"),
-        $"v".as("bv"), $"nsq".as("bn"), lit(true).as("b_incoming")))
-    val rejected = batch.join(blockers, "bucket")
-      .filter(!$"b_incoming" || $"blocker" < $"vec_id")
+    val candIndex = segments.map { seg =>
+      batch.join(seg.select($"bucket", $"blocker", $"bv", $"bn"), "bucket")
+    }.reduce(_ unionByName _)
+    val candBatch = batch
+      .join(batch.select($"bucket", $"vec_id".as("blocker"),
+        $"v".as("bv"), $"nsq".as("bn")), "bucket")
+      .filter($"blocker" < $"vec_id")
+    val rejected = candIndex.unionByName(candBatch)
       .withColumn("cosine",
         VectorOps.cosineFromParts(VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
       .filter($"cosine" >= 0.4)
@@ -2169,6 +2183,108 @@ object LlmQueries {
       |ORDER BY out.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q90
+
+  /** q90 — q89's admit → fold → admit-again maintenance cycle on the
+    * VECTOR modality, so text and embedding ingest carry matching
+    * incremental stories (q73/q75/q80 probe; q89/q90 maintain). Same
+    * two-batch layout (content-hash split over vec_id: corpus u ≥ 0.3,
+    * batch 1 in [0.15, 0.3), batch 2 < 0.15); admission is q80's exact
+    * semantics (sign-LSH bucket candidates, integer-scaled cosine
+    * ≥ 0.4 confirm, pairwise first-wins in batch); the fold appends the
+    * ADMITTED vectors' sketch rows to the standing bucket index as a
+    * new bucket-keyed [[graft.operators.StandingIndex]] segment, and
+    * batch 2 must reject vectors that semantically duplicate a batch-1
+    * admission — the unmaintained-index failure, now fenced on both
+    * modalities. One sketch spelling ([[vectorSketch]]) for corpus,
+    * folded segment, and probes; scale story identical to q89's
+    * (O(batch) folds, per-segment zero-exchange probes — q80's
+    * BucketingSpec law covers the bucket-keyed plan).
+    */
+  def q90VectorIndexMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sv = vectorSketch(Tables.embeddings(s, dir)).localCheckpoint()
+    def u: Column = Sampling.uniform01($"vec_id")
+    def asIndex(df: DataFrame): DataFrame = df.select($"bucket",
+      $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
+    val corpus = sv.filter(u >= 0.3)
+    val batch1 = sv.filter(u >= 0.15 && u < 0.3)
+    val batch2 = sv.filter(u < 0.15)
+    val ix = new StandingIndex(s, "q90_vec_ix", buckets = 4, keys = Seq("bucket"))
+    ix.init(asIndex(corpus))
+    val admit1 = admitByVectorSegments(batch1, ix.segments)
+      .localCheckpoint() // emitted AND reused as batch 2's blocker set
+    val admitted1 = batch1.join(admit1.select($"vec_id"), "vec_id")
+    ix.fold(asIndex(admitted1))
+    val admit2 = admitByVectorSegments(batch2, ix.segments)
+    admit1.withColumn("batch", lit(1))
+      .unionByName(admit2.withColumn("batch", lit(2)))
+      .select($"vec_id", $"batch", $"bucket")
+      .orderBy($"vec_id")
+  }
+
+  val q90Oracle: String = {
+    val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val u = Sampling.duckUniform01("CAST(vec_id AS VARCHAR)")
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, v,
+       |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nsq FROM sv),
+       |pl AS (SELECT $planesSql AS m),
+       |proj AS (
+       |  SELECT vec_id, p, sum(v[i] * m[p + 1][i]) AS s
+       |  FROM nn, pl,
+       |       unnest(generate_series(0, ${NumPlanes - 1})) tp(p),
+       |       unnest(generate_series(1, len(v))) ti(i)
+       |  GROUP BY vec_id, p),
+       |buck AS (
+       |  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |grp AS (
+       |  SELECT vec_id,
+       |    CASE WHEN $u >= 0.3 THEN 0 WHEN $u >= 0.15 THEN 1 ELSE 2 END AS g
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id, b.vec_id AS blocker
+       |  FROM buck a
+       |  JOIN grp ga ON ga.vec_id = a.vec_id AND ga.g IN (1, 2)
+       |  JOIN buck b ON b.bucket = a.bucket
+       |  JOIN grp gb ON gb.vec_id = b.vec_id
+       |  WHERE gb.g < ga.g OR (gb.g = ga.g AND b.vec_id < a.vec_id)),
+       |dt AS (
+       |  SELECT c.vec_id, c.blocker, na.nsq AS qn, nb.nsq AS bn,
+       |    CAST(sum(na.v[i] * nb.v[i]) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN nn na ON na.vec_id = c.vec_id
+       |  JOIN nn nb ON nb.vec_id = c.blocker,
+       |       unnest(generate_series(1, len(na.v))) t(i)
+       |  GROUP BY c.vec_id, c.blocker, na.nsq, nb.nsq),
+       |conf AS (
+       |  SELECT vec_id, blocker FROM dt
+       |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) >= 0.4),
+       |adm1 AS (
+       |  SELECT g.vec_id FROM grp g
+       |  WHERE g.g = 1 AND NOT EXISTS (
+       |    SELECT 1 FROM conf WHERE conf.vec_id = g.vec_id)),
+       |adm2 AS (
+       |  SELECT g.vec_id FROM grp g
+       |  WHERE g.g = 2 AND NOT EXISTS (
+       |    SELECT 1 FROM conf
+       |    JOIN grp gb ON gb.vec_id = conf.blocker
+       |    WHERE conf.vec_id = g.vec_id
+       |      AND (gb.g = 0 OR gb.g = 2
+       |           OR (gb.g = 1 AND conf.blocker IN (SELECT vec_id FROM adm1))))),
+       |out AS (
+       |  SELECT vec_id, 1 AS batch FROM adm1
+       |  UNION ALL
+       |  SELECT vec_id, 2 AS batch FROM adm2)
+       |SELECT out.vec_id, out.batch, buck.bucket
+       |FROM out JOIN buck ON buck.vec_id = out.vec_id
+       |ORDER BY out.vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2196,7 +2312,8 @@ object LlmQueries {
     "q81_decontamination"   -> (q81Decontamination _),
     "q85_quality_gate"      -> (q85QualityGate _),
     "q88_boilerplate_chunks" -> (q88BoilerplateChunks _),
-    "q89_index_maintenance" -> (q89IndexMaintenance _))
+    "q89_index_maintenance" -> (q89IndexMaintenance _),
+    "q90_vector_index_maintenance" -> (q90VectorIndexMaintenance _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -2223,5 +2340,6 @@ object LlmQueries {
     "q81_decontamination"   -> q81Oracle,
     "q85_quality_gate"      -> q85Oracle,
     "q88_boilerplate_chunks" -> q88Oracle,
-    "q89_index_maintenance" -> q89Oracle)
+    "q89_index_maintenance" -> q89Oracle,
+    "q90_vector_index_maintenance" -> q90Oracle)
 }

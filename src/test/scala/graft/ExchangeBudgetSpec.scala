@@ -149,6 +149,11 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast at fixture scale; index side is zero-exchange per
     // segment at 100 TB (BucketingSpec's maintained-index law)
     "q89_index_maintenance" -> 13,
+    // TWO q80-shaped admission rounds over the checkpointed vector
+    // sketch (candidate/blocker sides broadcast at fixture scale, so
+    // only the rejected distincts + final sorts shuffle; per-segment
+    // zero-exchange on the index side at 100 TB — q80's bucketed law)
+    "q90_vector_index_maintenance" -> 4,
     "q48_date_dims" -> 3,
     "q50_salted_enrich" -> 3,      // salt shuffle + join + de-salt agg
     "q51_bucketed_join" -> 2,      // the bucketed join itself adds ZERO
