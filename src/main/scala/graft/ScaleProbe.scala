@@ -46,7 +46,13 @@ object ScaleProbe {
     "q73_ingest_probe", "q75_ingest_probe",
     // the embedding modality's ingest probe: fixed vector batch vs a
     // 100×-grown standing sign-LSH bucket index (q80's shape)
-    "q80_ingest_probe")
+    "q80_ingest_probe",
+    // maintenance axis (q89's fold): band + fold a FIXED admitted batch
+    // into a standing index at 1× vs N× corpus — StandingIndex's
+    // O(batch) claim measured: the fold writes one batch-sized bucketed
+    // segment and swaps a pointer, touching no standing bytes, so the
+    // ratio must be ~1 (exp ~0) no matter how the corpus grows
+    "q89_fold_probe")
 
   // SPARK_GRAFT_PROBE_QUERIES=q03_...,q35_... probes a subset (and the
   // fixture builder then materializes only the tables that subset reads
@@ -65,8 +71,9 @@ object ScaleProbe {
     "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
   private val IngestProbes = Set("q73_ingest_probe", "q75_ingest_probe")
   private val VecIngestProbes = Set("q80_ingest_probe")
+  private val FoldProbes = Set("q89_fold_probe")
   // every probe that reads a materialized index root instead of a data dir
-  private val IndexProbes = IngestProbes ++ VecIngestProbes
+  private val IndexProbes = IngestProbes ++ VecIngestProbes ++ FoldProbes
 
   private val Shards =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_SHARDS", "10").toInt
@@ -150,6 +157,23 @@ object ScaleProbe {
             .filter(graft.operators.Sampling.uniform01($"vec_id") < 0.3))
         graft.queries.LlmQueries.admitByVectorIndex(batch,
           s.read.parquet(s"$root/vecindex.parquet"))
+      }),
+      "q89_fold_probe" -> ((s, root) => {
+        import s.implicits._
+        // per-ingest work inside the timed run: band the fixed arriving
+        // batch and FOLD it into the standing index (segment write +
+        // atomic pointer swap); read the published segment back as the
+        // result. Each pass appends one more segment — fold cost is
+        // O(batch) regardless of segment count, which is the claim.
+        val tag = if (root.contains("scaleingest1")) "p1" else "pn"
+        val ix = new graft.operators.StandingIndex(s, s"probe_fold_$tag", 4,
+          Seq("band", "bk"))
+        val batchSh = Tables.spread(s, ingestBatch(s, base))
+          .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+          .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+        ix.fold(graft.queries.LlmQueries.minhashBands(batchSh)
+          .select($"doc_id", $"band", $"bk"))
+        ix.segments.last
       }))
   }
 
@@ -159,7 +183,8 @@ object ScaleProbe {
     // rotation: within-shard dup structure preserved exactly, cross-shard
     // copies dissimilar — see its scaladoc for why that measures an N×
     // BIGGER problem, not a quadratically HARDER one)
-    if (Probes.exists(DocProbes) || Probes.exists(IngestProbes)) {
+    if (Probes.exists(DocProbes) || Probes.exists(IngestProbes) ||
+        Probes.exists(FoldProbes)) {
       Tables.shardedDocuments(spark, base, Shards)
         .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
@@ -185,9 +210,19 @@ object ScaleProbe {
         .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
-    if (Probes.exists(IngestProbes)) {
+    if (Probes.exists(IngestProbes) || Probes.exists(FoldProbes)) {
       buildIngestIndex(spark, base, "target/scaleingest1")
       buildIngestIndex(spark, out, s"$out/ingest")
+    }
+
+    if (Probes.exists(FoldProbes)) {
+      // two standing band indexes a decade apart, init from the already-
+      // materialized band frames — the pay-once ingest write, outside
+      // the timed fold
+      new graft.operators.StandingIndex(spark, "probe_fold_p1", 4,
+        Seq("band", "bk")).init(spark.read.parquet("target/scaleingest1/bands.parquet"))
+      new graft.operators.StandingIndex(spark, "probe_fold_pn", 4,
+        Seq("band", "bk")).init(spark.read.parquet(s"$out/ingest/bands.parquet"))
     }
 
     if (Probes.exists(VecIngestProbes)) {

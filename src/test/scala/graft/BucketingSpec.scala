@@ -199,6 +199,28 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "fixture must produce post-fold candidates")
   }
 
+  test("StandingIndex compact merges all segments into one; contents unchanged, superseded tables dropped") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // the off-ingest-path half of the LSM story: folds bound ingest
+    // cost, compact bounds segment count — and it must be a pure
+    // re-layout (same rows, one bucketed table, old tables gone)
+    val a = Seq((1L, 0, "x"), (2L, 0, "y")).toDF("doc_id", "band", "bk")
+    val b = Seq((3L, 0, "x")).toDF("doc_id", "band", "bk")
+    val c = Seq((4L, 1, "z")).toDF("doc_id", "band", "bk")
+    val ix = new StandingIndex(spark, "law_compact_ix", 2, Seq("band", "bk"))
+    ix.init(a); ix.fold(b); ix.fold(c)
+    assert(ix.segments.size == 3)
+    val before = ix.segments.reduce(_ unionByName _)
+      .collect().map(_.toString).sorted.toSeq
+    ix.compact()
+    assert(ix.segments.size == 1)
+    val after = ix.segments.head.collect().map(_.toString).sorted.toSeq
+    assert(after === before && after.size == 4)
+    assert(!spark.catalog.tableExists("law_compact_ix_seg0"),
+      "compact must drop superseded segment tables")
+  }
+
   test("embedding admission probes a bucketed corpus LSH index with zero exchanges (q80's 100 TB shape)") {
     val ss = spark; import ss.implicits._
     import graft.operators.{Sampling, VectorOps}
