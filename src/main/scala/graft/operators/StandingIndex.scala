@@ -36,7 +36,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * segments into one (Hudi's compaction), after which probes touch one
   * table again.
   *
-  * Single-writer, like CdcTable: folds are not concurrent. Scoped to one
+  * Single-writer, like CdcTable: folds are not concurrent, and a
+  * violation is LOUD — segments publish via a staging table + catalog
+  * rename whose destination-exists failure names the collision (see
+  * [[publishSegment]]), never a silent overwrite. Scoped to one
   * SparkSession's catalog + warehouse (segments are catalog tables); the
   * pointer file lives under the warehouse dir so index state and data
   * share a root.
@@ -52,8 +55,7 @@ class StandingIndex(
   require(keys.nonEmpty, "StandingIndex needs at least one bucket key")
 
   private val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    .stripPrefix("file:")
-  private val ptrFile = Paths.get(warehouse, s"_${name}_segments")
+  private val ptrFile = Paths.get(warehouse.stripPrefix("file:"), s"_${name}_segments")
 
   private def segTable(i: Long): String = s"${name}_seg$i"
 
@@ -75,6 +77,49 @@ class StandingIndex(
   private def writeSegment(df: DataFrame, i: Long): Unit =
     BucketedLake.writeBucketed(df, segTable(i), buckets, keys.head, keys.tail: _*)
 
+  /** Drop a segment's catalog entry AND its warehouse location — the
+    * in-memory catalog forgets tables when the session ends while the
+    * directory persists, so a later JVM must clean both or orphaned
+    * locations accumulate and block renames (writeBucketed's own
+    * orphan-location rationale).
+    */
+  private def dropSegment(i: Long): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${segTable(i)}`")
+    val loc = new org.apache.hadoop.fs.Path(
+      warehouse, segTable(i).toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Publish a new segment through a STAGING table + catalog rename —
+    * CdcTable's commitDelta discipline ported to catalog tables: the
+    * rename is the segment's linearization point, and publishing onto a
+    * segment table REGISTERED IN THIS CATALOG throws, so a single-writer
+    * violation (two folds racing to the same segment id) surfaces loudly
+    * as a named collision instead of one delta silently overwriting the
+    * other (writeBucketed alone is an idempotent overwrite — right for
+    * init's reset semantics, wrong for an append's). A catalog-
+    * unregistered leftover at the segment's LOCATION is a provable
+    * orphan of a dead JVM (the catalog is in-memory; single-writer means
+    * no live publisher exists in another session) and is reclaimed —
+    * CdcTable's orphan-vs-live staging distinction. A crashed fold
+    * leaves a staging table that the next write's overwrite reclaims.
+    */
+  private def publishSegment(df: DataFrame, i: Long): Unit = {
+    def collision(cause: Throwable) = new IllegalStateException(
+      s"StandingIndex '$name' segment-$i publish collision: folds are " +
+        "single-writer (see class doc); this delta was NOT published", cause)
+    if (spark.catalog.tableExists(segTable(i))) throw collision(null)
+    dropSegment(i) // reclaim a dead JVM's orphaned location (no-op otherwise)
+    val stg = s"${name}_stg$i"
+    BucketedLake.writeBucketed(df, stg, buckets, keys.head, keys.tail: _*)
+    try spark.sql(s"ALTER TABLE `$stg` RENAME TO `${segTable(i)}`")
+    catch { case e: Throwable =>
+      spark.sql(s"DROP TABLE IF EXISTS `$stg`")
+      throw collision(e)
+    }
+  }
+
   /** Initial index build (the corpus-ingest bulk load). Resets the
     * index: prior segments are superseded and dropped.
     */
@@ -82,7 +127,7 @@ class StandingIndex(
     val prev = live
     writeSegment(df, 0L)
     commit(Seq(0L))
-    prev.filter(_ != 0L).foreach(i => spark.sql(s"DROP TABLE IF EXISTS `${segTable(i)}`"))
+    prev.filter(_ != 0L).foreach(dropSegment)
   }
 
   /** Fold an admitted batch's index keys into the standing index: write
@@ -93,7 +138,7 @@ class StandingIndex(
     val segs = live
     require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before fold()")
     val next = segs.max + 1
-    writeSegment(delta, next)
+    publishSegment(delta, next)
     commit(segs :+ next)
   }
 
@@ -116,8 +161,8 @@ class StandingIndex(
     val segs = live
     require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before compact()")
     val next = segs.max + 1
-    writeSegment(segments.reduce(_ unionByName _), next)
+    publishSegment(segments.reduce(_ unionByName _), next)
     commit(Seq(next))
-    segs.foreach(i => spark.sql(s"DROP TABLE IF EXISTS `${segTable(i)}`"))
+    segs.foreach(dropSegment)
   }
 }

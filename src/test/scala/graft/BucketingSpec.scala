@@ -199,6 +199,26 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "fixture must produce post-fold candidates")
   }
 
+  test("StandingIndex fold collision is LOUD: an existing segment table rejects the publish; index stays readable") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // CdcTable's single-writer discipline on the catalog-table layout:
+    // two folds racing to the same segment id must fail by name at the
+    // rename, never silently lose one delta to an overwrite
+    val ix = new StandingIndex(spark, "law_collide_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
+    // a contract-violating concurrent writer already published segment 1
+    Seq((9L, 1, "q")).toDF("doc_id", "band", "bk")
+      .write.mode("overwrite").saveAsTable("law_collide_ix_seg1")
+    val e = intercept[IllegalStateException] {
+      ix.fold(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"))
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // the losing delta was NOT published and the standing index is intact
+    assert(ix.segments.size == 1 && ix.segments.head.count() == 1)
+    spark.sql("DROP TABLE IF EXISTS law_collide_ix_seg1")
+  }
+
   test("StandingIndex compact merges all segments into one; contents unchanged, superseded tables dropped") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
