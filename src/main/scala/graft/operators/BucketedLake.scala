@@ -58,5 +58,11 @@ object BucketedLake {
       .sortBy(key, moreKeys: _*)
       .mode("overwrite")
       .saveAsTable(table)
+    // drop any cached relation/file listing from a previous incarnation
+    // of this name: a reader resolving the name after an overwrite must
+    // see the new files, not a stale FileIndex (observed: a replayed
+    // streaming fold rewrote a segment and the next batch's probe read
+    // the dead part-file list)
+    spark.catalog.refreshTable(table)
   }
 }

@@ -118,6 +118,7 @@ class StandingIndex(
       spark.sql(s"DROP TABLE IF EXISTS `$stg`")
       throw collision(e)
     }
+    spark.catalog.refreshTable(segTable(i)) // no stale relation under the new name
   }
 
   /** Initial index build (the corpus-ingest bulk load). Resets the
@@ -142,13 +143,49 @@ class StandingIndex(
     commit(segs :+ next)
   }
 
+  /** Replay-idempotent KEYED fold for streaming ingest: publish the
+    * delta AT the caller-supplied segment id (e.g. `microBatchId + 1`),
+    * OVERWRITING any previous publish at that id — the batch-keyed
+    * idempotent-sink discipline lifted to the index: a replayed
+    * micro-batch deterministically rewrites its own crashed fold
+    * instead of colliding with it (contrast [[fold]]'s seq-allocated
+    * collision-LOUD publish, which is right for a single-writer batch
+    * pipeline where a same-id publish can only be a racing writer).
+    * Callers own the id space above 0 (0 is init's corpus segment).
+    */
+  def foldAt(delta: DataFrame, id: Long): Unit = {
+    val segs = live
+    require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before foldAt()")
+    require(id > 0L, s"segment id 0 is init's corpus segment, got $id")
+    writeSegment(delta, id) // idempotent overwrite — replay-safe
+    if (!segs.contains(id)) commit((segs :+ id).sorted)
+  }
+
   /** The live segments, pointer resolved once — probe each with a
     * bucket-colocated join and union the RESULTS (see class doc).
     */
-  def segments: Seq[DataFrame] = {
+  def segments: Seq[DataFrame] = segmentsWithIds.map(_._2)
+
+  /** Like [[segments]], with each segment's id — a keyed-fold reader
+    * (streaming replay) needs ids to probe only STRICTLY-EARLIER
+    * segments, never a replayed batch's own crashed fold.
+    */
+  def segmentsWithIds: Seq[(Long, DataFrame)] = {
     val segs = live
     require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before reads")
-    segs.map(i => spark.table(segTable(i)))
+    segs.map(i => i -> spark.table(segTable(i)))
+  }
+
+  /** The live segments with id ≤ `maxId` — the keyed-fold reader's probe
+    * set. Resolves ONLY the tables it returns: a replayed batch must not
+    * even resolve its own crashed fold's segment, or the catalog caches
+    * that doomed incarnation's file listing in the window before the
+    * idempotent rewrite and a later batch's probe reads dead files.
+    */
+  def segmentsUpTo(maxId: Long): Seq[DataFrame] = {
+    val segs = live
+    require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before reads")
+    segs.filter(_ <= maxId).map(i => spark.table(segTable(i)))
   }
 
   /** Off-ingest-path segment merge (Hudi compaction): rewrite all live

@@ -1815,6 +1815,147 @@ object StreamGateQueries {
       .orderBy($"doc_id")
   }
 
+  /** q91 — CONTINUOUS ingest with PER-BATCH INDEX FOLDS: the streaming
+    * realization of q89's admit → fold → admit-again cycle, the full
+    * analog of the reference's continuous DeltaStreamer loop (ref
+    * `demonstration_notes.md` "Run Hudi DeltaStreamer Continuously",
+    * `deltastreamer_jobs_cont_bkgd.sh` — each cycle upserts arrivals
+    * into the standing table the NEXT cycle reads). Incoming docs
+    * trickle in as ≥ 4 doc_id-ordered files; each micro-batch probes
+    * the standing fingerprint index (corpus segment + every EARLIER
+    * batch's folded admissions), keeps the smallest-id holder per
+    * fingerprint within the batch, sinks its admissions to a
+    * batch-keyed dir, and FOLDS them into the index as segment
+    * `batchId + 1` — so a later batch rejects docs duplicating an
+    * earlier batch's admission through the INDEX, not through operator
+    * state. The query is fully STATELESS (`stateOperators` empty is
+    * required): the standing index IS the cross-batch state — the
+    * complement of q84, which carries the same semantics in an
+    * update-mode agg's state store.
+    *
+    * Because staged files are doc_id-ordered, first-wins-across-batches
+    * equals global smallest-id-wins, so the admitted set is exactly
+    * q73's (its oracle minus the in-batch dup count, which fold-based
+    * rejection deliberately does not accumulate across batches).
+    *
+    * Scale: each probe is an anti-join against bucketed index segments
+    * (zero-exchange on the index side — BucketingSpec's maintained-index
+    * law); each fold is O(batch) ([[graft.operators.StandingIndex]];
+    * measured flat across two corpus decades, q89_fold_probe); segment
+    * count is bounded by compaction off the ingest path.
+    */
+  def q91StreamingFold(s: SparkSession, dir: String): DataFrame =
+    streamingFoldGate(s, dir, "q91", failAt = None)
+
+  /** q92 — the mid-batch crash at the INDEX-FOLD shape: q91's pipeline
+    * with the sink's first attempt of data batch 2 dying AFTER both its
+    * durable effects (the batch-keyed admissions dir AND the index fold
+    * of segment 3) but before the engine records the commit. This
+    * crashes the one exactly-once mechanism the matrix had not: the
+    * replayed batch re-probes and re-folds — and the probe reads only
+    * STRICTLY-EARLIER segments (`segId ≤ batchId`), so the replay never
+    * sees its own crashed fold (probing it would reject every replayed
+    * doc against itself and silently lose the batch's admissions — the
+    * failure this gate exists to catch); the re-fold is the batch-keyed
+    * idempotent overwrite ([[graft.operators.StandingIndex.foldAt]]),
+    * deterministically rewriting segment 3 with identical content. The
+    * batch-dir union must meet q91's oracle verbatim.
+    */
+  def q92MidBatchFailureFold(s: SparkSession, dir: String): DataFrame =
+    streamingFoldGate(s, dir, "q92", failAt = Some(2L))
+
+  /** Shared harness behind q91 (clean) and q92 (crashed + replayed) —
+    * one implementation of the probe, sink, fold, and read-back. See
+    * q91's scaladoc for semantics, q70's for the injection contract.
+    */
+  private def streamingFoldGate(
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+    import s.implicits._
+    val staged = stageDocSplit(s, dir, tag, n = if (failAt.isDefined) 6 else 4)
+    val corpus = Tables.documents(s, dir)
+      .select(
+        graft.operators.TextOps.bagFingerprint(
+          graft.operators.TextOps.normText($"text")).as("fingerprint"),
+        graft.operators.Sampling.uniform01($"doc_id").as("u"))
+      .filter($"u" >= 0.3)
+      .select($"fingerprint")
+    val ix = new graft.operators.StandingIndex(
+      s, s"${tag}_fp_ix", buckets = 4, keys = Seq("fingerprint"))
+    ix.init(corpus)
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .select($"doc_id",
+          graft.operators.TextOps.bagFingerprint(
+            graft.operators.TextOps.normText($"text")).as("fingerprint"))
+      incoming
+        .writeStream
+        .queryName(s"${tag}_streaming_fold_$run")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // probe ONLY strictly-earlier segments (seg 0 = corpus,
+          // seg k+1 = batch k's admissions): a replayed batch must not
+          // even RESOLVE its own crashed fold's table (resolution would
+          // cache the doomed incarnation's file listing) — q92's scaladoc
+          val earlier = ix.segmentsUpTo(batchId)
+          val admitted = earlier
+            .foldLeft(batch)((b, seg) =>
+              b.join(seg.select($"fingerprint"), Seq("fingerprint"), "left_anti"))
+            .groupBy($"fingerprint")
+            .agg(min($"doc_id").as("doc_id"))
+            .localCheckpoint() // ONE computation feeds sink AND fold
+          admitted.select($"doc_id", $"fingerprint")
+            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          ix.foldAt(admitted.select($"fingerprint"), batchId + 1)
+          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+        }
+        .start()
+    }
+    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.isEmpty,
+      s"$tag must run STATELESS (the standing index is the cross-batch " +
+        s"state), got $stateful")
+    dropStaged(staged)
+    s.read.parquet(s"$out/batch_*")
+      .select($"doc_id", $"fingerprint")
+      .orderBy($"doc_id")
+  }
+
+  /** q91/q92's oracle: q73's admitted set (smallest-id holder per
+    * non-corpus-blocked fingerprint) without the in-batch dup count —
+    * see q91's scaladoc for why fold-based rejection makes the two
+    * spellings coincide on doc_id-ordered batches.
+    */
+  private val foldGateOracle: String = {
+    val u = graft.operators.Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(
+       |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))), ' ')) AS fingerprint,
+       |    $u AS u
+       |  FROM documents)
+       |SELECT min(i.doc_id) AS doc_id, i.fingerprint
+       |FROM f i
+       |WHERE i.u < 0.3 AND NOT EXISTS (
+       |  SELECT 1 FROM f c WHERE c.u >= 0.3 AND c.fingerprint = i.fingerprint)
+       |GROUP BY i.fingerprint
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
@@ -1840,7 +1981,9 @@ object StreamGateQueries {
     "q82_midbatch_failure_join" -> (q82MidBatchFailureJoin _),
     "q83_midbatch_failure_dedup" -> (q83MidBatchFailureDedup _),
     "q84_streaming_admission" -> (q84StreamingAdmission _),
-    "q87_midbatch_failure_admission" -> (q87MidBatchFailureAdmission _))
+    "q87_midbatch_failure_admission" -> (q87MidBatchFailureAdmission _),
+    "q91_streaming_fold" -> (q91StreamingFold _),
+    "q92_midbatch_failure_fold" -> (q92MidBatchFailureFold _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -1890,5 +2033,12 @@ object StreamGateQueries {
     // byte-identical admissions with the batch spelling (q73)
     "q84_streaming_admission" -> LlmQueries.q73Oracle,
     // ... and a crashed-and-replayed admission stream must too
-    "q87_midbatch_failure_admission" -> LlmQueries.q73Oracle)
+    "q87_midbatch_failure_admission" -> LlmQueries.q73Oracle,
+    // continuous ingest through per-batch index folds: the admitted set
+    // is q73's (smallest-id per non-blocked fingerprint) — cross-batch
+    // rejection rides the index, so no dup count accumulates
+    "q91_streaming_fold" -> foldGateOracle,
+    // crash + replay at the fold shape must be invisible: the replayed
+    // batch re-probes earlier segments only and re-folds idempotently
+    "q92_midbatch_failure_fold" -> foldGateOracle)
 }
