@@ -45,6 +45,14 @@ import graft.streaming.StreamJobs
   *    base corpus's standing fingerprint index (stream-static
   *    left-anti), then the update-mode admission agg; docs/s, HDFS vs
   *    RocksDB on the agg's store.
+  *  - `fold` — continuous ingest with PER-BATCH INDEX FOLDS (q91's
+  *    shape): the N× document stream trickles in as multiple
+  *    micro-batches; each probes the corpus segment plus every earlier
+  *    batch's folded segment and folds its admissions via
+  *    StandingIndex.foldAt — docs/s through fingerprint + segmented
+  *    probe + the per-batch index publication (the fold's bucketed
+  *    catalog write is the measured per-batch maintenance price).
+  *    Stateless (the index is the state), so no backend variants.
   *
   * Not a driver gate — run manually (`runMain graft.StreamBench`);
   * numbers are recorded in COVERAGE.md, one JSON line per subject.
@@ -76,9 +84,9 @@ object StreamBench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale",
-      "admission")
+      "admission", "fold")
     val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
-      "sessionize,join,dedup,recovery,scale,admission")
+      "sessionize,join,dedup,recovery,scale,admission,fold")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // a typo'd or empty subject list would otherwise run ZERO subjects
     // and exit cleanly — indistinguishable from a recorded run (ADVICE)
@@ -302,6 +310,55 @@ object StreamBench {
       jsonLine("stream_admission", rows, measure(Seq(
         ("hdfs", () => run(Hdfs)),
         ("rocksdb", () => run(Rocks)))))
+    }
+
+    if (subjects("fold")) {
+      // continuous ingest with per-batch index folds (q91's shape).
+      // The corpus-segment init is inside each timed run so every pass
+      // starts from a corpus-only index (a pass must not probe a prior
+      // pass's folds); it writes base-corpus fingerprints only —
+      // negligible against the N× stream the run drains.
+      import graft.operators.{Sampling, StandingIndex, TextOps}
+      val docsPath = s"target/streambench_folddocs$shards"
+      Tables.shardedDocuments(spark, base, shards)
+        .repartition(32).write.mode("overwrite").parquet(docsPath)
+      val rows = spark.read.parquet(docsPath).count()
+      val corpusFp = Tables.documents(spark, base)
+        .filter(Sampling.uniform01($"doc_id") >= 0.3)
+        .select(TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+        .localCheckpoint()
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      def run(): Double = {
+        val ix = new StandingIndex(spark, "sbfold", 4, Seq("fingerprint"))
+        ix.init(corpusFp)
+        val ck = Files.createTempDirectory("graft-sbfold-ck").toString
+        val t0 = System.nanoTime()
+        val q = spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", "8") // 32 fixture files → 4 batches
+          .parquet(docsPath)
+          .select($"doc_id",
+            TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val admitted = ix.segmentsUpTo(batchId)
+              .foldLeft(batch)((b, seg) =>
+                b.join(seg.select($"fingerprint"), Seq("fingerprint"), "left_anti"))
+              .groupBy($"fingerprint")
+              .agg(min($"doc_id").as("doc_id"))
+              .localCheckpoint()
+            ix.foldAt(admitted.select($"fingerprint"), batchId + 1)
+          }
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      jsonLine("stream_fold", rows, measure(Seq(("fold", () => run()))))
     }
 
     if (subjects("scale")) {
