@@ -193,6 +193,14 @@ class StandingIndex(
     * are dropped after the pointer commit (readers that resolved the old
     * pointer within this JVM hold cached plans; production would give
     * one cleaner cycle of grace, CdcTable's retain-one discipline).
+    *
+    * Composition limit, by design: compact assigns the merged segment a
+    * NEW id (`max + 1`), so it does not compose with a KEYED-fold
+    * deployment's `segmentsUpTo(batchId)` probes mid-stream — the
+    * merged id would exceed in-flight batch ids and the probe would
+    * skip the whole index. Compact a keyed-fold index BETWEEN streaming
+    * runs (checkpoint-quiesced, like Hudi's offline compaction), or
+    * probe via pointer resolution rather than id filtering.
     */
   def compact(): Unit = {
     val segs = live
