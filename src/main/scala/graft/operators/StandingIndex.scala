@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned, SEGMENTED standing-index lake — the maintenance story for
@@ -54,24 +52,36 @@ class StandingIndex(
     s"StandingIndex takes an unqualified catalog-safe name, got '$name'")
   require(keys.nonEmpty, "StandingIndex needs at least one bucket key")
 
+  // pointer IO goes through Hadoop FS, not java.nio: index state and
+  // segment data must share a root on ANY warehouse scheme (file:,
+  // hdfs:, s3a: with an atomic-rename layer), and Hadoop's
+  // FileContext.rename(OVERWRITE) is the atomic pointer swap there —
+  // the same discipline BucketedLake uses for its location cleanup
   private val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-  private val ptrFile = Paths.get(warehouse.stripPrefix("file:"), s"_${name}_segments")
+  private val warehousePath = new org.apache.hadoop.fs.Path(warehouse)
+  private val fs = warehousePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val ptrPath = new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_segments")
 
   private def segTable(i: Long): String = s"${name}_seg$i"
 
   /** Live segment ids; empty = index not initialized. */
   private def live: Seq[Long] =
-    if (Files.exists(ptrFile))
-      Files.readString(ptrFile).trim.split(",").map(_.toLong).toSeq
-    else Seq.empty
+    if (fs.exists(ptrPath)) {
+      val in = fs.open(ptrPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.trim.split(",").map(_.toLong).toSeq
+    } else Seq.empty
 
   /** Atomic pointer commit — the fold/compact linearization point. */
   private def commit(segs: Seq[Long]): Unit = {
-    Files.createDirectories(ptrFile.getParent)
-    val tmp = Paths.get(s"$ptrFile.tmp")
-    Files.writeString(tmp, segs.mkString(","))
-    Files.move(tmp, ptrFile,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fs.mkdirs(warehousePath)
+    val tmp = new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_segments.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(segs.mkString(",").getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(warehousePath.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptrPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def writeSegment(df: DataFrame, i: Long): Unit =
@@ -164,16 +174,10 @@ class StandingIndex(
   /** The live segments, pointer resolved once — probe each with a
     * bucket-colocated join and union the RESULTS (see class doc).
     */
-  def segments: Seq[DataFrame] = segmentsWithIds.map(_._2)
-
-  /** Like [[segments]], with each segment's id — a keyed-fold reader
-    * (streaming replay) needs ids to probe only STRICTLY-EARLIER
-    * segments, never a replayed batch's own crashed fold.
-    */
-  def segmentsWithIds: Seq[(Long, DataFrame)] = {
+  def segments: Seq[DataFrame] = {
     val segs = live
     require(segs.nonEmpty, s"StandingIndex '$name' must be init()-ed before reads")
-    segs.map(i => i -> spark.table(segTable(i)))
+    segs.map(i => spark.table(segTable(i)))
   }
 
   /** The live segments with id ≤ `maxId` — the keyed-fold reader's probe

@@ -1508,7 +1508,13 @@ object LlmQueries {
       batchSh: DataFrame, corpusSegments: Seq[DataFrame],
       corpusSh: DataFrame): DataFrame = {
     import batchSh.sparkSession.implicits._
+    // checkpoint the batch's banding: the lazy frame appears as an
+    // independent subtree in EVERY per-segment join branch and both
+    // sides of the in-batch self-join, so without it the batch is
+    // re-banded (hash per shingle per seed) segments+2 times — probe
+    // cost must stay the batch's own band keys, not grow with fold count
     val probe = minhashBands(batchSh).select($"doc_id", $"band", $"bk")
+      .localCheckpoint()
     val candCorpus = corpusSegments.map { seg =>
       probe
         .join(seg.select($"doc_id".as("blocker"), $"band", $"bk"),
@@ -1534,6 +1540,32 @@ object LlmQueries {
       .join(rejected, Seq("doc_id"), "left_anti")
       .select($"doc_id", size($"sh").as("n_shingles"))
       .orderBy($"doc_id")
+  }
+
+  /** ONE micro-batch of FOLD-based streaming admission — q91's per-batch
+    * step, shared by the oracle-gated gate (StreamGateQueries
+    * .streamingFoldGate) and StreamBench's `fold` throughput subject so
+    * bench and gate can never drift: probe the standing fingerprint
+    * index's STRICTLY-EARLIER segments (`segmentsUpTo(batchId)` — a
+    * replayed batch must not even resolve its own crashed fold), keep
+    * the smallest-id holder per fingerprint within the batch, and fold
+    * the admissions as segment `batchId + 1` (the replay-idempotent
+    * keyed publish). Returns the admitted (fingerprint, doc_id) frame,
+    * checkpointed — one computation feeds the caller's sink AND the
+    * fold.
+    */
+  def admitAndFold(
+      batch: DataFrame, ix: graft.operators.StandingIndex,
+      batchId: Long): DataFrame = {
+    import batch.sparkSession.implicits._
+    val admitted = ix.segmentsUpTo(batchId)
+      .foldLeft(batch)((b, seg) =>
+        b.join(seg.select($"fingerprint"), Seq("fingerprint"), "left_anti"))
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("doc_id"))
+      .localCheckpoint()
+    ix.foldAt(admitted.select($"fingerprint"), batchId + 1)
+    admitted
   }
 
   /** The ONE vector-sketch spelling (q28's planes): (vec_id, embedding)

@@ -1902,20 +1902,12 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // probe ONLY strictly-earlier segments (seg 0 = corpus,
-          // seg k+1 = batch k's admissions): a replayed batch must not
-          // even RESOLVE its own crashed fold's table (resolution would
-          // cache the doomed incarnation's file listing) — q92's scaladoc
-          val earlier = ix.segmentsUpTo(batchId)
-          val admitted = earlier
-            .foldLeft(batch)((b, seg) =>
-              b.join(seg.select($"fingerprint"), Seq("fingerprint"), "left_anti"))
-            .groupBy($"fingerprint")
-            .agg(min($"doc_id").as("doc_id"))
-            .localCheckpoint() // ONE computation feeds sink AND fold
+          // probe strictly-earlier segments + keyed fold — the ONE
+          // spelling (LlmQueries.admitAndFold, shared with StreamBench's
+          // fold subject); see q92's scaladoc for the replay contract
+          val admitted = LlmQueries.admitAndFold(batch, ix, batchId)
           admitted.select($"doc_id", $"fingerprint")
             .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
-          ix.foldAt(admitted.select($"fingerprint"), batchId + 1)
           if (failAt.contains(batchId) && !Files.exists(failMarker)) {
             Files.createFile(failMarker)
             throw new RuntimeException(injectedMsg)

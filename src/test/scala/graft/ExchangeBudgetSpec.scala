@@ -144,11 +144,14 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q88_boilerplate_chunks" -> 4,
     // TWO q75-shaped admission rounds over the checkpointed shingle
     // frame (batch-2's round reads the folded standing index, so its
-    // candidate branch fans over two bucketed segments); the fold's own
-    // segment write is outside the returned plan. Candidate sides
-    // broadcast at fixture scale; index side is zero-exchange per
-    // segment at 100 TB (BucketingSpec's maintained-index law)
-    "q89_index_maintenance" -> 13,
+    // candidate branch fans over two bucketed segments); each round's
+    // probe bands are checkpointed (admitByBandSegments), which is what
+    // keeps the static count at 7 — the band-build aggs are paid once
+    // per round, not once per join branch. The fold's own segment write
+    // is outside the returned plan. Candidate sides broadcast at
+    // fixture scale; index side is zero-exchange per segment at 100 TB
+    // (BucketingSpec's maintained-index law)
+    "q89_index_maintenance" -> 7,
     // TWO q80-shaped admission rounds over the checkpointed vector
     // sketch (candidate/blocker sides broadcast at fixture scale, so
     // only the rejected distincts + final sorts shuffle; per-segment
