@@ -219,6 +219,26 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS law_collide_ix_seg1")
   }
 
+  test("StandingIndex foldAt is replay-idempotent: same-id refold overwrites, pointer gains the id once, earlier-only reads exclude it") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // q92's recovery mechanism at unit level: a replayed micro-batch
+    // re-publishes ITS OWN segment id (latest write wins, no collision),
+    // and a reader probing strictly-earlier segments never sees it
+    val ix = new StandingIndex(spark, "law_foldat_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
+    ix.foldAt(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"), 1L)
+    ix.foldAt(Seq((3L, 0, "z")).toDF("doc_id", "band", "bk"), 1L) // the replay
+    assert(ix.segments.size == 2, "refold must not add a segment")
+    val seg1 = ix.segments.last.collect().map(_.getLong(0)).toSeq
+    assert(seg1 === Seq(3L), "refold must overwrite (latest write wins)")
+    assert(ix.segmentsUpTo(0L).size == 1,
+      "earlier-only reads must exclude the refolded segment")
+    intercept[IllegalArgumentException] {
+      ix.foldAt(Seq((4L, 0, "w")).toDF("doc_id", "band", "bk"), 0L)
+    } // id 0 is init's corpus segment
+  }
+
   test("StandingIndex compact merges all segments into one; contents unchanged, superseded tables dropped") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
