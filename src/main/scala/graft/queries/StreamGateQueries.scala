@@ -1838,6 +1838,18 @@ object StreamGateQueries {
     * q73's (its oracle minus the in-batch dup count, which fold-based
     * rejection deliberately does not accumulate across batches).
     *
+    * Modality choice, deliberate: this gate runs the EXACT-fingerprint
+    * modality because exact matching is an equivalence relation — the
+    * fold-admitted set equals the batch-layout-invariant "smallest id
+    * per fingerprint" regardless of where micro-batch boundaries fall,
+    * which is what makes a DuckDB oracle possible. Fuzzy fold-admission
+    * (fold only ADMITTED docs' band keys, as q89 does for two batches)
+    * is a sequential greedy recurrence under a NON-transitive similarity:
+    * its result depends on batch boundaries, so a streamed N-batch
+    * near-dup fold has no boundary-free oracle. The near-dup maintenance
+    * semantics are therefore gated at the two-batch shape (q89/q90),
+    * where the oracle can spell the recurrence out explicitly.
+    *
     * Scale: each probe is an anti-join against bucketed index segments
     * (zero-exchange on the index side — BucketingSpec's maintained-index
     * law); each fold is O(batch) ([[graft.operators.StandingIndex]];
