@@ -33,6 +33,12 @@ object ScaleProbe {
     // joins growing on both sides)
     "q79_mixture_sample", "q81_decontamination", "q85_quality_gate",
     "q88_boilerplate_chunks",
+    // round-12: the whole maintenance gate (two q75-shaped admission
+    // rounds + two segment folds) on a corpus growing on BOTH sides —
+    // expected to ride q75/q81's band-join cost class; the per-ingest
+    // ratio and fold flatness are measured separately (ingest axis +
+    // q89_fold_probe)
+    "q89_index_maintenance",
     // events-side workloads: per-key window dedup, native session
     // windows, and the KMV sketch (whose state must stay k per group
     // no matter how the input grows)
@@ -65,7 +71,7 @@ object ScaleProbe {
     "q46_corpus_prep", "q40_dedup_clusters", "q27_simhash_neardup",
     "q43_top_terms", "q16_neardup_lsh", "q73_incremental_dedup",
     "q74_token_packing", "q79_mixture_sample", "q81_decontamination",
-    "q85_quality_gate", "q88_boilerplate_chunks")
+    "q85_quality_gate", "q88_boilerplate_chunks", "q89_index_maintenance")
   private val SalesProbes = Set("q51_bucketed_join")
   private val EventProbes = Set(
     "q03_latest_event_per_user", "q35_session_window", "q36_kmv_distinct")
