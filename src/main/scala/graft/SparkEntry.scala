@@ -145,5 +145,9 @@ object SparkEntry {
     // writes — the honest ingest price, q51's caveat) on the text and
     // vector modalities
     "q89_index_maintenance",
-    "q90_vector_index_maintenance")
+    "q90_vector_index_maintenance",
+    // appended round 12: q89 + an off-path compaction between the fold
+    // and the second admission (compaction-invisibility gate; its time
+    // additionally carries the compact rewrite — three index writes)
+    "q93_compacted_maintenance")
 }

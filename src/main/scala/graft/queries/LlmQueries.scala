@@ -2123,7 +2123,32 @@ object LlmQueries {
     * confirm spellings verbatim and replays the two-phase admission
     * with NOT-EXISTS over confirmed pairs.
     */
-  def q89IndexMaintenance(s: SparkSession, dir: String): DataFrame = {
+  def q89IndexMaintenance(s: SparkSession, dir: String): DataFrame =
+    indexMaintenance(s, dir, tag = "q89", compactBetween = false)
+
+  /** q93 — q89 with a COMPACTION between the fold and the second
+    * admission: after batch 1's band keys fold in, the index's two
+    * segments (corpus + fold) are merged into ONE by
+    * [[graft.operators.StandingIndex.compact]] — the off-ingest-path
+    * maintenance step that bounds segment count — and batch 2 is
+    * admitted against the compacted index. The gate's claim is
+    * COMPACTION INVISIBILITY: the result must meet q89's oracle
+    * VERBATIM (same rows, same hash) — a compaction that loses, dups,
+    * or reorders index keys shifts batch 2's admissions and fails the
+    * hash. This lifts the spec-level compact() law (same rows, one
+    * table) to the oracle level (same ADMISSIONS through a real
+    * two-phase ingest).
+    */
+  def q93CompactedMaintenance(s: SparkSession, dir: String): DataFrame =
+    indexMaintenance(s, dir, tag = "q93", compactBetween = true)
+
+  /** Shared body of q89 (fold only) and q93 (fold + compact) — one
+    * spelling of the two-batch maintenance cycle, so the compaction
+    * gate can differ from the baseline gate ONLY in the compact call.
+    */
+  private def indexMaintenance(
+      s: SparkSession, dir: String, tag: String,
+      compactBetween: Boolean): DataFrame = {
     import s.implicits._
     val base = Tables.spread(s, Tables.documents(s, dir))
       .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
@@ -2133,7 +2158,8 @@ object LlmQueries {
     val corpusSh = base.filter(u >= 0.3).select($"doc_id", $"sh")
     val batch1Sh = base.filter(u >= 0.15 && u < 0.3).select($"doc_id", $"sh")
     val batch2Sh = base.filter(u < 0.15).select($"doc_id", $"sh")
-    val ix = new StandingIndex(s, "q89_band_ix", buckets = 4, keys = Seq("band", "bk"))
+    val ix = new StandingIndex(s, s"${tag}_band_ix", buckets = 4,
+      keys = Seq("band", "bk"))
     ix.init(minhashBands(corpusSh).select($"doc_id", $"band", $"bk"))
     val admit1 = admitByBandSegments(batch1Sh, ix.segments, corpusSh)
       .localCheckpoint() // emitted AND reused as batch 2's blocker set
@@ -2142,6 +2168,7 @@ object LlmQueries {
     // admitted subset of it (pay the banding once); at fixture scale the
     // recompute on the admitted slice is the clearer spelling
     ix.fold(minhashBands(admitted1Sh).select($"doc_id", $"band", $"bk"))
+    if (compactBetween) ix.compact() // q93: merge corpus + fold into ONE segment
     val admit2 = admitByBandSegments(
       batch2Sh, ix.segments, corpusSh.unionByName(admitted1Sh))
     admit1.withColumn("batch", lit(1))
@@ -2345,7 +2372,8 @@ object LlmQueries {
     "q85_quality_gate"      -> (q85QualityGate _),
     "q88_boilerplate_chunks" -> (q88BoilerplateChunks _),
     "q89_index_maintenance" -> (q89IndexMaintenance _),
-    "q90_vector_index_maintenance" -> (q90VectorIndexMaintenance _))
+    "q90_vector_index_maintenance" -> (q90VectorIndexMaintenance _),
+    "q93_compacted_maintenance" -> (q93CompactedMaintenance _))
 
   val oracles: Map[String, String] = Map(
     "q14_dedup_exact"  -> q14Oracle,
@@ -2373,5 +2401,7 @@ object LlmQueries {
     "q85_quality_gate"      -> q85Oracle,
     "q88_boilerplate_chunks" -> q88Oracle,
     "q89_index_maintenance" -> q89Oracle,
-    "q90_vector_index_maintenance" -> q90Oracle)
+    "q90_vector_index_maintenance" -> q90Oracle,
+    // compaction invisibility: q93 must meet q89's oracle VERBATIM
+    "q93_compacted_maintenance" -> q89Oracle)
 }

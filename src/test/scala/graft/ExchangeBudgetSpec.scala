@@ -152,6 +152,10 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fixture scale; index side is zero-exchange per segment at 100 TB
     // (BucketingSpec's maintained-index law)
     "q89_index_maintenance" -> 7,
+    // q89's shape with a compact between fold and second admission —
+    // the compact write is outside the returned plan, and batch 2
+    // probes ONE merged segment instead of two, same static count
+    "q93_compacted_maintenance" -> 7,
     // TWO q80-shaped admission rounds over the checkpointed vector
     // sketch (candidate/blocker sides broadcast at fixture scale, so
     // only the rejected distincts + final sorts shuffle; per-segment
