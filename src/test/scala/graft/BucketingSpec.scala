@@ -199,23 +199,51 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "fixture must produce post-fold candidates")
   }
 
-  test("StandingIndex fold collision is LOUD: an existing segment table rejects the publish; index stays readable") {
+  test("StandingIndex same-session crash leftover is reclaimed: an unreferenced registered segment table does not poison the next fold") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
-    // CdcTable's single-writer discipline on the catalog-table layout:
-    // two folds racing to the same segment id must fail by name at the
-    // rename, never silently lose one delta to an overwrite
+    // a fold that crashed between the catalog rename and the pointer
+    // commit leaves a REGISTERED table the pointer never references;
+    // single-writer means no other publisher can exist, so the next
+    // fold provably owns that leftover and reclaims it in place —
+    // contrast the referenced-table case below, which must stay loud
+    val ix = new StandingIndex(spark, "law_crash_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
+    // the crashed fold's leftover: registered, pointer-unreferenced
+    Seq((9L, 1, "q")).toDF("doc_id", "band", "bk")
+      .write.mode("overwrite").saveAsTable("law_crash_ix_seg1")
+    ix.fold(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"))
+    assert(ix.segments.size == 2)
+    // the leftover's content is gone — the new delta owns segment 1
+    assert(ix.segments.last.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("StandingIndex publish onto a POINTER-REFERENCED table is LOUD: committed state rejects the publish; index stays readable") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // CdcTable's single-writer discipline on the catalog-table layout: a
+    // publish targeting a table the pointer already references is a
+    // committed concurrent writer's segment — it must fail by name, never
+    // silently lose one delta to an overwrite. Forge that state by
+    // committing a pointer that lists the table fold() will allocate next
+    // (two live entries at cover 0 → next target = seg1, referenced).
     val ix = new StandingIndex(spark, "law_collide_ix", 2, Seq("band", "bk"))
     ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
-    // a contract-violating concurrent writer already published segment 1
     Seq((9L, 1, "q")).toDF("doc_id", "band", "bk")
       .write.mode("overwrite").saveAsTable("law_collide_ix_seg1")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(wh, "_law_collide_ix_segments"), true)
+    val max = Long.MaxValue
+    try out.write(
+      s"law_collide_ix_seg0|0|$max,law_collide_ix_seg1|0|$max\n".getBytes("UTF-8"))
+    finally out.close()
     val e = intercept[IllegalStateException] {
       ix.fold(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"))
     }
     assert(e.getMessage.contains("single-writer"))
-    // the losing delta was NOT published and the standing index is intact
-    assert(ix.segments.size == 1 && ix.segments.head.count() == 1)
+    // the losing delta was NOT published and the committed segment is intact
+    assert(ix.segments.last.collect().map(_.getLong(0)).toSeq === Seq(9L))
     spark.sql("DROP TABLE IF EXISTS law_collide_ix_seg1")
   }
 
@@ -239,26 +267,122 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } // id 0 is init's corpus segment
   }
 
-  test("StandingIndex compact merges all segments into one; contents unchanged, superseded tables dropped") {
+  test("StandingIndex compact merges all segments into one with RETAIN-ONE grace: pre-compact readers still complete; the next fold reclaims") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
     // the off-ingest-path half of the LSM story: folds bound ingest
     // cost, compact bounds segment count — and it must be a pure
-    // re-layout (same rows, one bucketed table, old tables gone)
+    // re-layout (same rows, one bucketed table). Superseded tables get
+    // ONE maintenance cycle of grace (CdcTable's retain-one cleaner
+    // discipline): a reader that resolved the pre-compact pointer —
+    // including one in ANOTHER JVM, which holds only table names — must
+    // still complete its scan after compact(); the NEXT mutating call
+    // reclaims the superseded generation's bytes.
     val a = Seq((1L, 0, "x"), (2L, 0, "y")).toDF("doc_id", "band", "bk")
     val b = Seq((3L, 0, "x")).toDF("doc_id", "band", "bk")
     val c = Seq((4L, 1, "z")).toDF("doc_id", "band", "bk")
     val ix = new StandingIndex(spark, "law_compact_ix", 2, Seq("band", "bk"))
     ix.init(a); ix.fold(b); ix.fold(c)
     assert(ix.segments.size == 3)
-    val before = ix.segments.reduce(_ unionByName _)
-      .collect().map(_.toString).sorted.toSeq
+    val preCompactReader = ix.segments.reduce(_ unionByName _)
+    val before = preCompactReader.collect().map(_.toString).sorted.toSeq
     ix.compact()
     assert(ix.segments.size == 1)
     val after = ix.segments.head.collect().map(_.toString).sorted.toSeq
     assert(after === before && after.size == 4)
-    assert(!spark.catalog.tableExists("law_compact_ix_seg0"),
-      "compact must drop superseded segment tables")
+    // retain-one grace: the superseded tables outlive the pointer swap...
+    assert(spark.catalog.tableExists("law_compact_ix_seg0") &&
+      spark.catalog.tableExists("law_compact_ix_seg1") &&
+      spark.catalog.tableExists("law_compact_ix_seg2"),
+      "compact must RETIRE superseded segments, not drop them (grace cycle)")
+    // ...so a pre-compact reader — re-resolved from table names, the
+    // cross-JVM shape — still completes with the same rows
+    val reResolved = Seq("law_compact_ix_seg0", "law_compact_ix_seg1",
+        "law_compact_ix_seg2")
+      .map(spark.table).reduce(_ unionByName _)
+      .collect().map(_.toString).sorted.toSeq
+    assert(reResolved === before,
+      "a reader holding the pre-compact pointer must complete after compact()")
+    // the NEXT maintenance cycle reclaims the retired generation
+    ix.fold(Seq((5L, 1, "w")).toDF("doc_id", "band", "bk"))
+    assert(!spark.catalog.tableExists("law_compact_ix_seg0") &&
+      !spark.catalog.tableExists("law_compact_ix_seg1") &&
+      !spark.catalog.tableExists("law_compact_ix_seg2"),
+      "the fold after compact must reclaim the retired generation")
+    assert(ix.segments.size == 2) // cmp1 + the new fold
+  }
+
+  test("StandingIndex coverage composition: compact between keyed folds stays visible to in-flight segmentsUpTo probes; over-compaction fails loudly") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // q94's mechanism at unit level: segmentsUpTo selects by COVERAGE,
+    // not physical id, so a compaction between micro-batches (merging
+    // init + the folds of committed batches 0 and 1) is invisible to
+    // batch 2's probe — the merged generation covers fold ids 0..2 and
+    // keeps being resolved. The two failure modes are loud: folding at
+    // an id the compaction subsumed would double-count (refused), and a
+    // probe whose ids were ALL subsumed beyond its horizon selects
+    // nothing (refused — silently probing zero segments would admit
+    // every doc unprobed).
+    val ix = new StandingIndex(spark, "law_cover_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
+    ix.foldAt(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"), 1L) // batch 0
+    ix.foldAt(Seq((3L, 1, "z")).toDF("doc_id", "band", "bk"), 2L) // batch 1
+    ix.compact() // between micro-batches: merged generation covers 0..2
+    // batch 2's probe (segmentsUpTo(2)) must still see everything folded
+    val probed = ix.segmentsUpTo(2L)
+    assert(probed.size == 1, "the merged generation is the whole probe set")
+    assert(probed.head.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // batch 2 folds at id 3 — above the compacted cover, accepted
+    ix.foldAt(Seq((4L, 1, "w")).toDF("doc_id", "band", "bk"), 3L)
+    assert(ix.segmentsUpTo(3L).size == 2)
+    // refolding an id the compaction subsumed would double-count: loud
+    val e1 = intercept[IllegalArgumentException] {
+      ix.foldAt(Seq((9L, 0, "v")).toDF("doc_id", "band", "bk"), 2L)
+    }
+    assert(e1.getMessage.contains("double-count"))
+    // a probe below every live cover selects nothing: loud, not silent.
+    // (Construct by compacting again — the new generation covers 0..3 —
+    // then probing as a batch whose id the compaction left behind.)
+    ix.compact()
+    val e2 = intercept[IllegalArgumentException] { ix.segmentsUpTo(1L) }
+    assert(e2.getMessage.contains("compact"))
+  }
+
+  test("StandingIndex expire retires segments beyond the event-time horizon: excluded from probes, reclaimed next cycle, last-segment guard") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // q61's dedup-horizon sizing rule lifted to the standing index: on an
+    // infinite stream, segments whose max folded event time has fallen
+    // beyond `watermark − horizon` can no longer block any in-tolerance
+    // arrival — they are retired (retain-one grace), stop being probed,
+    // and their bytes are reclaimed by the next maintenance cycle.
+    val ix = new StandingIndex(spark, "law_ttl_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
+    ix.foldAt(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"), 1L, maxEventMs = 1000L)
+    ix.foldAt(Seq((3L, 1, "z")).toDF("doc_id", "band", "bk"), 2L, maxEventMs = 2000L)
+    assert(ix.segments.size == 3)
+    ix.expire(expireBeforeMs = 1500L) // horizon passed segment 1's events
+    // expired segment excluded from BOTH read paths...
+    assert(ix.segments.size == 2)
+    assert(ix.segmentsUpTo(2L).flatMap(_.collect()).map(_.getLong(0)).toSet
+      === Set(1L, 3L))
+    // ...retained under grace, then reclaimed by the next cycle
+    assert(spark.catalog.tableExists("law_ttl_ix_seg1"))
+    ix.foldAt(Seq((4L, 1, "w")).toDF("doc_id", "band", "bk"), 3L, maxEventMs = 3000L)
+    assert(!spark.catalog.tableExists("law_ttl_ix_seg1"),
+      "the cycle after expire must reclaim the retired segment")
+    // init's corpus segment carries no event-time bound by default: it
+    // never expires, keeping the index readable through any horizon
+    ix.expire(expireBeforeMs = Long.MaxValue)
+    assert(ix.segments.size == 1, "unstamped segments must survive any horizon")
+    // an expire that would retire EVERY live segment is refused — an
+    // initialized index keeps >= 1 (a full expiry is a reset, spelled init)
+    val ix2 = new StandingIndex(spark, "law_ttl2_ix", 2, Seq("band", "bk"))
+    ix2.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"), maxEventMs = 10L)
+    val e = intercept[IllegalArgumentException] { ix2.expire(expireBeforeMs = 20L) }
+    assert(e.getMessage.contains("init()"))
+    assert(ix2.segments.size == 1, "the refused expire must leave the index intact")
   }
 
   test("embedding admission probes a bucketed corpus LSH index with zero exchanges (q80's 100 TB shape)") {
