@@ -49,15 +49,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save())
       catch { case e: Throwable => Left(e) }
 
+    // CALIBRATION probe: a fixed, IO-free, in-memory aggregation (range →
+    // modular sum, whole-stage codegen, constant work) timed once per
+    // pass. Its cross-round ratio estimates the BOX's speed that day —
+    // co-tenant load has moved identical-code totals 3-5×, and three
+    // rounds were adjudicated "box drift, not regression" by hand from
+    // uniform per-query drift; dividing per-query ratios by the
+    // calibration ratio makes that adjudication arithmetic instead.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 7) AS s", "count(*) AS n")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // JVM + codegen warm-up on the smallest SF so BENCH measures the
     // plan, not first-call classloading.
     SparkEntry.benchQueries.foreach(materialize(_, warmDir))
+    calibrate() // warm the calibration plan's codegen too
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val calibrations = collection.mutable.ArrayBuffer.empty[Double]
     // pass-major order (q1..qN, q1..qN, ...): a transient load spike hits
     // one sample of many queries, not all samples of one query
     val samples: Seq[Seq[(String, Double, Option[String])]] =
       (1 to passes).map { _ =>
+        calibrations += calibrate()
         SparkEntry.benchQueries.map { name =>
           val t0 = System.nanoTime()
           val outcome = materialize(name, sfDir)
@@ -96,16 +114,18 @@ object Bench {
     // bench box has been observed to move totals 3-5x between runs
     // minutes apart with identical code — the reader needs the context.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val calArr = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calMin = f"${calibrations.min}%.3f"
     // The driver captures only the TAIL of stdout (BENCH_r05 lost its
     // "metric":"total" to front-truncation of one long line), so the
     // final stdout line carries just the headline (≤ ~300 bytes); the
     // full per-query median/min maps go to a detail file and stderr.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration":$calArr,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_detail.json"), detail)
     System.err.println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -58,7 +58,13 @@ object ScaleProbe {
     // O(batch) claim measured: the fold writes one batch-sized bucketed
     // segment and swaps a pointer, touching no standing bytes, so the
     // ratio must be ~1 (exp ~0) no matter how the corpus grows
-    "q89_fold_probe")
+    "q89_fold_probe",
+    // compaction axis: time StandingIndex.compact() itself at 1× vs N×
+    // corpus. compact IS O(corpus) — the expected exponent is ~1; the
+    // point is the NUMBER: with fold cost flat and compact linear, the
+    // measured pair quantifies the amortization break-even that sets
+    // compact cadence (see COVERAGE's segment-count policy row)
+    "q89_compact_probe")
 
   // SPARK_GRAFT_PROBE_QUERIES=q03_...,q35_... probes a subset (and the
   // fixture builder then materializes only the tables that subset reads
@@ -78,8 +84,10 @@ object ScaleProbe {
   private val IngestProbes = Set("q73_ingest_probe", "q75_ingest_probe")
   private val VecIngestProbes = Set("q80_ingest_probe")
   private val FoldProbes = Set("q89_fold_probe")
+  private val CompactProbes = Set("q89_compact_probe")
   // every probe that reads a materialized index root instead of a data dir
-  private val IndexProbes = IngestProbes ++ VecIngestProbes ++ FoldProbes
+  private val IndexProbes =
+    IngestProbes ++ VecIngestProbes ++ FoldProbes ++ CompactProbes
 
   private val Shards =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_SHARDS", "10").toInt
@@ -164,6 +172,19 @@ object ScaleProbe {
         graft.queries.LlmQueries.admitByVectorIndex(batch,
           s.read.parquet(s"$root/vecindex.parquet"))
       }),
+      "q89_compact_probe" -> ((s, root) => {
+        // the timed run IS the compaction: merge every live segment of
+        // the pre-built (corpus + one fold) index into one generation —
+        // an O(corpus) rewrite by design. Repeat passes re-compact the
+        // merged generation (same corpus bytes through the writer), so
+        // min-of-passes compares like with like. The returned frame is a
+        // 1-row peek; the work happened in compact().
+        val tag = if (root.contains("scaleingest1")) "p1" else "pn"
+        val ix = new graft.operators.StandingIndex(s, s"probe_cmp_$tag", 4,
+          Seq("band", "bk"))
+        ix.compact()
+        ix.segments.head.limit(1)
+      }),
       "q89_fold_probe" -> ((s, root) => {
         import s.implicits._
         // per-ingest work inside the timed run: band the fixed arriving
@@ -216,7 +237,8 @@ object ScaleProbe {
         .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
-    if (Probes.exists(IngestProbes) || Probes.exists(FoldProbes)) {
+    if (Probes.exists(IngestProbes) || Probes.exists(FoldProbes) ||
+        Probes.exists(CompactProbes)) {
       buildIngestIndex(spark, base, "target/scaleingest1")
       buildIngestIndex(spark, out, s"$out/ingest")
     }
@@ -229,6 +251,27 @@ object ScaleProbe {
         Seq("band", "bk")).init(spark.read.parquet("target/scaleingest1/bands.parquet"))
       new graft.operators.StandingIndex(spark, "probe_fold_pn", 4,
         Seq("band", "bk")).init(spark.read.parquet(s"$out/ingest/bands.parquet"))
+    }
+
+    if (Probes.exists(CompactProbes)) {
+      // both decades' compaction subjects: a standing index of (corpus
+      // bands + ONE batch-sized fold) — the realistic pre-compact state,
+      // built outside the timed run. The timed compact then merges two
+      // segments whose bytes are corpus-dominated on both sides.
+      import graft.operators.TextOps
+      val batchBands = graft.queries.LlmQueries.minhashBands(
+          Tables.spread(spark, ingestBatch(spark, base))
+            .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+            .select($"doc_id", TextOps.shingles($"toks", 3).as("sh")))
+        .select($"doc_id", $"band", $"bk")
+        .localCheckpoint()
+      Seq(("p1", "target/scaleingest1"), ("pn", s"$out/ingest")).foreach {
+        case (tag, root) =>
+          val ix = new graft.operators.StandingIndex(spark, s"probe_cmp_$tag", 4,
+            Seq("band", "bk"))
+          ix.init(spark.read.parquet(s"$root/bands.parquet"))
+          ix.fold(batchBands)
+      }
     }
 
     if (Probes.exists(VecIngestProbes)) {

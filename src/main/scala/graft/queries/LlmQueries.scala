@@ -1515,6 +1515,24 @@ object LlmQueries {
     // cost must stay the batch's own band keys, not grow with fold count
     val probe = minhashBands(batchSh).select($"doc_id", $"band", $"bk")
       .localCheckpoint()
+    admitByBandFrame(batchSh, probe, corpusSegments, corpusSh)
+  }
+
+  /** [[admitByBandSegments]] with the probe's band frame supplied by the
+    * caller — the single-banding spelling a maintenance cycle uses: the
+    * caller banding the batch ONCE (checkpointed) can fold the admitted
+    * subset of the SAME frame into the standing index instead of
+    * re-hashing the admitted docs' shingles a second time (q89/q93/q96
+    * pay the banding once per batch; the probe and the fold can never
+    * disagree on a band key because they are the same materialized
+    * rows). `probeBands` must be `minhashBands(batchSh)` checkpointed —
+    * the one banding spelling, same as the index side.
+    */
+  def admitByBandFrame(
+      batchSh: DataFrame, probeBands: DataFrame,
+      corpusSegments: Seq[DataFrame], corpusSh: DataFrame): DataFrame = {
+    import batchSh.sparkSession.implicits._
+    val probe = probeBands
     val candCorpus = corpusSegments.map { seg =>
       probe
         .join(seg.select($"doc_id".as("blocker"), $"band", $"bk"),
@@ -2161,13 +2179,17 @@ object LlmQueries {
     val ix = new StandingIndex(s, s"${tag}_band_ix", buckets = 4,
       keys = Seq("band", "bk"))
     ix.init(minhashBands(corpusSh).select($"doc_id", $"band", $"bk"))
-    val admit1 = admitByBandSegments(batch1Sh, ix.segments, corpusSh)
+    // band batch 1 ONCE: the checkpointed frame serves the probe (every
+    // per-segment join branch + the in-batch self-join) AND the fold of
+    // the admitted subset — one minhash pass per batch, and probe and
+    // fold can never disagree on a band key (admitByBandFrame's law)
+    val bands1 = minhashBands(batch1Sh).select($"doc_id", $"band", $"bk")
+      .localCheckpoint()
+    val admit1 = admitByBandFrame(batch1Sh, bands1, ix.segments, corpusSh)
       .localCheckpoint() // emitted AND reused as batch 2's blocker set
     val admitted1Sh = batch1Sh.join(admit1.select($"doc_id"), "doc_id")
-    // production would persist the probe step's band frame and fold the
-    // admitted subset of it (pay the banding once); at fixture scale the
-    // recompute on the admitted slice is the clearer spelling
-    ix.fold(minhashBands(admitted1Sh).select($"doc_id", $"band", $"bk"))
+    ix.fold(bands1.join(admit1.select($"doc_id"), "doc_id")
+      .select($"doc_id", $"band", $"bk"))
     if (compactBetween) ix.compact() // q93: merge corpus + fold into ONE segment
     val admit2 = admitByBandSegments(
       batch2Sh, ix.segments, corpusSh.unionByName(admitted1Sh))
@@ -2177,10 +2199,40 @@ object LlmQueries {
       .orderBy($"doc_id")
   }
 
-  val q89Oracle: String = {
-    val u = Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+  /** The SEQUENTIAL near-dup fold recurrence unrolled as DuckDB SQL —
+    * the shared oracle generator behind q89/q93 (two u-threshold batches)
+    * and q96/q97 (n hash-group micro-batches): batches 1..n arrive in
+    * order against corpus group 0; batch k's doc is admitted unless a
+    * CONFIRMED near-dup (band-key candidate + exact 3-gram Jaccard
+    * ≥ 0.8) exists in the corpus, EARLIER (smaller id) in its own batch,
+    * or among an earlier batch's ADMITTED docs — the greedy recurrence a
+    * maintained index runs, where only admissions fold in. Band keys and
+    * Jaccard are batch-independent, so `cand`/`inter`/`conf` are computed
+    * once globally and only the admission CTEs unroll per batch — which
+    * is what makes the N-batch streamed fold (a recurrence with no
+    * closed form) oracle-expressible at all. `grpCase` is the SQL
+    * expression assigning each doc its group (0 = corpus, 1..n = batch),
+    * and must match the gate's staging exactly.
+    */
+  def neardupSequentialOracle(grpCase: String, n: Int): String = {
+    require(n >= 1, s"need at least one batch, got $n")
     val abRows = minhashAB.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val admCtes = (1 to n).map { k =>
+      val earlier = (1 until k)
+        .map(j => s"(gb.g = $j AND conf.blocker IN (SELECT doc_id FROM adm$j))")
+      val blockerIs = (s"gb.g = 0" +: s"gb.g = $k" +: earlier).mkString("\n      OR ")
+      s"""adm$k AS (
+         |  SELECT g.doc_id FROM grp g
+         |  WHERE g.g = $k AND NOT EXISTS (
+         |    SELECT 1 FROM conf
+         |    JOIN grp gb ON gb.doc_id = conf.blocker
+         |    WHERE conf.doc_id = g.doc_id
+         |      AND ($blockerIs)))""".stripMargin
+    }.mkString(",\n")
+    val outArms = (1 to n)
+      .map(k => s"  SELECT doc_id, $k AS batch FROM adm$k")
+      .mkString("\n  UNION ALL\n")
     s"""WITH toks AS (
       |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
       |  FROM documents),
@@ -2198,14 +2250,13 @@ object LlmQueries {
       |  SELECT doc_id, seed // 3 AS band, string_agg(m::VARCHAR, ':' ORDER BY seed) AS bk
       |  FROM mh GROUP BY doc_id, seed // 3),
       |grp AS (
-      |  SELECT doc_id,
-      |    CASE WHEN $u >= 0.3 THEN 0 WHEN $u >= 0.15 THEN 1 ELSE 2 END AS g
+      |  SELECT doc_id, $grpCase AS g
       |  FROM documents),
       |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |cand AS (
       |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS blocker
       |  FROM bandkeys i
-      |  JOIN grp gi ON gi.doc_id = i.doc_id AND gi.g IN (1, 2)
+      |  JOIN grp gi ON gi.doc_id = i.doc_id AND gi.g >= 1
       |  JOIN bandkeys c ON c.band = i.band AND c.bk = i.bk
       |  JOIN grp gc ON gc.doc_id = c.doc_id
       |  WHERE gc.g < gi.g OR (gc.g = gi.g AND c.doc_id < i.doc_id)),
@@ -2221,25 +2272,18 @@ object LlmQueries {
       |  JOIN szs na ON na.doc_id = inter.doc_id
       |  JOIN szs nb ON nb.doc_id = inter.blocker
       |  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8),
-      |adm1 AS (
-      |  SELECT g.doc_id FROM grp g
-      |  WHERE g.g = 1 AND NOT EXISTS (
-      |    SELECT 1 FROM conf WHERE conf.doc_id = g.doc_id)),
-      |adm2 AS (
-      |  SELECT g.doc_id FROM grp g
-      |  WHERE g.g = 2 AND NOT EXISTS (
-      |    SELECT 1 FROM conf
-      |    JOIN grp gb ON gb.doc_id = conf.blocker
-      |    WHERE conf.doc_id = g.doc_id
-      |      AND (gb.g = 0 OR gb.g = 2
-      |           OR (gb.g = 1 AND conf.blocker IN (SELECT doc_id FROM adm1))))),
+      |$admCtes,
       |out AS (
-      |  SELECT doc_id, 1 AS batch FROM adm1
-      |  UNION ALL
-      |  SELECT doc_id, 2 AS batch FROM adm2)
+      |$outArms)
       |SELECT out.doc_id, out.batch, CAST(coalesce(szs.n, 0) AS INT) AS n_shingles
       |FROM out LEFT JOIN szs ON szs.doc_id = out.doc_id
       |ORDER BY out.doc_id""".stripMargin
+  }
+
+  val q89Oracle: String = {
+    val u = Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+    neardupSequentialOracle(
+      s"CASE WHEN $u >= 0.3 THEN 0 WHEN $u >= 0.15 THEN 1 ELSE 2 END", n = 2)
   }
 
   // ---------------------------------------------------------------- q90

@@ -444,8 +444,22 @@ object StreamGateQueries {
         s"(top slice empty: max sort key $kMax ≤ top cut ${cuts.last})")
     val slice = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when($"_k" > c, 1).otherwise(0) }
-    src.withColumn("_slice", slice).drop("_k")
-      .repartition(n, $"_slice")
+    writeSlices(staged, scratch, src.withColumn("_slice", slice).drop("_k"),
+      n, filePrefix)
+  }
+
+  /** The shared one-file-per-slice writer behind [[sliceByKey]] and
+    * [[stageDocHashSplit]]: `src` must carry an int `_slice` column in
+    * 1..n; each slice lands as exactly one parquet file (empty slice =
+    * loud failure), named and modification-stamped ascending so
+    * `FileStreamSource` + `maxFilesPerTrigger=1` delivers slice i as
+    * micro-batch i−1.
+    */
+  private def writeSlices(
+      staged: java.nio.file.Path, scratch: java.nio.file.Path,
+      src: DataFrame, n: Int, filePrefix: String): Unit = {
+    import src.sparkSession.implicits._
+    src.repartition(n, $"_slice")
       .write.mode("overwrite").partitionBy("_slice").parquet(scratch.toString)
     (1 to n).foreach { i =>
       val parts = scratch.resolve(s"_slice=$i").toFile.listFiles()
@@ -478,6 +492,31 @@ object StreamGateQueries {
       .select($"doc_id", $"text")
       .withColumn("_k", $"doc_id".cast("double"))
     sliceByKey(staged, tag, src, n, filePrefix = "docs")
+    staged.toString
+  }
+
+  /** Stage the incoming documents (the content-hash split `u < 0.3`) as
+    * `n` HASH-GROUP files — doc → micro-batch `hash60('g' || doc_id) % n`
+    * — for the streamed NEAR-dup fold gates (q96/q97). Unlike
+    * [[stageDocSplit]]'s quantile slicing (whose `approxQuantile` cuts
+    * no SQL engine reproduces), the hash assignment is itself
+    * oracle-expressible, which the near-dup gates REQUIRE: the fuzzy
+    * fold recurrence is batch-layout-dependent (q91's scaladoc), so its
+    * oracle must pin the exact layout. The salt `'g'` decorrelates the
+    * batch assignment from the `u` corpus split (different md5 input).
+    */
+  private def stageDocHashSplit(
+      s: SparkSession, dir: String, tag: String, n: Int): String = {
+    import s.implicits._
+    val staged = Files.createTempDirectory(s"graft-$tag-src")
+    val scratch = Files.createTempDirectory(s"graft-$tag-part")
+    val grp = graft.operators.Sampling.hash60(
+      concat(lit("g"), $"doc_id".cast("string"))) % n
+    val src = Tables.documents(s, dir)
+      .filter(graft.operators.Sampling.uniform01($"doc_id") < 0.3)
+      .select($"doc_id", $"text")
+      .withColumn("_slice", (grp + 1).cast("int"))
+    writeSlices(staged, scratch, src, n, filePrefix = "docs")
     staged.toString
   }
 
@@ -1846,9 +1885,11 @@ object StreamGateQueries {
     * (fold only ADMITTED docs' band keys, as q89 does for two batches)
     * is a sequential greedy recurrence under a NON-transitive similarity:
     * its result depends on batch boundaries, so a streamed N-batch
-    * near-dup fold has no boundary-free oracle. The near-dup maintenance
-    * semantics are therefore gated at the two-batch shape (q89/q90),
-    * where the oracle can spell the recurrence out explicitly.
+    * near-dup fold has no boundary-FREE oracle. q96/q97 close that
+    * modality gap anyway by pinning the boundaries INTO the oracle: a
+    * hash-group batch layout both engines can spell, with the recurrence
+    * unrolled over exactly those groups (the two-batch u-threshold shape
+    * stays gated by q89/q90).
     *
     * Scale: each probe is an anti-join against bucketed index segments
     * (zero-exchange on the index side — BucketingSpec's maintained-index
@@ -1876,12 +1917,48 @@ object StreamGateQueries {
   def q92MidBatchFailureFold(s: SparkSession, dir: String): DataFrame =
     streamingFoldGate(s, dir, "q92", failAt = Some(2L))
 
-  /** Shared harness behind q91 (clean) and q92 (crashed + replayed) —
-    * one implementation of the probe, sink, fold, and read-back. See
-    * q91's scaladoc for semantics, q70's for the injection contract.
+  /** q94 — COMPACTION DURING CONTINUOUS INGEST: q91's streaming fold
+    * pipeline with a `compact()` injected BETWEEN micro-batches (after
+    * batch 1's fold commits, before batch 2 triggers), the shape the
+    * reference actually deploys — Hudi compaction running alongside
+    * DeltaStreamer `--continuous` upserts (ref
+    * `hudi/debezium_hudi_demo/demonstration_notes.md` "Run Hudi
+    * DeltaStreamer Continuously"; MoR's `_ro`/`_rt` views exist
+    * precisely so readers survive it). The mechanism is
+    * [[graft.operators.StandingIndex]]'s coverage metadata: the merged
+    * generation records the max fold id it SUBSUMES, and
+    * `segmentsUpTo(batchId)` selects by coverage, not physical id, so
+    * batch 2's strictly-earlier probe still resolves the merged segment
+    * (ids 0..2) while later batches fold and probe right through it.
+    * The gate's claim is q93's compaction invisibility lifted to the
+    * STREAMING shape: the result must meet q91's oracle VERBATIM — a
+    * compaction that loses, dups, or double-counts index keys shifts
+    * some batch's admissions and fails the hash.
+    */
+  def q94CompactedStreamingFold(s: SparkSession, dir: String): DataFrame =
+    streamingFoldGate(s, dir, "q94", failAt = None, compactAt = Some(1L))
+
+  /** q95 — q94's mid-stream compaction COMPOSED with q92's mid-batch
+    * crash: compact after batch 1, then the sink's first attempt of
+    * batch 2 dies after both durable effects (admissions dir + fold of
+    * segment 3). The replay must probe `segmentsUpTo(2)` = the merged
+    * generation ALONE — the coverage selection has to simultaneously
+    * keep the compacted corpus visible AND keep the replay's own
+    * crashed fold (cover 3 > 2) invisible, the two failure modes that
+    * pull in opposite directions. Batch-dir union meets q91's oracle
+    * verbatim.
+    */
+  def q95CompactedFoldCrash(s: SparkSession, dir: String): DataFrame =
+    streamingFoldGate(s, dir, "q95", failAt = Some(2L), compactAt = Some(1L))
+
+  /** Shared harness behind q91/q92 (clean/crashed) and q94/q95 (with a
+    * mid-stream compaction) — one implementation of the probe, sink,
+    * fold, compact, and read-back. See q91's scaladoc for semantics,
+    * q70's for the injection contract, q94's for the coverage argument.
     */
   private def streamingFoldGate(
-      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long],
+      compactAt: Option[Long] = None): DataFrame = {
     import s.implicits._
     val staged = stageDocSplit(s, dir, tag, n = if (failAt.isDefined) 6 else 4)
     val corpus = Tables.documents(s, dir)
@@ -1920,6 +1997,10 @@ object StreamGateQueries {
           val admitted = LlmQueries.admitAndFold(batch, ix, batchId)
           admitted.select($"doc_id", $"fingerprint")
             .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          // q94/q95: the mid-stream compaction, after this batch's fold
+          // and sink commit — the async-compaction point of the Hudi
+          // deployment shape (see q94's scaladoc)
+          if (compactAt.contains(batchId)) ix.compact()
           if (failAt.contains(batchId) && !Files.exists(failMarker)) {
             Files.createFile(failMarker)
             throw new RuntimeException(injectedMsg)
@@ -1960,6 +2041,125 @@ object StreamGateQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q96 — the streamed NEAR-DUP fold: q91's continuous-ingest loop on
+    * the FUZZY modality, closing the asymmetry q91's scaladoc documents
+    * (exact fingerprints stream-gated at N batches; near-dup previously
+    * only at the two-batch shape q89/q90). Each micro-batch of arriving
+    * docs is shingled and banded IN the stream (one banding pass — the
+    * checkpointed frame serves probe and fold, [[LlmQueries
+    * .admitByBandFrame]]), admitted by q75's exact semantics against the
+    * standing band index's strictly-earlier segments, and the ADMITTED
+    * docs' band keys fold in as segment `batchId + 1` — so a later batch
+    * rejects docs near-duplicating an earlier batch's admission through
+    * the INDEX. The N-batch greedy recurrence has no batch-layout-FREE
+    * oracle (non-transitive similarity — q91's argument stands), so the
+    * gate pins the layout itself into the oracle: docs land in
+    * micro-batch `hash60('g' || doc_id) % n` ([[stageDocHashSplit]] —
+    * deterministic, DuckDB-reproducible), and the oracle unrolls the
+    * recurrence over exactly those groups
+    * ([[LlmQueries.neardupSequentialOracle]]). The exact-confirm's
+    * blocker shingles are served from the full document store by id —
+    * the point-lookup a bucket-pruned doc store (q53) serves at 100 TB.
+    *
+    * Scale: identical to q89's story — O(batch) folds, per-segment
+    * zero-exchange band probes (BucketingSpec law), candidates bounded
+    * by the batch's band collisions; the stream is fully STATELESS (the
+    * index is the cross-batch state).
+    */
+  def q96StreamingNeardupFold(s: SparkSession, dir: String): DataFrame =
+    neardupFoldGate(s, dir, "q96", failAt = None)
+
+  /** q97 — q96's pipeline crashed on the first attempt of batch 2 after
+    * both durable effects (admissions dir + band-key fold), then
+    * replayed: q92's recovery contract at the NEAR-dup shape — the
+    * replay probes strictly-earlier segments only (its own crashed fold,
+    * cover 3, stays invisible) and re-folds segment 3 idempotently with
+    * byte-identical band keys (banding is deterministic per doc). The
+    * batch-dir union meets q96's oracle for the 6-batch layout verbatim.
+    */
+  def q97NeardupFoldCrash(s: SparkSession, dir: String): DataFrame =
+    neardupFoldGate(s, dir, "q97", failAt = Some(2L))
+
+  /** Shared harness behind q96 (clean) and q97 (crashed + replayed). */
+  private def neardupFoldGate(
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextOps
+    val n = if (failAt.isDefined) 6 else 4
+    val staged = stageDocHashSplit(s, dir, tag, n)
+    def shingled(df: DataFrame): DataFrame = df
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+    // the confirm step's doc store: every blocker's shingles fetched by
+    // id (at 100 TB the q53 bucket-pruned point lookup; here one
+    // checkpointed frame shared by all batches)
+    val docStoreSh = shingled(Tables.documents(s, dir)).localCheckpoint()
+    val corpusSh = docStoreSh
+      .filter(graft.operators.Sampling.uniform01($"doc_id") >= 0.3)
+    val ix = new graft.operators.StandingIndex(
+      s, s"${tag}_band_ix", buckets = 4, keys = Seq("band", "bk"))
+    ix.init(LlmQueries.minhashBands(corpusSh).select($"doc_id", $"band", $"bk"))
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+      incoming
+        .writeStream
+        .queryName(s"${tag}_neardup_fold_$run")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // shingle + band ONCE per batch: the checkpointed frames feed
+          // the probe's every join branch AND the fold of the admitted
+          // subset (admitByBandFrame's single-banding law)
+          val batchSh = shingled(batch).localCheckpoint()
+          val bands = LlmQueries.minhashBands(batchSh)
+            .select($"doc_id", $"band", $"bk").localCheckpoint()
+          val admitted = LlmQueries.admitByBandFrame(
+              batchSh, bands, ix.segmentsUpTo(batchId), docStoreSh)
+            .localCheckpoint()
+          ix.foldAt(bands.join(admitted.select($"doc_id"), "doc_id")
+            .select($"doc_id", $"band", $"bk"), batchId + 1)
+          admitted
+            .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
+              $"n_shingles")
+            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+        }
+        .start()
+    }
+    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.isEmpty,
+      s"$tag must run STATELESS (the standing index is the cross-batch " +
+        s"state), got $stateful")
+    dropStaged(staged)
+    s.read.parquet(s"$out/batch_*")
+      .select($"doc_id", $"batch", $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
+  /** q96/q97's oracle: the sequential near-dup recurrence unrolled over
+    * the gate's exact hash-group batch layout (see q96's scaladoc).
+    */
+  private def neardupGateOracle(n: Int): String = {
+    val u = graft.operators.Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+    val gh = graft.operators.Sampling.duckHash60("'g' || CAST(doc_id AS VARCHAR)")
+    LlmQueries.neardupSequentialOracle(
+      s"CASE WHEN $u >= 0.3 THEN 0 ELSE 1 + ($gh % $n) END", n)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
@@ -1987,7 +2187,11 @@ object StreamGateQueries {
     "q84_streaming_admission" -> (q84StreamingAdmission _),
     "q87_midbatch_failure_admission" -> (q87MidBatchFailureAdmission _),
     "q91_streaming_fold" -> (q91StreamingFold _),
-    "q92_midbatch_failure_fold" -> (q92MidBatchFailureFold _))
+    "q92_midbatch_failure_fold" -> (q92MidBatchFailureFold _),
+    "q94_compacted_streaming_fold" -> (q94CompactedStreamingFold _),
+    "q95_compacted_fold_crash" -> (q95CompactedFoldCrash _),
+    "q96_streaming_neardup_fold" -> (q96StreamingNeardupFold _),
+    "q97_neardup_fold_crash" -> (q97NeardupFoldCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -2044,5 +2248,15 @@ object StreamGateQueries {
     "q91_streaming_fold" -> foldGateOracle,
     // crash + replay at the fold shape must be invisible: the replayed
     // batch re-probes earlier segments only and re-folds idempotently
-    "q92_midbatch_failure_fold" -> foldGateOracle)
+    "q92_midbatch_failure_fold" -> foldGateOracle,
+    // a compaction BETWEEN micro-batches must be invisible too: coverage
+    // selection keeps the merged generation in every in-flight probe
+    "q94_compacted_streaming_fold" -> foldGateOracle,
+    // ... even when the batch after the compaction crashes and replays
+    // (merged segment visible, the replay's own crashed fold not)
+    "q95_compacted_fold_crash" -> foldGateOracle,
+    // streamed near-dup folds: the sequential greedy recurrence unrolled
+    // over the gate's exact (oracle-pinned) hash-group batch layout
+    "q96_streaming_neardup_fold" -> neardupGateOracle(4),
+    "q97_neardup_fold_crash" -> neardupGateOracle(6))
 }

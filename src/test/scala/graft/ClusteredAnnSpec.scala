@@ -35,6 +35,10 @@ class ClusteredAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the maintained-index law below publishes StandingIndex catalog
+      // tables — keep them out of the repo's default warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("annwarehouse").toString)
       .config("spark.ui.enabled", "false")
       .appName("clustered-ann-spec")
       .getOrCreate()
@@ -107,5 +111,93 @@ class ClusteredAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"multi-probe recall ${recall(multi)}%.3f below 0.8 on clustered vectors")
     assert(recall(ivf2) >= 0.8,
       f"IVF nprobe=2 recall ${recall(ivf2)}%.3f below 0.8 on clustered vectors")
+  }
+
+  test("maintained-index ANN parity: the segmented standing vector index answers admission and top-k IDENTICALLY to its compacted form") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.{StandingIndex, VectorOps}
+    // q90's maintenance shape, pinned as a QUALITY law: after real
+    // folds, the segmented index and its compact() must give the same
+    // admissions and the same bucket-ANN top-k on structured vectors —
+    // segmentation (and the compaction that bounds it) can never
+    // silently degrade ANN answers. Recall against exhaustive truth is
+    // computed for BOTH forms and must be equal (parity), with the
+    // segmented candidates a superset check built in via set equality.
+    val sv = LlmQueries.vectorSketch(
+        spark.read.parquet(s"$fixDir/embeddings.parquet"))
+      .join(spark.read.parquet(s"$fixDir/embeddings.parquet")
+        .select($"vec_id", $"label"), "vec_id")
+      .localCheckpoint()
+    def asIndex(df: DataFrame): DataFrame = df.select($"bucket",
+      $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
+    // searchable corpus = clusters 0..13 minus a held-out probe slice;
+    // the admission batch = that slice + clusters 14/15 ENTIRELY held
+    // out of the index, so admission is non-vacuous both ways: slice
+    // members near-duplicate their standing cluster (rejected via the
+    // index), held-out clusters admit first-wins within the batch
+    val corpus = sv.filter($"label" <= 13 && $"vec_id" % 31 =!= 0)
+    val batch = sv.filter(($"label" <= 13 && $"vec_id" % 31 === 0) ||
+      $"label" >= 14)
+    val ix = new StandingIndex(spark, "ann_parity_ix", buckets = 4,
+      keys = Seq("bucket"))
+    ix.init(asIndex(corpus.filter($"vec_id" % 3 === 0)))
+    ix.fold(asIndex(corpus.filter($"vec_id" % 3 === 1)))
+    ix.fold(asIndex(corpus.filter($"vec_id" % 3 === 2)))
+    assert(ix.segments.size == 3)
+
+    def admission(segs: Seq[DataFrame]): Set[Long] =
+      LlmQueries.admitByVectorSegments(batch, segs)
+        .collect().map(_.getLong(0)).toSet
+    def topk(segs: Seq[DataFrame]): Set[(Long, Long)] = {
+      val q = sv.filter($"vec_id" % 50 === 0)
+      segs.map(seg => q.join(seg, "bucket"))
+        .reduce(_ unionByName _)
+        .filter($"blocker" =!= $"vec_id")
+        .withColumn("cosine",
+          VectorOps.cosineFromParts(VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"blocker")))
+        .filter($"rank" <= 3)
+        .select($"vec_id", $"blocker")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val admSeg = admission(ix.segments)
+    val topSeg = topk(ix.segments)
+    ix.compact()
+    assert(ix.segments.size == 1)
+    val admCmp = admission(ix.segments)
+    val topCmp = topk(ix.segments)
+    // non-vacuity: the batch genuinely splits
+    val batchIds = batch.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(admSeg.nonEmpty && admSeg.size < batchIds.size,
+      s"fixture must admit some and reject some, got ${admSeg.size}/${batchIds.size}")
+    assert(topSeg.nonEmpty)
+    // the parity laws
+    assert(admSeg === admCmp,
+      "segmented and compacted indexes must admit the same vectors")
+    assert(topSeg === topCmp,
+      "segmented and compacted indexes must return the same ANN top-k")
+    // and equal recall against exhaustive truth (a corollary of parity,
+    // stated in the quality metric the index is judged by)
+    val q = sv.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"v", $"nsq")
+    val exact = q.crossJoin(asIndex(corpus))
+      .filter($"blocker" =!= $"vec_id")
+      .withColumn("cosine",
+        VectorOps.cosineFromParts(VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"blocker")))
+      .filter($"rank" <= 3)
+      .select($"vec_id", $"blocker")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(ann: Set[(Long, Long)]) = (ann & exact).size.toDouble / exact.size
+    info(f"maintained-index recall@3: segmented=${recall(topSeg)}%.3f " +
+      f"compacted=${recall(topCmp)}%.3f")
+    assert(recall(topSeg) === recall(topCmp),
+      "segmentation must not change recall")
+    assert(recall(topSeg) > 0.0)
   }
 }
