@@ -53,6 +53,10 @@ import graft.streaming.StreamJobs
   *    probe + the per-batch index publication (the fold's bucketed
   *    catalog write is the measured per-batch maintenance price).
   *    Stateless (the index is the state), so no backend variants.
+  *  - `neardup` — the FUZZY modality of `fold` (q96's shape): per-batch
+  *    shingle + single-pass banding, segmented band-index probe with
+  *    exact-Jaccard confirm against the doc store, admitted band keys
+  *    folded; docs/s through the full near-dup maintenance cycle.
   *
   * Not a driver gate — run manually (`runMain graft.StreamBench`);
   * numbers are recorded in COVERAGE.md, one JSON line per subject.
@@ -84,9 +88,9 @@ object StreamBench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale",
-      "admission", "fold")
+      "admission", "fold", "neardup")
     val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
-      "sessionize,join,dedup,recovery,scale,admission,fold")
+      "sessionize,join,dedup,recovery,scale,admission,fold,neardup")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // a typo'd or empty subject list would otherwise run ZERO subjects
     // and exit cleanly — indistinguishable from a recorded run (ADVICE)
@@ -357,6 +361,65 @@ object StreamBench {
         (System.nanoTime() - t0) / 1e9
       }
       jsonLine("stream_fold", rows, measure(Seq(("fold", () => run()))))
+    }
+
+    if (subjects("neardup")) {
+      // q96's per-batch NEAR-dup fold step priced as throughput: shingle
+      // + band the arriving micro-batch (one pass — the checkpointed
+      // frame serves probe and fold, admitByBandFrame's law), probe the
+      // standing band index's strictly-earlier segments, exact-confirm
+      // candidates against the shingle doc store, fold the admitted band
+      // keys. Index init + doc-store shingling are the pay-once ingest
+      // price OUTSIDE the timed window; each pass re-inits to
+      // corpus-only. Stateless, like `fold`.
+      import graft.operators.{Sampling, StandingIndex, TextOps}
+      val docsPath = s"target/streambench_nddocs$shards"
+      Tables.shardedDocuments(spark, base, shards)
+        .repartition(32).write.mode("overwrite").parquet(docsPath)
+      val rows = spark.read.parquet(docsPath).count()
+      def shingled(df: DataFrame): DataFrame = df
+        .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+        .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+      // the confirm store: shard 0 is the unmodified base corpus, so one
+      // frame serves corpus AND stream blockers (q53's point-lookup role)
+      val docStoreSh = shingled(spark.read.parquet(docsPath)).localCheckpoint()
+      val corpusBands = graft.queries.LlmQueries.minhashBands(
+          shingled(Tables.documents(spark, base)
+            .filter(Sampling.uniform01($"doc_id") >= 0.3)))
+        .select($"doc_id", $"band", $"bk").localCheckpoint()
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      def run(): Double = {
+        val ix = new StandingIndex(spark, "sbndfold", 4, Seq("band", "bk"))
+        ix.init(corpusBands)
+        val ck = Files.createTempDirectory("graft-sbnd-ck").toString
+        val t0 = System.nanoTime()
+        val q = spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", "8") // 32 fixture files → 4 batches
+          .parquet(docsPath)
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // the q96 gate's exact per-batch spelling
+            val batchSh = shingled(batch).localCheckpoint()
+            val bands = graft.queries.LlmQueries.minhashBands(batchSh)
+              .select($"doc_id", $"band", $"bk").localCheckpoint()
+            val admitted = graft.queries.LlmQueries.admitByBandFrame(
+                batchSh, bands, ix.segmentsUpTo(batchId), docStoreSh)
+              .localCheckpoint()
+            ix.foldAt(bands.join(admitted.select($"doc_id"), "doc_id")
+              .select($"doc_id", $"band", $"bk"), batchId + 1)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      jsonLine("stream_neardup_fold", rows, measure(Seq(("neardup", () => run()))))
     }
 
     if (subjects("scale")) {

@@ -1574,7 +1574,7 @@ object LlmQueries {
     */
   def admitAndFold(
       batch: DataFrame, ix: graft.operators.StandingIndex,
-      batchId: Long): DataFrame = {
+      batchId: Long, maxEventMs: Long = Long.MaxValue): DataFrame = {
     import batch.sparkSession.implicits._
     val admitted = ix.segmentsUpTo(batchId)
       .foldLeft(batch)((b, seg) =>
@@ -1582,7 +1582,7 @@ object LlmQueries {
       .groupBy($"fingerprint")
       .agg(min($"doc_id").as("doc_id"))
       .localCheckpoint()
-    ix.foldAt(admitted.select($"fingerprint"), batchId + 1)
+    ix.foldAt(admitted.select($"fingerprint"), batchId + 1, maxEventMs)
     admitted
   }
 

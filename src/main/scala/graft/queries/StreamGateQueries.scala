@@ -2160,6 +2160,160 @@ object StreamGateQueries {
       s"CASE WHEN $u >= 0.3 THEN 0 ELSE 1 + ($gh % $n) END", n)
   }
 
+  /** q98 — streamed EXPIRING dedup: q91's continuous fold loop with a
+    * DEDUP HORIZON enforced by [[graft.operators.StandingIndex.expire]],
+    * the index-lifetime bound an infinite stream needs (q61's
+    * state-sizing rule lifted from the dedup operator's state store to
+    * the standing index). Each fold is stamped with its batch position
+    * as the index's clock (the staged docs carry no event time; a real
+    * deployment stamps `max(event_time)` and expires at `watermark −
+    * horizon` — the LAW is identical), and each micro-batch first
+    * retires every segment wholly beyond `batchId − H` (H = 2), so a
+    * fingerprint stops blocking H batches after it folded: a duplicate
+    * arriving within the horizon is rejected; one arriving after its
+    * blocker expired is ADMITTED AGAIN and re-folds, blocking the next
+    * horizon — the sliding-window dedup semantics bounded-state systems
+    * actually ship. The corpus segment is stamped BEFORE batch 0, so
+    * corpus fingerprints stop blocking from batch H on — which is what
+    * makes the gate bite: every corpus-duplicate doc in a late batch
+    * must flip from rejected to admitted. The recurrence is
+    * batch-layout-dependent (like q96), so the gate uses the
+    * oracle-pinned hash-group staging and unrolls admission windows per
+    * batch in SQL ([[expiringFoldOracle]]). Expired segments get
+    * retain-one grace and are reclaimed by the next fold — index state
+    * is O(horizon × batch), never O(stream).
+    */
+  def q98ExpiringFold(s: SparkSession, dir: String): DataFrame =
+    expiringFoldGate(s, dir, "q98", failAt = None)
+
+  /** q99 — q98's pipeline crashed on the first attempt of batch 2 after
+    * its durable effects (expire + fold + sink), then replayed. The
+    * replay's expire is idempotent (the first attempt's fold already
+    * reclaimed what it retired; the surviving set re-derives
+    * identically), its probe reads strictly-earlier unexpired segments
+    * only (the crashed fold, cover 3, stays invisible), and the re-fold
+    * overwrites segment 3 with identical content and stamp — crash
+    * recovery composed with horizon expiry, the last pairing of the
+    * exactly-once matrix.
+    */
+  def q99ExpiringFoldCrash(s: SparkSession, dir: String): DataFrame =
+    expiringFoldGate(s, dir, "q99", failAt = Some(2L))
+
+  private val ExpiryHorizon = 2L // batches a fold blocks for (see q98)
+
+  /** Shared harness behind q98 (clean) and q99 (crashed + replayed). */
+  private def expiringFoldGate(
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+    import s.implicits._
+    val n = if (failAt.isDefined) 6 else 5
+    val staged = stageDocHashSplit(s, dir, tag, n)
+    val corpus = Tables.documents(s, dir)
+      .select(
+        graft.operators.TextOps.bagFingerprint(
+          graft.operators.TextOps.normText($"text")).as("fingerprint"),
+        graft.operators.Sampling.uniform01($"doc_id").as("u"))
+      .filter($"u" >= 0.3)
+      .select($"fingerprint")
+    val ix = new graft.operators.StandingIndex(
+      s, s"${tag}_fp_ix", buckets = 4, keys = Seq("fingerprint"))
+    // the corpus folded BEFORE batch 0 — stamp -1 on the batch-position
+    // clock, so it expires exactly when batch H's threshold passes it
+    ix.init(corpus, maxEventMs = -1L)
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .select($"doc_id",
+          graft.operators.TextOps.bagFingerprint(
+            graft.operators.TextOps.normText($"text")).as("fingerprint"))
+      incoming
+        .writeStream
+        .queryName(s"${tag}_expiring_fold_$run")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // horizon first: segments whose stamp fell behind batchId − H
+          // stop blocking BEFORE this batch probes (retire → next fold
+          // reclaims); then the standard probe + stamped fold
+          ix.expire(expireBeforeMs = batchId - ExpiryHorizon)
+          val admitted = LlmQueries.admitAndFold(batch, ix, batchId,
+            maxEventMs = batchId)
+          admitted
+            .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
+              $"fingerprint")
+            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+        }
+        .start()
+    }
+    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.isEmpty,
+      s"$tag must run STATELESS (the standing index is the cross-batch " +
+        s"state), got $stateful")
+    dropStaged(staged)
+    val result = s.read.parquet(s"$out/batch_*")
+      .select($"doc_id", $"batch", $"fingerprint")
+      .orderBy($"doc_id")
+    // non-vacuity fence: expiry must have RE-OPENED at least one
+    // corpus-blocked fingerprint (an admission that q91's never-expiring
+    // gate would reject) — otherwise this gate silently collapses into
+    // q91 and proves nothing about the horizon
+    val reopened = result.join(corpus, "fingerprint").count()
+    require(reopened > 0,
+      s"$tag must admit at least one post-expiry corpus duplicate, got none")
+    result
+  }
+
+  /** q98/q99's oracle: per-batch admission windows unrolled over the
+    * hash-group layout — batch k (1-based group) is blocked by the
+    * corpus only while `k ≤ H`, and by the ADMITTED fingerprints of
+    * groups `[k−H, k−1]` (earlier folds have expired); within a batch
+    * the smallest-id holder per surviving fingerprint wins (q73's rule).
+    */
+  private def expiringFoldOracle(n: Int, horizon: Long): String = {
+    val u = graft.operators.Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
+    val gh = graft.operators.Sampling.duckHash60("'g' || CAST(doc_id AS VARCHAR)")
+    val admCtes = (1 to n).map { k =>
+      val blockers =
+        (if (k <= horizon)
+          Seq(s"EXISTS (SELECT 1 FROM f c WHERE c.g = 0 AND c.fingerprint = i.fingerprint)")
+        else Seq.empty) ++
+        ((k - horizon) max 1L).toInt.until(k).map(j =>
+          s"EXISTS (SELECT 1 FROM adm$j a WHERE a.fingerprint = i.fingerprint)")
+      s"""adm$k AS (
+         |  SELECT min(i.doc_id) AS doc_id, i.fingerprint
+         |  FROM f i
+         |  WHERE i.g = $k AND NOT (${blockers.mkString("\n    OR ")})
+         |  GROUP BY i.fingerprint)""".stripMargin
+    }.mkString(",\n")
+    val outArms = (1 to n)
+      .map(k => s"  SELECT doc_id, $k AS batch, fingerprint FROM adm$k")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(
+       |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))), ' ')) AS fingerprint,
+       |    CASE WHEN $u >= 0.3 THEN 0 ELSE 1 + ($gh % $n) END AS g
+       |  FROM documents),
+       |$admCtes,
+       |out AS (
+       |$outArms)
+       |SELECT doc_id, batch, fingerprint FROM out
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
@@ -2191,7 +2345,9 @@ object StreamGateQueries {
     "q94_compacted_streaming_fold" -> (q94CompactedStreamingFold _),
     "q95_compacted_fold_crash" -> (q95CompactedFoldCrash _),
     "q96_streaming_neardup_fold" -> (q96StreamingNeardupFold _),
-    "q97_neardup_fold_crash" -> (q97NeardupFoldCrash _))
+    "q97_neardup_fold_crash" -> (q97NeardupFoldCrash _),
+    "q98_expiring_fold" -> (q98ExpiringFold _),
+    "q99_expiring_fold_crash" -> (q99ExpiringFoldCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -2258,5 +2414,10 @@ object StreamGateQueries {
     // streamed near-dup folds: the sequential greedy recurrence unrolled
     // over the gate's exact (oracle-pinned) hash-group batch layout
     "q96_streaming_neardup_fold" -> neardupGateOracle(4),
-    "q97_neardup_fold_crash" -> neardupGateOracle(6))
+    "q97_neardup_fold_crash" -> neardupGateOracle(6),
+    // horizon-expiring dedup: blockers stop blocking H batches after
+    // they fold (corpus included); admissions re-open per the unrolled
+    // window recurrence — and survive the crash+replay shape
+    "q98_expiring_fold" -> expiringFoldOracle(5, ExpiryHorizon),
+    "q99_expiring_fold_crash" -> expiringFoldOracle(6, ExpiryHorizon))
 }
