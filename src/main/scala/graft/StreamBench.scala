@@ -57,6 +57,12 @@ import graft.streaming.StreamJobs
   *    shingle + single-pass banding, segmented band-index probe with
   *    exact-Jaccard confirm against the doc store, admitted band keys
   *    folded; docs/s through the full near-dup maintenance cycle.
+  *  - `vecfold` — the VECTOR modality of `fold` (q100's shape):
+  *    per-batch sketch (integer scaling + norm + sign-LSH bucket, one
+  *    pass), segmented bucket-index probe with exact-cosine confirm,
+  *    admitted sketch rows folded; vectors/s through the full
+  *    embedding maintenance cycle. Completes the throughput pricing
+  *    across all three dedup modalities.
   *
   * Not a driver gate — run manually (`runMain graft.StreamBench`);
   * numbers are recorded in COVERAGE.md, one JSON line per subject.
@@ -88,9 +94,9 @@ object StreamBench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale",
-      "admission", "fold", "neardup")
+      "admission", "fold", "neardup", "vecfold")
     val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
-      "sessionize,join,dedup,recovery,scale,admission,fold,neardup")
+      "sessionize,join,dedup,recovery,scale,admission,fold,neardup,vecfold")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // a typo'd or empty subject list would otherwise run ZERO subjects
     // and exit cleanly — indistinguishable from a recorded run (ADVICE)
@@ -420,6 +426,63 @@ object StreamBench {
         (System.nanoTime() - t0) / 1e9
       }
       jsonLine("stream_neardup_fold", rows, measure(Seq(("neardup", () => run()))))
+    }
+
+    if (subjects("vecfold")) {
+      // q100's per-batch VECTOR fold step priced as throughput: sketch
+      // the arriving micro-batch ONCE (integer scaling + squared norm +
+      // sign-LSH bucket — the checkpointed frame serves probe and
+      // fold), probe the standing bucket index's strictly-earlier
+      // segments with the exact integer-scaled-cosine confirm, fold the
+      // admitted sketch rows. Index init is the pay-once ingest price
+      // OUTSIDE the timed window; each pass re-inits to corpus-only.
+      // Stateless, like `fold`/`neardup`. The sharded fixture's
+      // isometry (rotation + odd-shard negation) preserves within-shard
+      // semantic structure bit-exactly, so the probe load is the real
+      // admission shape, not a degenerate all-admit.
+      import graft.operators.{Sampling, StandingIndex}
+      import graft.queries.LlmQueries
+      val vecsPath = s"target/streambench_vecs$shards"
+      Tables.shardedEmbeddings(spark, base, shards)
+        .repartition(32).write.mode("overwrite").parquet(vecsPath)
+      val rows = spark.read.parquet(vecsPath).count()
+      def asIndex(df: DataFrame): DataFrame = df.select($"bucket",
+        $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
+      val corpusFrame = asIndex(LlmQueries.vectorSketch(
+          Tables.embeddings(spark, base)
+            .filter(Sampling.uniform01($"vec_id") >= 0.5)))
+        .localCheckpoint()
+      val vecsSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      def run(): Double = {
+        val ix = new StandingIndex(spark, "sbvecfold", 4, Seq("bucket"))
+        ix.init(corpusFrame)
+        val ck = Files.createTempDirectory("graft-sbvec-ck").toString
+        val t0 = System.nanoTime()
+        val q = spark.readStream.schema(vecsSchema)
+          .option("maxFilesPerTrigger", "8") // 32 fixture files → 4 batches
+          .parquet(vecsPath)
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // the q100 gate's exact per-batch spelling
+            val batchSv = LlmQueries.vectorSketch(batch).localCheckpoint()
+            val admitted = LlmQueries.admitByVectorSegments(
+                batchSv, ix.segmentsUpTo(batchId)).localCheckpoint()
+            ix.foldAt(
+              asIndex(batchSv.join(admitted.select($"vec_id"), "vec_id")),
+              batchId + 1)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      jsonLine("stream_vector_fold", rows, measure(Seq(("vecfold", () => run()))))
     }
 
     if (subjects("scale")) {

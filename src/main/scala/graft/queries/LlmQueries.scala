@@ -2326,9 +2326,36 @@ object LlmQueries {
       .orderBy($"vec_id")
   }
 
-  val q90Oracle: String = {
+  /** The VECTOR-modality analog of [[neardupSequentialOracle]]: the
+    * sequential sign-LSH admission recurrence unrolled over an explicit
+    * batch-layout expression (`grpCase` — group 0 is the standing
+    * corpus; groups 1..n the micro-batches in arrival order). Batch k is
+    * blocked by the corpus, by same-batch smaller-id vectors (pairwise
+    * first-wins, q80's rule), and by the ADMITTED vectors of every
+    * earlier batch (the index folds admissions only); the confirm is the
+    * exact integer-scaled cosine ≥ 0.4 on bucket collisions. q90's
+    * hand-written 2-batch oracle and the streamed q100/q101 gates are
+    * instances of this one generator, so the batch and streaming vector
+    * maintenance oracles can never drift.
+    */
+  def vectorSequentialOracle(grpCase: String, n: Int): String = {
+    require(n >= 1, s"need at least one batch, got $n")
     val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    val u = Sampling.duckUniform01("CAST(vec_id AS VARCHAR)")
+    val admCtes = (1 to n).map { k =>
+      val earlier = (1 until k)
+        .map(j => s"(gb.g = $j AND conf.blocker IN (SELECT vec_id FROM adm$j))")
+      val blockerIs = (s"gb.g = 0" +: s"gb.g = $k" +: earlier).mkString("\n      OR ")
+      s"""adm$k AS (
+         |  SELECT g.vec_id FROM grp g
+         |  WHERE g.g = $k AND NOT EXISTS (
+         |    SELECT 1 FROM conf
+         |    JOIN grp gb ON gb.vec_id = conf.blocker
+         |    WHERE conf.vec_id = g.vec_id
+         |      AND ($blockerIs)))""".stripMargin
+    }.mkString(",\n")
+    val outArms = (1 to n)
+      .map(k => s"  SELECT vec_id, $k AS batch FROM adm$k")
+      .mkString("\n  UNION ALL\n")
     s"""WITH sv AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
@@ -2346,13 +2373,12 @@ object LlmQueries {
        |  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
        |  FROM proj GROUP BY vec_id),
        |grp AS (
-       |  SELECT vec_id,
-       |    CASE WHEN $u >= 0.3 THEN 0 WHEN $u >= 0.15 THEN 1 ELSE 2 END AS g
+       |  SELECT vec_id, $grpCase AS g
        |  FROM embeddings),
        |cand AS (
        |  SELECT a.vec_id, b.vec_id AS blocker
        |  FROM buck a
-       |  JOIN grp ga ON ga.vec_id = a.vec_id AND ga.g IN (1, 2)
+       |  JOIN grp ga ON ga.vec_id = a.vec_id AND ga.g >= 1
        |  JOIN buck b ON b.bucket = a.bucket
        |  JOIN grp gb ON gb.vec_id = b.vec_id
        |  WHERE gb.g < ga.g OR (gb.g = ga.g AND b.vec_id < a.vec_id)),
@@ -2367,25 +2393,18 @@ object LlmQueries {
        |conf AS (
        |  SELECT vec_id, blocker FROM dt
        |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) / sqrt(CAST(bn AS DOUBLE)) >= 0.4),
-       |adm1 AS (
-       |  SELECT g.vec_id FROM grp g
-       |  WHERE g.g = 1 AND NOT EXISTS (
-       |    SELECT 1 FROM conf WHERE conf.vec_id = g.vec_id)),
-       |adm2 AS (
-       |  SELECT g.vec_id FROM grp g
-       |  WHERE g.g = 2 AND NOT EXISTS (
-       |    SELECT 1 FROM conf
-       |    JOIN grp gb ON gb.vec_id = conf.blocker
-       |    WHERE conf.vec_id = g.vec_id
-       |      AND (gb.g = 0 OR gb.g = 2
-       |           OR (gb.g = 1 AND conf.blocker IN (SELECT vec_id FROM adm1))))),
+       |$admCtes,
        |out AS (
-       |  SELECT vec_id, 1 AS batch FROM adm1
-       |  UNION ALL
-       |  SELECT vec_id, 2 AS batch FROM adm2)
+       |$outArms)
        |SELECT out.vec_id, out.batch, buck.bucket
        |FROM out JOIN buck ON buck.vec_id = out.vec_id
        |ORDER BY out.vec_id""".stripMargin
+  }
+
+  val q90Oracle: String = {
+    val u = Sampling.duckUniform01("CAST(vec_id AS VARCHAR)")
+    vectorSequentialOracle(
+      s"CASE WHEN $u >= 0.3 THEN 0 WHEN $u >= 0.15 THEN 1 ELSE 2 END", n = 2)
   }
 
   // --------------------------------------------------------------------

@@ -2314,6 +2314,176 @@ object StreamGateQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Stage the incoming embeddings (content-hash split `u < 0.5`) as
+    * `n` HASH-GROUP files — vector → micro-batch
+    * `hash60('g' || vec_id) % n` — for the streamed VECTOR fold gates
+    * (q100/q101). [[stageDocHashSplit]]'s layout-pinning argument
+    * applies verbatim: the sequential admission recurrence is
+    * batch-layout-dependent (pairwise cosine similarity is as
+    * non-transitive as Jaccard), so the oracle must reproduce the exact
+    * assignment, which a hash group is and a quantile cut is not. The
+    * incoming share is 0.5, NOT q80's 0.3, deliberately: under the 0.3
+    * split the fixture has ZERO confirmed incoming–incoming pairs at
+    * sf0.001 (measured), so every fold would be inert and the gate
+    * would silently collapse into a streamed q80; at 0.5 the fold path
+    * provably bites at every SF (the [[vectorFoldGate]] fence). Only
+    * (vec_id, embedding) is staged — the sketch (integer scaling, norm,
+    * sign-LSH bucket) is computed IN the stream, map-side, where an
+    * ingest pipeline computes it.
+    */
+  private def stageVecHashSplit(
+      s: SparkSession, dir: String, tag: String, n: Int): String = {
+    import s.implicits._
+    val staged = Files.createTempDirectory(s"graft-$tag-src")
+    val scratch = Files.createTempDirectory(s"graft-$tag-part")
+    val grp = graft.operators.Sampling.hash60(
+      concat(lit("g"), $"vec_id".cast("string"))) % n
+    val src = Tables.embeddings(s, dir)
+      .filter(graft.operators.Sampling.uniform01($"vec_id") < 0.5)
+      .select($"vec_id", $"embedding")
+      .withColumn("_slice", (grp + 1).cast("int"))
+    writeSlices(staged, scratch, src, n, filePrefix = "vecs")
+    staged.toString
+  }
+
+  /** q100 — the streamed VECTOR fold: q91/q96's continuous-ingest loop
+    * on the EMBEDDING modality, completing the streaming × modality
+    * matrix (exact fingerprints q91, text near-dup q96, semantic
+    * near-dup here — every batch maintenance cycle q89/q90 proves now
+    * has a streaming realization). Each micro-batch of arriving vectors
+    * is sketched IN the stream (integer scaling + squared norm +
+    * sign-LSH bucket, ONE [[LlmQueries.vectorSketch]] pass whose
+    * checkpointed frame serves every per-segment probe branch, the
+    * in-batch self-join, AND the fold of the admitted subset), admitted
+    * by q80's exact semantics against the standing bucket index's
+    * strictly-earlier segments
+    * ([[LlmQueries.admitByVectorSegments]]), and the ADMITTED vectors'
+    * sketch rows fold in as segment `batchId + 1` — a later batch
+    * rejects vectors semantically duplicating an earlier batch's
+    * admission through the INDEX. Layout-pinned oracle as q96:
+    * vectors land in micro-batch `hash60('g' || vec_id) % n`
+    * ([[stageVecHashSplit]]) and
+    * [[LlmQueries.vectorSequentialOracle]] unrolls the recurrence over
+    * exactly those groups.
+    *
+    * Scale: q90's story — O(batch) folds, per-segment zero-exchange
+    * bucket probes (q80's BucketingSpec law), candidates bounded by the
+    * batch's bucket collisions; fully STATELESS (the index is the
+    * cross-batch state).
+    */
+  def q100StreamingVectorFold(s: SparkSession, dir: String): DataFrame =
+    vectorFoldGate(s, dir, "q100", failAt = None)
+
+  /** q101 — q100's pipeline crashed on the first attempt of batch 2
+    * after both durable effects (admissions dir + sketch-row fold), then
+    * replayed: q92/q97's recovery contract at the vector shape — the
+    * replay probes strictly-earlier segments only (its own crashed
+    * fold, cover 3, stays invisible) and re-folds segment 3
+    * idempotently with byte-identical sketch rows (the sketch is a
+    * deterministic function of the vector). The batch-dir union meets
+    * q100's oracle for the 6-batch layout verbatim.
+    */
+  def q101VectorFoldCrash(s: SparkSession, dir: String): DataFrame =
+    vectorFoldGate(s, dir, "q101", failAt = Some(2L))
+
+  /** Shared harness behind q100 (clean) and q101 (crashed + replayed). */
+  private def vectorFoldGate(
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+    import s.implicits._
+    val n = if (failAt.isDefined) 6 else 4
+    val staged = stageVecHashSplit(s, dir, tag, n)
+    def asIndex(df: DataFrame): DataFrame = df.select($"bucket",
+      $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
+    val corpusFrame = asIndex(
+        LlmQueries.vectorSketch(Tables.embeddings(s, dir))
+          .filter(graft.operators.Sampling.uniform01($"vec_id") >= 0.5))
+      .localCheckpoint() // reused by the non-vacuity fence below
+    val ix = new graft.operators.StandingIndex(
+      s, s"${tag}_vec_ix", buckets = 4, keys = Seq("bucket"))
+    ix.init(corpusFrame)
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+      incoming
+        .writeStream
+        .queryName(s"${tag}_vector_fold_$run")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // sketch ONCE per batch: the checkpointed frame feeds the
+          // probe's every join branch AND the fold of the admitted
+          // subset (vectorSketch is deterministic per vector, so the
+          // crash replay's re-fold is byte-identical)
+          val batchSv = LlmQueries.vectorSketch(batch).localCheckpoint()
+          val admitted = LlmQueries.admitByVectorSegments(
+              batchSv, ix.segmentsUpTo(batchId)).localCheckpoint()
+          ix.foldAt(
+            asIndex(batchSv.join(admitted.select($"vec_id"), "vec_id")),
+            batchId + 1)
+          admitted
+            .select($"vec_id", lit(batchId + 1).cast("int").as("batch"),
+              $"bucket")
+            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+          ()
+        }
+        .start()
+    }
+    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.isEmpty,
+      s"$tag must run STATELESS (the standing index is the cross-batch " +
+        s"state), got $stateful")
+    dropStaged(staged)
+    val result = s.read.parquet(s"$out/batch_*")
+      .select($"vec_id", $"batch", $"bucket")
+      .orderBy($"vec_id")
+    // non-vacuity fence: at least one rejection must be attributable to
+    // a FOLD (an earlier batch's admission), not the corpus or the
+    // in-batch self-join — otherwise the gate silently collapses into a
+    // streamed q80 and proves nothing about index maintenance. The
+    // no-fold baseline replays each batch's admission against the
+    // corpus segment ALONE; strictly more admissions there means a fold
+    // blocked somebody here.
+    val grpCol = (graft.operators.Sampling.hash60(
+      concat(lit("g"), $"vec_id".cast("string"))) % n + 1).cast("int")
+    val stagedSv = LlmQueries.vectorSketch(Tables.embeddings(s, dir)
+        .filter(graft.operators.Sampling.uniform01($"vec_id") < 0.5))
+      .withColumn("g", grpCol).localCheckpoint()
+    val noFold = (1 to n).map { k =>
+      LlmQueries.admitByVectorSegments(
+        stagedSv.filter($"g" === k).drop("g"), Seq(corpusFrame)).count()
+    }.sum
+    val admittedCount = result.count()
+    require(noFold > admittedCount,
+      s"$tag: folds must block at least one vector " +
+        s"(no-fold admissions $noFold vs admitted $admittedCount)")
+    result
+  }
+
+  /** q100/q101's oracle: the sequential vector-admission recurrence
+    * unrolled over the gate's exact hash-group batch layout.
+    */
+  private def vectorGateOracle(n: Int): String = {
+    val u = graft.operators.Sampling.duckUniform01("CAST(vec_id AS VARCHAR)")
+    val gh = graft.operators.Sampling.duckHash60("'g' || CAST(vec_id AS VARCHAR)")
+    LlmQueries.vectorSequentialOracle(
+      s"CASE WHEN $u >= 0.5 THEN 0 ELSE 1 + ($gh % $n) END", n)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
     "q52_stream_stream_join" -> (q52StreamStreamJoin _),
@@ -2347,7 +2517,9 @@ object StreamGateQueries {
     "q96_streaming_neardup_fold" -> (q96StreamingNeardupFold _),
     "q97_neardup_fold_crash" -> (q97NeardupFoldCrash _),
     "q98_expiring_fold" -> (q98ExpiringFold _),
-    "q99_expiring_fold_crash" -> (q99ExpiringFoldCrash _))
+    "q99_expiring_fold_crash" -> (q99ExpiringFoldCrash _),
+    "q100_streaming_vector_fold" -> (q100StreamingVectorFold _),
+    "q101_vector_fold_crash" -> (q101VectorFoldCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -2419,5 +2591,9 @@ object StreamGateQueries {
     // they fold (corpus included); admissions re-open per the unrolled
     // window recurrence — and survive the crash+replay shape
     "q98_expiring_fold" -> expiringFoldOracle(5, ExpiryHorizon),
-    "q99_expiring_fold_crash" -> expiringFoldOracle(6, ExpiryHorizon))
+    "q99_expiring_fold_crash" -> expiringFoldOracle(6, ExpiryHorizon),
+    // streamed vector folds: q90's admission recurrence unrolled over
+    // the gate's exact (oracle-pinned) hash-group batch layout
+    "q100_streaming_vector_fold" -> vectorGateOracle(4),
+    "q101_vector_fold_crash" -> vectorGateOracle(6))
 }
