@@ -378,19 +378,18 @@ object StreamBench {
       // keys. Index init + doc-store shingling are the pay-once ingest
       // price OUTSIDE the timed window; each pass re-inits to
       // corpus-only. Stateless, like `fold`.
-      import graft.operators.{Sampling, StandingIndex, TextOps}
+      import graft.operators.{Sampling, StandingIndex}
+      import graft.queries.LlmQueries
       val docsPath = s"target/streambench_nddocs$shards"
       Tables.shardedDocuments(spark, base, shards)
         .repartition(32).write.mode("overwrite").parquet(docsPath)
       val rows = spark.read.parquet(docsPath).count()
-      def shingled(df: DataFrame): DataFrame = df
-        .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
-        .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
       // the confirm store: shard 0 is the unmodified base corpus, so one
       // frame serves corpus AND stream blockers (q53's point-lookup role)
-      val docStoreSh = shingled(spark.read.parquet(docsPath)).localCheckpoint()
-      val corpusBands = graft.queries.LlmQueries.minhashBands(
-          shingled(Tables.documents(spark, base)
+      val docStoreSh = LlmQueries.shingleDocs(spark.read.parquet(docsPath))
+        .localCheckpoint()
+      val corpusBands = LlmQueries.minhashBands(
+          LlmQueries.shingleDocs(Tables.documents(spark, base)
             .filter(Sampling.uniform01($"doc_id") >= 0.3)))
         .select($"doc_id", $"band", $"bk").localCheckpoint()
       val docsSchema = StructType(Seq(
@@ -410,15 +409,9 @@ object StreamBench {
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", ck)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // the q96 gate's exact per-batch spelling
-            val batchSh = shingled(batch).localCheckpoint()
-            val bands = graft.queries.LlmQueries.minhashBands(batchSh)
-              .select($"doc_id", $"band", $"bk").localCheckpoint()
-            val admitted = graft.queries.LlmQueries.admitByBandFrame(
-                batchSh, bands, ix.segmentsUpTo(batchId), docStoreSh)
-              .localCheckpoint()
-            ix.foldAt(bands.join(admitted.select($"doc_id"), "doc_id")
-              .select($"doc_id", $"band", $"bk"), batchId + 1)
+            // the q96 gate's exact per-batch spelling — the SAME helper
+            // the gate drives, so bench and gate can never drift
+            LlmQueries.neardupAdmitAndFold(batch, ix, batchId, docStoreSh)
             ()
           }
           .start()
@@ -446,9 +439,7 @@ object StreamBench {
       Tables.shardedEmbeddings(spark, base, shards)
         .repartition(32).write.mode("overwrite").parquet(vecsPath)
       val rows = spark.read.parquet(vecsPath).count()
-      def asIndex(df: DataFrame): DataFrame = df.select($"bucket",
-        $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
-      val corpusFrame = asIndex(LlmQueries.vectorSketch(
+      val corpusFrame = LlmQueries.vectorIndexRows(LlmQueries.vectorSketch(
           Tables.embeddings(spark, base)
             .filter(Sampling.uniform01($"vec_id") >= 0.5)))
         .localCheckpoint()
@@ -469,13 +460,9 @@ object StreamBench {
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", ck)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // the q100 gate's exact per-batch spelling
-            val batchSv = LlmQueries.vectorSketch(batch).localCheckpoint()
-            val admitted = LlmQueries.admitByVectorSegments(
-                batchSv, ix.segmentsUpTo(batchId)).localCheckpoint()
-            ix.foldAt(
-              asIndex(batchSv.join(admitted.select($"vec_id"), "vec_id")),
-              batchId + 1)
+            // the q100 gate's exact per-batch spelling — the SAME helper
+            // the gate drives, so bench and gate can never drift
+            LlmQueries.vectorAdmitAndFold(batch, ix, batchId)
             ()
           }
           .start()

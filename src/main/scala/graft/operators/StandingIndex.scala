@@ -67,9 +67,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rename, and a publish onto a table the POINTER references throws a
   * named collision rather than silently overwriting a concurrent
   * writer's delta (see [[publishSegment]]). A registered table the
-  * pointer does NOT reference is provably this session's own crashed
-  * fold (single-writer: no other publisher exists) and is reclaimed in
-  * place, so a crashed `fold()` does not poison the session. Scoped to
+  * pointer does NOT reference is reclaimed ONLY when it is provably
+  * this INSTANCE's own crashed publish — each instance ledgers the
+  * segment names it has attempted, so a crashed `fold()` does not
+  * poison the instance while a racing writer's just-published delta
+  * (registered, not yet pointer-committed, absent from OUR ledger)
+  * still collides by name instead of being silently dropped. Scoped to
   * one SparkSession's catalog + warehouse (segments are catalog tables);
   * the pointer file lives under the warehouse dir so index state and
   * data share a root.
@@ -157,17 +160,31 @@ class StandingIndex(
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Segment names THIS instance has attempted to publish — the ledger
+    * that makes "provably our own crashed publish" literally provable: a
+    * registered-but-unreferenced destination is reclaimable iff WE
+    * previously attempted it (our rename happened, our pointer commit
+    * did not). Without the ledger, ANY registered-unreferenced table
+    * would be classified as a crash leftover — including a racing
+    * writer's freshly-renamed, not-yet-committed delta, which a reclaim
+    * would silently destroy (the silent-overwrite outcome the loud
+    * collision contract exists to prevent).
+    */
+  private val attempted = scala.collection.mutable.Set.empty[String]
+
   /** Reclaim the RETIRED generation — the deferred half of
     * [[compact]]/[[expire]]'s retain-one grace, run at the head of every
     * mutating call: tables a pre-swap reader may still be scanning get
-    * exactly one maintenance cycle before their bytes go away.
+    * exactly one maintenance cycle before their bytes go away. Returns
+    * the live entries it read, so callers don't re-read the pointer.
     */
-  private def reclaimRetired(): Unit = {
+  private def reclaimRetired(): Seq[Seg] = {
     val (live, retired) = state
     if (retired.nonEmpty) {
       retired.foreach(dropSegment)
       commit(live, Seq.empty)
     }
+    live
   }
 
   /** Publish a new segment through a STAGING table + catalog rename —
@@ -176,23 +193,34 @@ class StandingIndex(
     * table the POINTER references (live or retired) throws — that table
     * is committed state, so a same-name publish can only be a
     * single-writer violation and must surface loudly, never as a silent
-    * overwrite. A catalog-REGISTERED table the pointer does NOT
-    * reference is provably this session's own crashed fold (published
-    * after the rename, died before the pointer commit; single-writer
-    * means no other publisher exists) and is reclaimed in place, so a
-    * crashed fold() never poisons the session's id space. A
-    * catalog-unregistered leftover at the segment's LOCATION is a dead
-    * JVM's orphan (the catalog is in-memory) and is likewise reclaimed —
-    * CdcTable's orphan-vs-live staging distinction.
+    * overwrite. A catalog-REGISTERED table the pointer does not
+    * reference is reclaimed in place ONLY when the [[attempted]] ledger
+    * proves it is this instance's own crashed publish (renamed, died
+    * before the pointer commit); the contested path re-reads the
+    * pointer first so a racing writer's commit that landed after our
+    * caller's read still collides loudly. A catalog-unregistered
+    * leftover at the segment's LOCATION is a dead JVM's orphan (the
+    * catalog is in-memory) and is reclaimed — CdcTable's orphan-vs-live
+    * staging distinction. Synchronized: two threads racing through one
+    * instance serialize here instead of interleaving drop/rename.
     */
   private def publishSegment(
-      df: DataFrame, table: String, referenced: Set[String]): Unit = {
+      df: DataFrame, table: String, referenced: Set[String]): Unit = this.synchronized {
     def collision(cause: Throwable) = new IllegalStateException(
       s"StandingIndex '$name' publish collision on '$table': folds are " +
         "single-writer (see class doc); this delta was NOT published", cause)
-    if (spark.catalog.tableExists(table) && referenced.contains(table))
-      throw collision(null)
-    // reclaims a same-session crashed fold's registered table or a dead
+    if (spark.catalog.tableExists(table)) {
+      if (referenced.contains(table)) throw collision(null)
+      // registered but unreferenced per the caller's read: re-read the
+      // pointer (the caller's snapshot may predate a racing commit),
+      // then reclaim only our own provable crash leftover
+      val (liveNow, retiredNow) = state
+      if ((liveNow.map(_.table) ++ retiredNow).contains(table) ||
+          !attempted.contains(table))
+        throw collision(null)
+    }
+    attempted += table
+    // reclaims our own crashed publish's registered table or a dead
     // JVM's orphaned location (no-op otherwise) — see scaladoc
     dropSegment(table)
     val stg = s"${table}_stg"
@@ -224,8 +252,7 @@ class StandingIndex(
     * retirement; leave defaulted for an index with no event-time bound.
     */
   def fold(delta: DataFrame, maxEventMs: Long = Long.MaxValue): Unit = {
-    reclaimRetired()
-    val (live, _) = state
+    val live = reclaimRetired()
     require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before fold()")
     val next = live.map(_.cover).max + 1
     publishSegment(delta, segTable(next), live.map(_.table).toSet)
@@ -247,8 +274,7 @@ class StandingIndex(
     * (see [[compact]]).
     */
   def foldAt(delta: DataFrame, id: Long, maxEventMs: Long = Long.MaxValue): Unit = {
-    reclaimRetired()
-    val (live, _) = state
+    val live = reclaimRetired()
     require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before foldAt()")
     require(id > 0L, s"segment id 0 is init's corpus segment, got $id")
     val compactedCover = live.filter(_.table.startsWith(s"${name}_cmp"))
@@ -289,41 +315,67 @@ class StandingIndex(
     val sel = live.filter(_.cover <= maxId)
     require(sel.nonEmpty,
       s"StandingIndex '$name' segmentsUpTo($maxId) selected no segments " +
-        s"(live covers: ${live.map(_.cover).mkString(",")}) — a compaction " +
-        "subsumed fold ids beyond this batch; compact only between " +
-        "committed batches so every in-flight probe keeps a covering segment")
+        s"(live covers: ${live.map(_.cover).mkString(",")}) — either a " +
+        "compaction subsumed fold ids beyond this batch (compact only " +
+        "covers of committed batches, e.g. compact(coverAtMost)) or a " +
+        "horizon expiry retired every low-cover segment while this batch " +
+        "replayed; every in-flight probe must keep a covering segment")
     sel.map(s => spark.table(s.table))
   }
 
-  /** Segment merge (Hudi compaction): rewrite all live segments as ONE
-    * bucketed generation table and publish. The merged segment COVERS
-    * the max fold id it subsumes, so `segmentsUpTo` probes of already-
-    * committed batches keep resolving it — compaction composes with a
-    * continuous keyed-fold ingest (q94) exactly as Hudi's async
-    * compaction composes with DeltaStreamer `--continuous`. Generation
-    * tables live in their own namespace (`<name>_cmp<g>`), so a merged
-    * segment can never be overwritten by a future keyed fold's
-    * idempotent same-id rewrite. Superseded segments are RETIRED, not
-    * dropped — one maintenance cycle of grace for cross-JVM readers
-    * holding the old pointer (class doc); the next mutating call
-    * reclaims them.
+  /** Segment merge (Hudi compaction): rewrite the live segments covering
+    * fold ids ≤ `coverAtMost` as ONE bucketed generation table and
+    * publish; later-covering segments stay live and untouched. The
+    * merged segment COVERS the max fold id it subsumes, so
+    * `segmentsUpTo` probes of already-committed batches keep resolving
+    * it — compaction composes with a continuous keyed-fold ingest (q94)
+    * exactly as Hudi's async compaction composes with DeltaStreamer
+    * `--continuous`. Generation tables live in their own namespace
+    * (`<name>_cmp<g>`), so a merged segment can never be overwritten by
+    * a future keyed fold's idempotent same-id rewrite. Superseded
+    * segments are RETIRED, not dropped — one maintenance cycle of grace
+    * for cross-JVM readers holding the old pointer (class doc); the
+    * next mutating call reclaims them.
     *
-    * Only compact between COMMITTED batches: subsuming an in-flight
-    * (crashed, to-be-replayed) fold would make its replay double-count
-    * — [[foldAt]] and [[segmentsUpTo]] both refuse that state loudly.
+    * `coverAtMost` is how a CONTINUOUS pipeline compacts safely: Hudi's
+    * compaction plans only COMMITTED file slices, and here the caller
+    * passes the highest committed batch id — an in-flight batch's
+    * (possibly crashed, to-be-replayed) fold at a higher cover is never
+    * subsumed, so the replay's `foldAt` and `segmentsUpTo` keep working,
+    * and re-running the SAME bounded compact on replay is idempotent
+    * (it merges the previous generation into a new one with identical
+    * content). The unbounded default is the quiesced/batch-pipeline
+    * spelling (q93): everything is committed, merge it all.
+    *
+    * Refuses to merge segments with DIFFERING `maxEventMs` stamps:
+    * stamps are segment-granular, so merging a batch-3 fold with a
+    * batch-5 fold would give batch 3's entries batch 5's lifetime and
+    * [[expire]]'s horizon contract ("stops blocking H batches after it
+    * folded") would silently stretch. An expiring deployment compacts
+    * stamp-homogeneous prefixes (or expires first); entry-level stamps
+    * are the production extension if finer compaction is needed.
     */
-  def compact(): Unit = {
-    reclaimRetired()
-    val (live, _) = state
+  def compact(coverAtMost: Long = Long.MaxValue): Unit = {
+    val live = reclaimRetired()
     require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before compact()")
+    val (sel, keep) = live.partition(_.cover <= coverAtMost)
+    require(sel.nonEmpty,
+      s"StandingIndex '$name' compact($coverAtMost): no live segment covers " +
+        s"<= $coverAtMost (live covers: ${live.map(_.cover).mkString(",")})")
+    require(sel.map(_.maxEventMs).distinct.size == 1,
+      s"StandingIndex '$name' compact($coverAtMost) would merge segments " +
+        s"with differing maxEventMs stamps " +
+        s"(${sel.map(_.maxEventMs).distinct.sorted.mkString(",")}) — the " +
+        "merged segment's stamp would stretch older entries' expire() " +
+        "horizon; compact stamp-homogeneous segments or expire first")
     val gen = live.map(_.table).collect {
       case t if t.startsWith(s"${name}_cmp") => t.stripPrefix(s"${name}_cmp").toLong
     }.maxOption.getOrElse(0L) + 1
-    val merged = Seg(cmpTable(gen), live.map(_.cover).max, live.map(_.maxEventMs).max)
+    val merged = Seg(cmpTable(gen), sel.map(_.cover).max, sel.head.maxEventMs)
     publishSegment(
-      live.map(s => spark.table(s.table)).reduce(_ unionByName _),
+      sel.map(s => spark.table(s.table)).reduce(_ unionByName _),
       merged.table, live.map(_.table).toSet)
-    commit(Seq(merged), retired = live.map(_.table))
+    commit((keep :+ merged).sortBy(_.cover), retired = sel.map(_.table))
   }
 
   /** Horizon-scoped segment retirement — the index-lifetime bound an
@@ -340,8 +392,7 @@ class StandingIndex(
     * requires it), and a fully-expired index is a reset — use [[init]].
     */
   def expire(expireBeforeMs: Long): Unit = {
-    reclaimRetired()
-    val (live, _) = state
+    val live = reclaimRetired()
     require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before expire()")
     val (dead, keep) = live.partition(_.maxEventMs < expireBeforeMs)
     if (dead.nonEmpty) {

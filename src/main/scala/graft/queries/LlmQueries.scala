@@ -1525,14 +1525,13 @@ object LlmQueries {
     * re-hashing the admitted docs' shingles a second time (q89/q93/q96
     * pay the banding once per batch; the probe and the fold can never
     * disagree on a band key because they are the same materialized
-    * rows). `probeBands` must be `minhashBands(batchSh)` checkpointed —
+    * rows). `probe` must be `minhashBands(batchSh)` checkpointed —
     * the one banding spelling, same as the index side.
     */
   def admitByBandFrame(
-      batchSh: DataFrame, probeBands: DataFrame,
+      batchSh: DataFrame, probe: DataFrame,
       corpusSegments: Seq[DataFrame], corpusSh: DataFrame): DataFrame = {
     import batchSh.sparkSession.implicits._
-    val probe = probeBands
     val candCorpus = corpusSegments.map { seg =>
       probe
         .join(seg.select($"doc_id".as("blocker"), $"band", $"bk"),
@@ -1583,6 +1582,84 @@ object LlmQueries {
       .agg(min($"doc_id").as("doc_id"))
       .localCheckpoint()
     ix.foldAt(admitted.select($"fingerprint"), batchId + 1, maxEventMs)
+    admitted
+  }
+
+  /** The ONE (doc_id, text) → (doc_id, sh) shingling spelling behind the
+    * near-dup maintenance cycles: normalized text → tokens → 3-shingles,
+    * exactly the q16/q75 confirm granularity. Shared by the streamed
+    * near-dup gates, their doc stores, and StreamBench's neardup subject
+    * so no caller can shingle differently from the index.
+    */
+  def shingleDocs(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id",
+        graft.operators.TextOps.tokens(
+          graft.operators.TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", graft.operators.TextOps.shingles($"toks", 3).as("sh"))
+  }
+
+  /** ONE micro-batch of the streamed NEAR-DUP maintenance cycle — q96's
+    * per-batch step, shared by the oracle-gated gate
+    * (StreamGateQueries.neardupFoldGate) and StreamBench's `neardup`
+    * throughput subject so bench and gate can never drift
+    * ([[admitAndFold]]'s discipline on the fuzzy modality): shingle +
+    * band the arriving batch ONCE (the checkpointed band frame serves
+    * every per-segment probe branch, the in-batch self-join, AND the
+    * fold — [[admitByBandFrame]]'s law), admit against the standing band
+    * index's strictly-earlier segments with the exact-Jaccard confirm
+    * served from `docStoreSh`, and fold the ADMITTED docs' band keys as
+    * segment `batchId + 1`. Returns the admitted (doc_id, n_shingles)
+    * frame, checkpointed — one computation feeds the caller's sink AND
+    * the fold.
+    */
+  def neardupAdmitAndFold(
+      batch: DataFrame, ix: graft.operators.StandingIndex,
+      batchId: Long, docStoreSh: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    val batchSh = shingleDocs(batch).localCheckpoint()
+    val bands = minhashBands(batchSh)
+      .select($"doc_id", $"band", $"bk").localCheckpoint()
+    val admitted = admitByBandFrame(
+        batchSh, bands, ix.segmentsUpTo(batchId), docStoreSh)
+      .localCheckpoint()
+    ix.foldAt(bands.join(admitted.select($"doc_id"), "doc_id")
+      .select($"doc_id", $"band", $"bk"), batchId + 1)
+    admitted
+  }
+
+  /** The ONE sketch-frame → index-row spelling for the standing VECTOR
+    * index: (vec_id, v, nsq, bucket) → (bucket, blocker, bv, bn), the
+    * blocker-side schema [[admitByVectorSegments]] probes. Shared by
+    * q90's batch gate, the streamed q100/q101 gates, and StreamBench's
+    * vecfold subject.
+    */
+  def vectorIndexRows(sv: DataFrame): DataFrame = {
+    import sv.sparkSession.implicits._
+    sv.select($"bucket", $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
+  }
+
+  /** ONE micro-batch of the streamed VECTOR maintenance cycle — q100's
+    * per-batch step, shared by the oracle-gated gate
+    * (StreamGateQueries.vectorFoldGate) and StreamBench's `vecfold`
+    * throughput subject so bench and gate can never drift: sketch the
+    * arriving batch ONCE ([[vectorSketch]], checkpointed — the frame
+    * serves every per-segment probe branch, the in-batch self-join, AND
+    * the fold), admit against the standing bucket index's
+    * strictly-earlier segments ([[admitByVectorSegments]]), and fold the
+    * ADMITTED vectors' sketch rows as segment `batchId + 1`. Returns the
+    * admitted (vec_id, bucket) frame, checkpointed.
+    */
+  def vectorAdmitAndFold(
+      batch: DataFrame, ix: graft.operators.StandingIndex,
+      batchId: Long): DataFrame = {
+    import batch.sparkSession.implicits._
+    val batchSv = vectorSketch(batch).localCheckpoint()
+    val admitted = admitByVectorSegments(
+        batchSv, ix.segmentsUpTo(batchId)).localCheckpoint()
+    ix.foldAt(
+      vectorIndexRows(batchSv.join(admitted.select($"vec_id"), "vec_id")),
+      batchId + 1)
     admitted
   }
 
@@ -2308,17 +2385,15 @@ object LlmQueries {
     import s.implicits._
     val sv = vectorSketch(Tables.embeddings(s, dir)).localCheckpoint()
     def u: Column = Sampling.uniform01($"vec_id")
-    def asIndex(df: DataFrame): DataFrame = df.select($"bucket",
-      $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
     val corpus = sv.filter(u >= 0.3)
     val batch1 = sv.filter(u >= 0.15 && u < 0.3)
     val batch2 = sv.filter(u < 0.15)
     val ix = new StandingIndex(s, "q90_vec_ix", buckets = 4, keys = Seq("bucket"))
-    ix.init(asIndex(corpus))
+    ix.init(vectorIndexRows(corpus))
     val admit1 = admitByVectorSegments(batch1, ix.segments)
       .localCheckpoint() // emitted AND reused as batch 2's blocker set
     val admitted1 = batch1.join(admit1.select($"vec_id"), "vec_id")
-    ix.fold(asIndex(admitted1))
+    ix.fold(vectorIndexRows(admitted1))
     val admit2 = admitByVectorSegments(batch2, ix.segments)
     admit1.withColumn("batch", lit(1))
       .unionByName(admit2.withColumn("batch", lit(2)))

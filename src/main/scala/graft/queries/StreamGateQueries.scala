@@ -1918,10 +1918,11 @@ object StreamGateQueries {
     streamingFoldGate(s, dir, "q92", failAt = Some(2L))
 
   /** q94 — COMPACTION DURING CONTINUOUS INGEST: q91's streaming fold
-    * pipeline with a `compact()` injected BETWEEN micro-batches (after
-    * batch 1's fold commits, before batch 2 triggers), the shape the
-    * reference actually deploys — Hudi compaction running alongside
-    * DeltaStreamer `--continuous` upserts (ref
+    * pipeline with a compaction injected at the head of batch 2 —
+    * strictly after batch 1's COMMIT, bounded to committed folds
+    * (`compact(coverAtMost = 2)`) — the shape the reference actually
+    * deploys: Hudi compaction running alongside DeltaStreamer
+    * `--continuous` upserts, planning only COMMITTED file slices (ref
     * `hudi/debezium_hudi_demo/demonstration_notes.md` "Run Hudi
     * DeltaStreamer Continuously"; MoR's `_ro`/`_rt` views exist
     * precisely so readers survive it). The mechanism is
@@ -1930,22 +1931,31 @@ object StreamGateQueries {
     * `segmentsUpTo(batchId)` selects by coverage, not physical id, so
     * batch 2's strictly-earlier probe still resolves the merged segment
     * (ids 0..2) while later batches fold and probe right through it.
-    * The gate's claim is q93's compaction invisibility lifted to the
-    * STREAMING shape: the result must meet q91's oracle VERBATIM — a
-    * compaction that loses, dups, or double-counts index keys shifts
-    * some batch's admissions and fails the hash.
+    * The head-of-batch bounded placement is itself load-bearing:
+    * compacting inside batch 1 after its sink would open a crash window
+    * (compact durable, batch 1's commit not) whose replay finds no
+    * segment covering ≤ 1 and wedges the stream permanently — with the
+    * bounded head-of-batch-2 spelling, every crash replays the same
+    * compact idempotently (see q95). The gate's claim is q93's
+    * compaction invisibility lifted to the STREAMING shape: the result
+    * must meet q91's oracle VERBATIM — a compaction that loses, dups,
+    * or double-counts index keys shifts some batch's admissions and
+    * fails the hash.
     */
   def q94CompactedStreamingFold(s: SparkSession, dir: String): DataFrame =
     streamingFoldGate(s, dir, "q94", failAt = None, compactAt = Some(1L))
 
   /** q95 — q94's mid-stream compaction COMPOSED with q92's mid-batch
-    * crash: compact after batch 1, then the sink's first attempt of
-    * batch 2 dies after both durable effects (admissions dir + fold of
-    * segment 3). The replay must probe `segmentsUpTo(2)` = the merged
-    * generation ALONE — the coverage selection has to simultaneously
-    * keep the compacted corpus visible AND keep the replay's own
-    * crashed fold (cover 3 > 2) invisible, the two failure modes that
-    * pull in opposite directions. Batch-dir union meets q91's oracle
+    * crash: batch 2's first attempt compacts (bounded, covers ≤ 2),
+    * probes, folds segment 3, sinks — then dies before the commit. The
+    * replay re-runs the SAME bounded compact (idempotent: it merges the
+    * first attempt's generation into a new one with identical content —
+    * the crashed fold at cover 3 > 2 is never subsumed), then must
+    * probe `segmentsUpTo(2)` = the merged generation ALONE — the
+    * coverage selection has to simultaneously keep the compacted corpus
+    * visible AND keep the replay's own crashed fold invisible, the two
+    * failure modes that pull in opposite directions — and re-folds
+    * segment 3 idempotently. Batch-dir union meets q91's oracle
     * verbatim.
     */
   def q95CompactedFoldCrash(s: SparkSession, dir: String): DataFrame =
@@ -1991,16 +2001,23 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // q94/q95: the mid-stream compaction, at the head of the batch
+          // AFTER `compactAt` — i.e. strictly after batch `compactAt`'s
+          // COMMIT — and BOUNDED to committed folds (covers <= batchId).
+          // Running it inside batch `compactAt` after the sink would open
+          // a crash window (compact done, batch commit not), whose replay
+          // finds segmentsUpTo(compactAt) empty and wedges; here a crash
+          // anywhere in THIS batch just replays the same bounded compact
+          // idempotently, and a crashed replay fold (cover batchId + 1)
+          // can never be subsumed — Hudi's async-compaction discipline
+          // (compaction plans only committed file slices)
+          if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
           // probe strictly-earlier segments + keyed fold — the ONE
           // spelling (LlmQueries.admitAndFold, shared with StreamBench's
           // fold subject); see q92's scaladoc for the replay contract
           val admitted = LlmQueries.admitAndFold(batch, ix, batchId)
           admitted.select($"doc_id", $"fingerprint")
             .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
-          // q94/q95: the mid-stream compaction, after this batch's fold
-          // and sink commit — the async-compaction point of the Hudi
-          // deployment shape (see q94's scaladoc)
-          if (compactAt.contains(batchId)) ix.compact()
           if (failAt.contains(batchId) && !Files.exists(failMarker)) {
             Files.createFile(failMarker)
             throw new RuntimeException(injectedMsg)
@@ -2084,16 +2101,13 @@ object StreamGateQueries {
   private def neardupFoldGate(
       s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
     import s.implicits._
-    import graft.operators.TextOps
     val n = if (failAt.isDefined) 6 else 4
     val staged = stageDocHashSplit(s, dir, tag, n)
-    def shingled(df: DataFrame): DataFrame = df
-      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
-      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
     // the confirm step's doc store: every blocker's shingles fetched by
     // id (at 100 TB the q53 bucket-pruned point lookup; here one
     // checkpointed frame shared by all batches)
-    val docStoreSh = shingled(Tables.documents(s, dir)).localCheckpoint()
+    val docStoreSh = LlmQueries.shingleDocs(Tables.documents(s, dir))
+      .localCheckpoint()
     val corpusSh = docStoreSh
       .filter(graft.operators.Sampling.uniform01($"doc_id") >= 0.3)
     val ix = new graft.operators.StandingIndex(
@@ -2116,17 +2130,12 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // shingle + band ONCE per batch: the checkpointed frames feed
-          // the probe's every join branch AND the fold of the admitted
-          // subset (admitByBandFrame's single-banding law)
-          val batchSh = shingled(batch).localCheckpoint()
-          val bands = LlmQueries.minhashBands(batchSh)
-            .select($"doc_id", $"band", $"bk").localCheckpoint()
-          val admitted = LlmQueries.admitByBandFrame(
-              batchSh, bands, ix.segmentsUpTo(batchId), docStoreSh)
-            .localCheckpoint()
-          ix.foldAt(bands.join(admitted.select($"doc_id"), "doc_id")
-            .select($"doc_id", $"band", $"bk"), batchId + 1)
+          // the ONE per-batch spelling (LlmQueries.neardupAdmitAndFold,
+          // shared with StreamBench's neardup subject): shingle + band
+          // once, probe strictly-earlier segments, fold the admitted
+          // band keys
+          val admitted = LlmQueries.neardupAdmitAndFold(
+            batch, ix, batchId, docStoreSh)
           admitted
             .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
               $"n_shingles")
@@ -2392,9 +2401,7 @@ object StreamGateQueries {
     import s.implicits._
     val n = if (failAt.isDefined) 6 else 4
     val staged = stageVecHashSplit(s, dir, tag, n)
-    def asIndex(df: DataFrame): DataFrame = df.select($"bucket",
-      $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
-    val corpusFrame = asIndex(
+    val corpusFrame = LlmQueries.vectorIndexRows(
         LlmQueries.vectorSketch(Tables.embeddings(s, dir))
           .filter(graft.operators.Sampling.uniform01($"vec_id") >= 0.5))
       .localCheckpoint() // reused by the non-vacuity fence below
@@ -2419,16 +2426,12 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // sketch ONCE per batch: the checkpointed frame feeds the
-          // probe's every join branch AND the fold of the admitted
-          // subset (vectorSketch is deterministic per vector, so the
-          // crash replay's re-fold is byte-identical)
-          val batchSv = LlmQueries.vectorSketch(batch).localCheckpoint()
-          val admitted = LlmQueries.admitByVectorSegments(
-              batchSv, ix.segmentsUpTo(batchId)).localCheckpoint()
-          ix.foldAt(
-            asIndex(batchSv.join(admitted.select($"vec_id"), "vec_id")),
-            batchId + 1)
+          // the ONE per-batch spelling (LlmQueries.vectorAdmitAndFold,
+          // shared with StreamBench's vecfold subject): sketch once,
+          // probe strictly-earlier segments, fold the admitted sketch
+          // rows (the sketch is deterministic per vector, so the crash
+          // replay's re-fold is byte-identical)
+          val admitted = LlmQueries.vectorAdmitAndFold(batch, ix, batchId)
           admitted
             .select($"vec_id", lit(batchId + 1).cast("int").as("batch"),
               $"bucket")

@@ -199,23 +199,118 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "fixture must produce post-fold candidates")
   }
 
-  test("StandingIndex same-session crash leftover is reclaimed: an unreferenced registered segment table does not poison the next fold") {
+  test("StandingIndex own crash leftover is reclaimed: a fold whose pointer commit never landed does not poison this instance's next fold") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
     // a fold that crashed between the catalog rename and the pointer
-    // commit leaves a REGISTERED table the pointer never references;
-    // single-writer means no other publisher can exist, so the next
-    // fold provably owns that leftover and reclaims it in place —
-    // contrast the referenced-table case below, which must stay loud
+    // commit leaves a REGISTERED table the pointer never references; the
+    // instance's attempt ledger proves the leftover is its OWN, so the
+    // next fold reclaims it in place. Simulate the crash faithfully:
+    // run a real fold through the instance (the rename happens, the
+    // ledger records it), then roll the pointer file back to the
+    // pre-fold state — exactly the on-disk state a crash between rename
+    // and commit leaves behind.
     val ix = new StandingIndex(spark, "law_crash_ix", 2, Seq("band", "bk"))
     ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
-    // the crashed fold's leftover: registered, pointer-unreferenced
-    Seq((9L, 1, "q")).toDF("doc_id", "band", "bk")
-      .write.mode("overwrite").saveAsTable("law_crash_ix_seg1")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(wh, "_law_crash_ix_segments")
+    val preFold = {
+      val in = fs.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    ix.fold(Seq((9L, 1, "q")).toDF("doc_id", "band", "bk"))
+    // "crash": the publish survived (seg1 registered), the commit didn't
+    val out = fs.create(ptr, true)
+    try out.write(preFold.getBytes("UTF-8")) finally out.close()
+    assert(spark.catalog.tableExists("law_crash_ix_seg1"))
     ix.fold(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"))
     assert(ix.segments.size == 2)
     // the leftover's content is gone — the new delta owns segment 1
     assert(ix.segments.last.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("StandingIndex publish onto a FOREIGN unreferenced table is LOUD: a racing writer's uncommitted delta is never silently dropped") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // the complement of the reclaim law: a registered table the pointer
+    // does not reference that this instance did NOT publish (absent from
+    // its attempt ledger) is a racing writer's freshly-renamed,
+    // not-yet-committed delta — reclaiming it would be the silent
+    // delta-loss the loud-collision contract forbids. Forge the racing
+    // writer's table directly (it is not in the instance's ledger).
+    val ix = new StandingIndex(spark, "law_race_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
+    Seq((9L, 1, "q")).toDF("doc_id", "band", "bk")
+      .write.mode("overwrite").saveAsTable("law_race_ix_seg1")
+    val e = intercept[IllegalStateException] {
+      ix.fold(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"))
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // the racing writer's delta is intact, the index still readable
+    assert(spark.table("law_race_ix_seg1").collect().map(_.getLong(0)).toSeq === Seq(9L))
+    assert(ix.segments.size == 1)
+    spark.sql("DROP TABLE IF EXISTS law_race_ix_seg1")
+  }
+
+  test("StandingIndex bounded compact merges only committed covers: later folds stay live and the same bounded compact replays idempotently") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // q94/q95's continuous-ingest compaction discipline at unit level:
+    // compact(coverAtMost = highest committed batch id) must leave an
+    // in-flight batch's (possibly crashed) fold unsubsumed — its replay
+    // still probes and refolds — and re-running the SAME bounded compact
+    // (the replay path) merges the previous generation into a new one
+    // with identical content.
+    val ix = new StandingIndex(spark, "law_bcompact_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
+    ix.foldAt(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"), 1L) // batch 0
+    ix.foldAt(Seq((3L, 1, "z")).toDF("doc_id", "band", "bk"), 2L) // batch 1
+    ix.foldAt(Seq((4L, 1, "w")).toDF("doc_id", "band", "bk"), 3L) // batch 2, in flight
+    ix.compact(coverAtMost = 2L) // batch 2's head-of-batch compact
+    // the in-flight fold survives unsubsumed; the merged gen covers 0..2
+    assert(ix.segments.size == 2)
+    assert(ix.segmentsUpTo(2L).size == 1, "probe of covers <= 2 sees the merged gen alone")
+    assert(ix.segmentsUpTo(2L).head.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // replay of batch 2 re-runs the same bounded compact: idempotent
+    ix.compact(coverAtMost = 2L)
+    assert(ix.segmentsUpTo(2L).head.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // ...and the replayed fold still lands above the compacted cover
+    ix.foldAt(Seq((5L, 0, "v")).toDF("doc_id", "band", "bk"), 3L)
+    assert(ix.segmentsUpTo(3L).flatMap(_.collect()).map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 5L))
+    // a bound below every live cover is refused, not a silent no-op
+    val e = intercept[IllegalArgumentException] { ix.compact(coverAtMost = -1L) }
+    assert(e.getMessage.contains("no live segment"))
+  }
+
+  test("StandingIndex compact refuses mixed maxEventMs stamps: merging would stretch older entries' expire horizon") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    // stamps are segment-granular: merging a batch-1 fold with a batch-2
+    // fold would give batch 1's entries batch 2's lifetime, silently
+    // breaking expire()'s "stops blocking H batches after it folded"
+    // contract — the composition is fenced loudly until entry-level
+    // stamps exist. Homogeneous stamps (incl. all-unstamped, the q93/q94
+    // shape) still compact.
+    val ix = new StandingIndex(spark, "law_stampmix_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"), maxEventMs = 1000L)
+    ix.foldAt(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"), 1L, maxEventMs = 2000L)
+    val e = intercept[IllegalArgumentException] { ix.compact() }
+    assert(e.getMessage.contains("maxEventMs"))
+    assert(ix.segments.size == 2, "the refused compact must leave the index intact")
+    // equal stamps merge fine and the merged segment KEEPS the stamp:
+    // expire just past it still retires the merged generation
+    val ix2 = new StandingIndex(spark, "law_stampok_ix", 2, Seq("band", "bk"))
+    ix2.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"), maxEventMs = 2000L)
+    ix2.foldAt(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"), 1L, maxEventMs = 2000L)
+    ix2.compact()
+    assert(ix2.segments.size == 1)
+    ix2.fold(Seq((3L, 1, "z")).toDF("doc_id", "band", "bk")) // unstamped survivor
+    ix2.expire(expireBeforeMs = 2001L)
+    assert(ix2.segments.size == 1,
+      "the merged generation must expire at its inherited stamp")
+    assert(ix2.segments.head.collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
   test("StandingIndex publish onto a POINTER-REFERENCED table is LOUD: committed state rejects the publish; index stays readable") {
