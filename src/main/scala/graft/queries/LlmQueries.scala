@@ -1652,14 +1652,14 @@ object LlmQueries {
     */
   def vectorAdmitAndFold(
       batch: DataFrame, ix: graft.operators.StandingIndex,
-      batchId: Long): DataFrame = {
+      batchId: Long, maxEventMs: Long = Long.MaxValue): DataFrame = {
     import batch.sparkSession.implicits._
     val batchSv = vectorSketch(batch).localCheckpoint()
     val admitted = admitByVectorSegments(
         batchSv, ix.segmentsUpTo(batchId)).localCheckpoint()
     ix.foldAt(
       vectorIndexRows(batchSv.join(admitted.select($"vec_id"), "vec_id")),
-      batchId + 1)
+      batchId + 1, maxEventMs)
     admitted
   }
 
@@ -2411,15 +2411,24 @@ object LlmQueries {
     * exact integer-scaled cosine ≥ 0.4 on bucket collisions. q90's
     * hand-written 2-batch oracle and the streamed q100/q101 gates are
     * instances of this one generator, so the batch and streaming vector
-    * maintenance oracles can never drift.
+    * maintenance oracles can never drift. With `horizon = Some(H)` the
+    * blocker windows EXPIRE (the q102/q103 shape, mirroring q98's
+    * recurrence on the vector modality): the corpus blocks batch k only
+    * while `k ≤ H`, and earlier-batch admissions block only for the H
+    * batches after their fold — the sliding-window dedup semantics
+    * `StandingIndex.expire` enforces at runtime.
     */
-  def vectorSequentialOracle(grpCase: String, n: Int): String = {
+  def vectorSequentialOracle(
+      grpCase: String, n: Int, horizon: Option[Long] = None): String = {
     require(n >= 1, s"need at least one batch, got $n")
     val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val admCtes = (1 to n).map { k =>
-      val earlier = (1 until k)
+      val corpusArm =
+        if (horizon.forall(k <= _)) Seq(s"gb.g = 0") else Seq.empty
+      val lo = horizon.map(h => ((k - h) max 1L).toInt).getOrElse(1)
+      val earlier = lo.until(k)
         .map(j => s"(gb.g = $j AND conf.blocker IN (SELECT vec_id FROM adm$j))")
-      val blockerIs = (s"gb.g = 0" +: s"gb.g = $k" +: earlier).mkString("\n      OR ")
+      val blockerIs = (corpusArm ++ Seq(s"gb.g = $k") ++ earlier).mkString("\n      OR ")
       s"""adm$k AS (
          |  SELECT g.vec_id FROM grp g
          |  WHERE g.g = $k AND NOT EXISTS (

@@ -2478,13 +2478,128 @@ object StreamGateQueries {
   }
 
   /** q100/q101's oracle: the sequential vector-admission recurrence
-    * unrolled over the gate's exact hash-group batch layout.
+    * unrolled over the gate's exact hash-group batch layout. With
+    * `horizon` set, q102/q103's expiring variant of the same generator.
     */
-  private def vectorGateOracle(n: Int): String = {
+  private def vectorGateOracle(n: Int, horizon: Option[Long] = None): String = {
     val u = graft.operators.Sampling.duckUniform01("CAST(vec_id AS VARCHAR)")
     val gh = graft.operators.Sampling.duckHash60("'g' || CAST(vec_id AS VARCHAR)")
     LlmQueries.vectorSequentialOracle(
-      s"CASE WHEN $u >= 0.5 THEN 0 ELSE 1 + ($gh % $n) END", n)
+      s"CASE WHEN $u >= 0.5 THEN 0 ELSE 1 + ($gh % $n) END", n, horizon)
+  }
+
+  /** q102 — streamed EXPIRING dedup on the VECTOR modality: q98's
+    * horizon recurrence run through q100's pipeline, completing the
+    * expiry × modality pairing end-to-end instead of by argument (the
+    * mechanism — [[graft.operators.StandingIndex.expire]] — is
+    * modality-independent by construction: it moves whole segments and
+    * never inspects the key schema; this gate pins that claim at the
+    * oracle level). Per micro-batch: retire segments stamped before
+    * `batchId − H` (H = 2), sketch + admit via
+    * [[LlmQueries.vectorAdmitAndFold]] against the surviving
+    * strictly-earlier segments, fold stamped with the batch position
+    * (the index clock — a real deployment stamps max event time and
+    * expires at `watermark − horizon`; the law is identical, q98's
+    * argument). The corpus is stamped pre-batch-0, so a vector whose
+    * only blocker is a corpus near-duplicate flips from rejected to
+    * ADMITTED from batch H+1 on — the non-vacuity fence requires ≥ 1
+    * such post-expiry corpus re-admission (measured 1/3/42 at the three
+    * SFs), and an earlier batch's admission blocks only for the H
+    * batches after its fold. Index state is O(horizon × batch), never
+    * O(stream); oracle = [[LlmQueries.vectorSequentialOracle]] with the
+    * windowed blocker arms.
+    */
+  def q102ExpiringVectorFold(s: SparkSession, dir: String): DataFrame =
+    expiringVectorGate(s, dir, "q102", failAt = None)
+
+  /** q103 — q102's pipeline crashed on the first attempt of batch 2
+    * after its durable effects (expire + fold + sink), then replayed:
+    * the replay's expire is idempotent (the first attempt's retire was
+    * already reclaimed or re-derives identically), its probe reads the
+    * surviving strictly-earlier segments only (the crashed fold, cover
+    * 3, stays invisible), and the re-fold overwrites segment 3 with
+    * identical content AND stamp — crash recovery composed with horizon
+    * expiry on the vector modality.
+    */
+  def q103ExpiringVectorCrash(s: SparkSession, dir: String): DataFrame =
+    expiringVectorGate(s, dir, "q103", failAt = Some(2L))
+
+  /** Shared harness behind q102 (clean) and q103 (crashed + replayed). */
+  private def expiringVectorGate(
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+    import s.implicits._
+    val n = if (failAt.isDefined) 6 else 5
+    val staged = stageVecHashSplit(s, dir, tag, n)
+    val corpusFrame = LlmQueries.vectorIndexRows(
+        LlmQueries.vectorSketch(Tables.embeddings(s, dir))
+          .filter(graft.operators.Sampling.uniform01($"vec_id") >= 0.5))
+      .localCheckpoint() // reused by the re-admission fence below
+    val ix = new graft.operators.StandingIndex(
+      s, s"${tag}_vec_ix", buckets = 4, keys = Seq("bucket"))
+    // the corpus folded BEFORE batch 0 — stamp -1 on the batch-position
+    // clock, so it expires exactly when batch H's threshold passes it
+    ix.init(corpusFrame, maxEventMs = -1L)
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+      incoming
+        .writeStream
+        .queryName(s"${tag}_expiring_vector_$run")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // horizon first (q98's ordering): segments stamped behind
+          // batchId − H stop blocking BEFORE this batch probes, then
+          // the shared sketch-once probe + stamped fold
+          ix.expire(expireBeforeMs = batchId - ExpiryHorizon)
+          val admitted = LlmQueries.vectorAdmitAndFold(batch, ix, batchId,
+            maxEventMs = batchId)
+          admitted
+            .select($"vec_id", lit(batchId + 1).cast("int").as("batch"),
+              $"bucket")
+            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+          ()
+        }
+        .start()
+    }
+    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.isEmpty,
+      s"$tag must run STATELESS (the standing index is the cross-batch " +
+        s"state), got $stateful")
+    dropStaged(staged)
+    val result = s.read.parquet(s"$out/batch_*")
+      .select($"vec_id", $"batch", $"bucket")
+      .orderBy($"vec_id")
+    // non-vacuity fence: expiry must have RE-OPENED at least one
+    // corpus-blocked vector — an admission in a batch past the horizon
+    // whose confirmed corpus near-duplicate would have rejected it under
+    // q100's never-expiring gate; otherwise this gate silently collapses
+    // into q100 and proves nothing about the horizon
+    val lateSv = LlmQueries.vectorSketch(Tables.embeddings(s, dir))
+      .join(result.filter($"batch" > ExpiryHorizon).select($"vec_id"), "vec_id")
+    val reopened = lateSv.join(corpusFrame, "bucket")
+      .withColumn("cosine", graft.operators.VectorOps.cosineFromParts(
+        graft.operators.VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
+      .filter($"cosine" >= 0.4)
+      .select($"vec_id").distinct().count()
+    require(reopened > 0,
+      s"$tag must admit at least one post-expiry corpus near-duplicate, got none")
+    result
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2522,7 +2637,9 @@ object StreamGateQueries {
     "q98_expiring_fold" -> (q98ExpiringFold _),
     "q99_expiring_fold_crash" -> (q99ExpiringFoldCrash _),
     "q100_streaming_vector_fold" -> (q100StreamingVectorFold _),
-    "q101_vector_fold_crash" -> (q101VectorFoldCrash _))
+    "q101_vector_fold_crash" -> (q101VectorFoldCrash _),
+    "q102_expiring_vector_fold" -> (q102ExpiringVectorFold _),
+    "q103_expiring_vector_crash" -> (q103ExpiringVectorCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -2598,5 +2715,9 @@ object StreamGateQueries {
     // streamed vector folds: q90's admission recurrence unrolled over
     // the gate's exact (oracle-pinned) hash-group batch layout
     "q100_streaming_vector_fold" -> vectorGateOracle(4),
-    "q101_vector_fold_crash" -> vectorGateOracle(6))
+    "q101_vector_fold_crash" -> vectorGateOracle(6),
+    // horizon-expiring vector dedup: the same generator with windowed
+    // blocker arms — corpus blocks while k <= H, folds block H batches
+    "q102_expiring_vector_fold" -> vectorGateOracle(5, Some(ExpiryHorizon)),
+    "q103_expiring_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)))
 }
