@@ -53,6 +53,8 @@ import graft.streaming.StreamJobs
   *    probe + the per-batch index publication (the fold's bucketed
   *    catalog write is the measured per-batch maintenance price).
   *    Stateless (the index is the state), so no backend variants.
+  *  - `foldexp` — `fold` with a dedup horizon (q98's shape): per-batch
+  *    expire + stamped fold; the delta vs `fold` prices the horizon.
   *  - `neardup` — the FUZZY modality of `fold` (q96's shape): per-batch
   *    shingle + single-pass banding, segmented band-index probe with
   *    exact-Jaccard confirm against the doc store, admitted band keys
@@ -94,9 +96,9 @@ object StreamBench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale",
-      "admission", "fold", "neardup", "vecfold")
+      "admission", "fold", "foldexp", "neardup", "vecfold")
     val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
-      "sessionize,join,dedup,recovery,scale,admission,fold,neardup,vecfold")
+      "sessionize,join,dedup,recovery,scale,admission,fold,foldexp,neardup,vecfold")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // a typo'd or empty subject list would otherwise run ZERO subjects
     // and exit cleanly — indistinguishable from a recorded run (ADVICE)
@@ -367,6 +369,57 @@ object StreamBench {
         (System.nanoTime() - t0) / 1e9
       }
       jsonLine("stream_fold", rows, measure(Seq(("fold", () => run()))))
+    }
+
+    if (subjects("foldexp")) {
+      // `fold` with a dedup HORIZON (q98's shape): each batch first
+      // expires segments stamped behind batchId − 2, then runs the SAME
+      // admitAndFold helper with the fold stamped at the batch position
+      // — the measured delta vs the `fold` subject is the per-batch
+      // price of the horizon (an expire = one pointer read, plus a
+      // retire-commit and a reclaim drop on the batches where a segment
+      // crosses the horizon; index state stays O(horizon × batch)).
+      // The corpus is stamped pre-batch-0, exactly the gate's clock.
+      import graft.operators.{Sampling, StandingIndex, TextOps}
+      val docsPath = s"target/streambench_folddocs$shards"
+      Tables.shardedDocuments(spark, base, shards)
+        .repartition(32).write.mode("overwrite").parquet(docsPath)
+      val rows = spark.read.parquet(docsPath).count()
+      val corpusFp = Tables.documents(spark, base)
+        .filter(Sampling.uniform01($"doc_id") >= 0.3)
+        .select(TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+        .localCheckpoint()
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      def run(): Double = {
+        val ix = new StandingIndex(spark, "sbfoldexp", 4, Seq("fingerprint"))
+        ix.init(corpusFp, maxEventMs = -1L)
+        val ck = Files.createTempDirectory("graft-sbfoldexp-ck").toString
+        val t0 = System.nanoTime()
+        val q = spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", "8") // 32 fixture files → 4 batches
+          .parquet(docsPath)
+          .select($"doc_id",
+            TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // the q98 gate's exact per-batch spelling: horizon first,
+            // then the shared probe + stamped fold
+            ix.expire(expireBeforeMs = batchId - 2L)
+            graft.queries.LlmQueries.admitAndFold(batch, ix, batchId,
+              maxEventMs = batchId)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      jsonLine("stream_foldexp", rows, measure(Seq(("foldexp", () => run()))))
     }
 
     if (subjects("neardup")) {

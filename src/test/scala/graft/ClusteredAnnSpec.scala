@@ -200,4 +200,73 @@ class ClusteredAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       "segmentation must not change recall")
     assert(recall(topSeg) > 0.0)
   }
+
+  test("expired-index ANN parity: after expire, admission and top-k equal a fresh index of only the surviving content") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.{StandingIndex, VectorOps}
+    // the expiry arm of the parity family (fold/compact parity above):
+    // expire() moves WHOLE segments out of the live set, so the expired
+    // index must answer admission and bucket-ANN top-k IDENTICALLY to an
+    // index built from scratch over only the surviving content — expiry
+    // can remove blockers (that is its contract) but can never corrupt
+    // what remains. Segments are partitioned by CLUSTER so the expiry
+    // provably flips admissions: a probe-slice vector whose standing
+    // near-duplicates all lived in the expired segment must admit after
+    // the horizon passes (q102's re-admission semantics at spec level).
+    val sv = LlmQueries.vectorSketch(
+        spark.read.parquet(s"$fixDir/embeddings.parquet"))
+      .join(spark.read.parquet(s"$fixDir/embeddings.parquet")
+        .select($"vec_id", $"label"), "vec_id")
+      .localCheckpoint()
+    def asIndex(df: DataFrame): DataFrame = df.select($"bucket",
+      $"vec_id".as("blocker"), $"v".as("bv"), $"nsq".as("bn"))
+    val corpus = sv.filter($"label" <= 13 && $"vec_id" % 31 =!= 0)
+    val batch = sv.filter(($"label" <= 13 && $"vec_id" % 31 === 0) ||
+      $"label" >= 14)
+    val ix = new StandingIndex(spark, "ann_expire_ix", buckets = 4,
+      keys = Seq("bucket"))
+    ix.init(asIndex(corpus.filter($"label" <= 4)), maxEventMs = 10L)
+    ix.fold(asIndex(corpus.filter($"label" >= 5 && $"label" <= 9)),
+      maxEventMs = 20L)
+    ix.fold(asIndex(corpus.filter($"label" >= 10)), maxEventMs = 30L)
+    def admission(segs: Seq[DataFrame]): Set[Long] =
+      LlmQueries.admitByVectorSegments(batch, segs)
+        .collect().map(_.getLong(0)).toSet
+    def topk(segs: Seq[DataFrame]): Set[(Long, Long)] = {
+      val q = sv.filter($"vec_id" % 50 === 0)
+      segs.map(seg => q.join(seg, "bucket"))
+        .reduce(_ unionByName _)
+        .filter($"blocker" =!= $"vec_id")
+        .withColumn("cosine",
+          VectorOps.cosineFromParts(VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"blocker")))
+        .filter($"rank" <= 3)
+        .select($"vec_id", $"blocker")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val admFull = admission(ix.segments)
+    ix.expire(expireBeforeMs = 15L) // horizon passed the cluster-0..4 segment
+    assert(ix.segments.size == 2)
+    val admExp = admission(ix.segments)
+    val topExp = topk(ix.segments)
+    // the fresh-index twin: only the surviving content, built from scratch
+    val fresh = new StandingIndex(spark, "ann_expire_fresh_ix", buckets = 4,
+      keys = Seq("bucket"))
+    fresh.init(asIndex(corpus.filter($"label" >= 5 && $"label" <= 9)))
+    fresh.fold(asIndex(corpus.filter($"label" >= 10)))
+    assert(admExp === admission(fresh.segments),
+      "the expired index must admit exactly what a fresh survivor index admits")
+    assert(topExp === topk(fresh.segments),
+      "the expired index must return exactly a fresh survivor index's top-k")
+    // non-vacuity: the expiry re-opened admissions (q102's semantics) —
+    // vectors blocked only by the expired clusters now admit
+    assert(admFull.subsetOf(admExp),
+      "expiry can only remove blockers, never add them")
+    assert(admExp.size > admFull.size,
+      s"expiry must re-open at least one admission, got ${admFull.size} -> ${admExp.size}")
+  }
 }
