@@ -1615,7 +1615,8 @@ object LlmQueries {
     */
   def neardupAdmitAndFold(
       batch: DataFrame, ix: graft.operators.StandingIndex,
-      batchId: Long, docStoreSh: DataFrame): DataFrame = {
+      batchId: Long, docStoreSh: DataFrame,
+      maxEventMs: Long = Long.MaxValue): DataFrame = {
     import batch.sparkSession.implicits._
     val batchSh = shingleDocs(batch).localCheckpoint()
     val bands = minhashBands(batchSh)
@@ -1624,7 +1625,7 @@ object LlmQueries {
         batchSh, bands, ix.segmentsUpTo(batchId), docStoreSh)
       .localCheckpoint()
     ix.foldAt(bands.join(admitted.select($"doc_id"), "doc_id")
-      .select($"doc_id", $"band", $"bk"), batchId + 1)
+      .select($"doc_id", $"band", $"bk"), batchId + 1, maxEventMs)
     admitted
   }
 
@@ -2291,14 +2292,21 @@ object LlmQueries {
     * expression assigning each doc its group (0 = corpus, 1..n = batch),
     * and must match the gate's staging exactly.
     */
-  def neardupSequentialOracle(grpCase: String, n: Int): String = {
+  def neardupSequentialOracle(
+      grpCase: String, n: Int, horizon: Option[Long] = None): String = {
     require(n >= 1, s"need at least one batch, got $n")
     val abRows = minhashAB.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val admCtes = (1 to n).map { k =>
-      val earlier = (1 until k)
+      // with a horizon H the blocker windows EXPIRE (q104/q105's shape,
+      // mirroring the vector generator): corpus blocks while k <= H,
+      // earlier admissions block for the H batches after their fold
+      val corpusArm =
+        if (horizon.forall(k <= _)) Seq(s"gb.g = 0") else Seq.empty
+      val lo = horizon.map(h => ((k - h) max 1L).toInt).getOrElse(1)
+      val earlier = lo.until(k)
         .map(j => s"(gb.g = $j AND conf.blocker IN (SELECT doc_id FROM adm$j))")
-      val blockerIs = (s"gb.g = 0" +: s"gb.g = $k" +: earlier).mkString("\n      OR ")
+      val blockerIs = (corpusArm ++ Seq(s"gb.g = $k") ++ earlier).mkString("\n      OR ")
       s"""adm$k AS (
          |  SELECT g.doc_id FROM grp g
          |  WHERE g.g = $k AND NOT EXISTS (

@@ -2161,12 +2161,129 @@ object StreamGateQueries {
 
   /** q96/q97's oracle: the sequential near-dup recurrence unrolled over
     * the gate's exact hash-group batch layout (see q96's scaladoc).
+    * With `horizon` set, q104/q105's expiring variant of the same
+    * generator.
     */
-  private def neardupGateOracle(n: Int): String = {
+  private def neardupGateOracle(n: Int, horizon: Option[Long] = None): String = {
     val u = graft.operators.Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
     val gh = graft.operators.Sampling.duckHash60("'g' || CAST(doc_id AS VARCHAR)")
     LlmQueries.neardupSequentialOracle(
-      s"CASE WHEN $u >= 0.3 THEN 0 ELSE 1 + ($gh % $n) END", n)
+      s"CASE WHEN $u >= 0.3 THEN 0 ELSE 1 + ($gh % $n) END", n, horizon)
+  }
+
+  /** q104 — streamed EXPIRING dedup on the NEAR-DUP modality: q98's
+    * horizon recurrence through q96's pipeline, closing the last
+    * modality-specific surface the mechanism × modality matrix argument
+    * left open (the near-dup cycle's stamp plumb-through — q102's
+    * vector twin pinned the other one). Per micro-batch: expire
+    * segments stamped behind `batchId − H` (H = 2), then the shared
+    * shingle-and-band-once cycle ([[LlmQueries.neardupAdmitAndFold]])
+    * probes the SURVIVING strictly-earlier band segments with the
+    * exact-Jaccard confirm and folds the admitted band keys stamped at
+    * the batch position (corpus stamped pre-batch-0). A doc whose only
+    * blocker is a corpus near-duplicate flips to ADMITTED from batch
+    * H+1 on — measured post-expiry corpus re-admissions 2/7/51 at the
+    * three SFs (5-batch shape; 2/5/67 at the 6-batch crash shape),
+    * enforced by an in-gate fence. Oracle =
+    * [[LlmQueries.neardupSequentialOracle]] with windowed blocker arms
+    * — the SAME generator as q89/q96/q97.
+    */
+  def q104ExpiringNeardupFold(s: SparkSession, dir: String): DataFrame =
+    expiringNeardupGate(s, dir, "q104", failAt = None)
+
+  /** q105 — q104's pipeline crashed on the first attempt of batch 2
+    * after its durable effects (expire + fold + sink), then replayed:
+    * idempotent expire, probe of surviving strictly-earlier segments
+    * only (the crashed fold, cover 3, stays invisible), byte-identical
+    * stamped re-fold of the deterministic band keys.
+    */
+  def q105ExpiringNeardupCrash(s: SparkSession, dir: String): DataFrame =
+    expiringNeardupGate(s, dir, "q105", failAt = Some(2L))
+
+  /** Shared harness behind q104 (clean) and q105 (crashed + replayed). */
+  private def expiringNeardupGate(
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+    import s.implicits._
+    val n = if (failAt.isDefined) 6 else 5
+    val staged = stageDocHashSplit(s, dir, tag, n)
+    val docStoreSh = LlmQueries.shingleDocs(Tables.documents(s, dir))
+      .localCheckpoint()
+    val corpusSh = docStoreSh
+      .filter(graft.operators.Sampling.uniform01($"doc_id") >= 0.3)
+    val corpusBands = LlmQueries.minhashBands(corpusSh)
+      .select($"doc_id", $"band", $"bk").localCheckpoint()
+    val ix = new graft.operators.StandingIndex(
+      s, s"${tag}_band_ix", buckets = 4, keys = Seq("band", "bk"))
+    // the corpus folded BEFORE batch 0 — stamp -1 on the batch-position
+    // clock, so it expires exactly when batch H's threshold passes it
+    ix.init(corpusBands, maxEventMs = -1L)
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
+    val failMarker = Paths.get(out, "_fail_injected")
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+      incoming
+        .writeStream
+        .queryName(s"${tag}_expiring_neardup_$run")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // horizon first (q98's ordering), then the shared
+          // shingle-once probe + stamped fold
+          ix.expire(expireBeforeMs = batchId - ExpiryHorizon)
+          val admitted = LlmQueries.neardupAdmitAndFold(
+            batch, ix, batchId, docStoreSh, maxEventMs = batchId)
+          admitted
+            .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
+              $"n_shingles")
+            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
+          ()
+        }
+        .start()
+    }
+    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.isEmpty,
+      s"$tag must run STATELESS (the standing index is the cross-batch " +
+        s"state), got $stateful")
+    dropStaged(staged)
+    val result = s.read.parquet(s"$out/batch_*")
+      .select($"doc_id", $"batch", $"n_shingles")
+      .orderBy($"doc_id")
+    // non-vacuity fence: expiry must have RE-OPENED at least one
+    // corpus-blocked doc — a late admission with a CONFIRMED corpus
+    // near-duplicate (band-candidate + exact Jaccard >= 0.8), which
+    // q96's never-expiring gate would reject; otherwise this gate
+    // silently collapses into q96
+    val lateSh = docStoreSh
+      .join(result.filter($"batch" > ExpiryHorizon).select($"doc_id"), "doc_id")
+      .localCheckpoint()
+    val lateCand = LlmQueries.minhashBands(lateSh)
+      .select($"doc_id", $"band", $"bk")
+      .join(corpusBands.select($"doc_id".as("blocker"), $"band", $"bk"),
+        Seq("band", "bk"))
+      .select($"doc_id", $"blocker").distinct()
+    val reopened = lateCand
+      .join(lateSh.select($"doc_id", $"sh".as("sh_i")), "doc_id")
+      .join(docStoreSh.select($"doc_id".as("blocker"), $"sh".as("sh_b")), "blocker")
+      .withColumn("common", size(array_intersect($"sh_i", $"sh_b")))
+      .filter($"common".cast("double") /
+        (size($"sh_i") + size($"sh_b") - $"common") >= 0.8)
+      .select($"doc_id").distinct().count()
+    require(reopened > 0,
+      s"$tag must admit at least one post-expiry corpus near-duplicate, got none")
+    result
   }
 
   /** q98 — streamed EXPIRING dedup: q91's continuous fold loop with a
@@ -2639,7 +2756,9 @@ object StreamGateQueries {
     "q100_streaming_vector_fold" -> (q100StreamingVectorFold _),
     "q101_vector_fold_crash" -> (q101VectorFoldCrash _),
     "q102_expiring_vector_fold" -> (q102ExpiringVectorFold _),
-    "q103_expiring_vector_crash" -> (q103ExpiringVectorCrash _))
+    "q103_expiring_vector_crash" -> (q103ExpiringVectorCrash _),
+    "q104_expiring_neardup_fold" -> (q104ExpiringNeardupFold _),
+    "q105_expiring_neardup_crash" -> (q105ExpiringNeardupCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -2719,5 +2838,8 @@ object StreamGateQueries {
     // horizon-expiring vector dedup: the same generator with windowed
     // blocker arms — corpus blocks while k <= H, folds block H batches
     "q102_expiring_vector_fold" -> vectorGateOracle(5, Some(ExpiryHorizon)),
-    "q103_expiring_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)))
+    "q103_expiring_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)),
+    // the expiring near-dup pair: the near-dup generator's windowed arms
+    "q104_expiring_neardup_fold" -> neardupGateOracle(5, Some(ExpiryHorizon)),
+    "q105_expiring_neardup_crash" -> neardupGateOracle(6, Some(ExpiryHorizon)))
 }
