@@ -324,14 +324,11 @@ object StreamBench {
         ("rocksdb", () => run(Rocks)))))
     }
 
-    if (subjects("fold")) {
-      // continuous ingest with per-batch index folds (q91's shape).
-      // Each pass re-inits the index to corpus-only BEFORE its timer
-      // starts (a pass must not probe a prior pass's folds; the init
-      // write is OUTSIDE the timed window, the pay-once ingest price) —
-      // the timed run measures fingerprint + segmented probe + the
-      // per-batch fold publications only.
-      import graft.operators.{Sampling, StandingIndex, TextOps}
+    // shared staging for the fold-family subjects (fold/foldexp): the
+    // sharded doc fixture, its count, and the checkpointed corpus
+    // fingerprint frame are built ONCE even when both subjects run
+    lazy val foldFixture: (String, Long, DataFrame) = {
+      import graft.operators.{Sampling, TextOps}
       val docsPath = s"target/streambench_folddocs$shards"
       Tables.shardedDocuments(spark, base, shards)
         .repartition(32).write.mode("overwrite").parquet(docsPath)
@@ -340,10 +337,23 @@ object StreamBench {
         .filter(Sampling.uniform01($"doc_id") >= 0.3)
         .select(TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
         .localCheckpoint()
-      val docsSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
+      (docsPath, rows, corpusFp)
+    }
+    val foldDocsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+
+    if (subjects("fold")) {
+      // continuous ingest with per-batch index folds (q91's shape).
+      // Each pass re-inits the index to corpus-only BEFORE its timer
+      // starts (a pass must not probe a prior pass's folds; the init
+      // write is OUTSIDE the timed window, the pay-once ingest price) —
+      // the timed run measures fingerprint + segmented probe + the
+      // per-batch fold publications only.
+      import graft.operators.{StandingIndex, TextOps}
+      val (docsPath, rows, corpusFp) = foldFixture
+      val docsSchema = foldDocsSchema
       def run(): Double = {
         val ix = new StandingIndex(spark, "sbfold", 4, Seq("fingerprint"))
         ix.init(corpusFp)
@@ -380,19 +390,9 @@ object StreamBench {
       // retire-commit and a reclaim drop on the batches where a segment
       // crosses the horizon; index state stays O(horizon × batch)).
       // The corpus is stamped pre-batch-0, exactly the gate's clock.
-      import graft.operators.{Sampling, StandingIndex, TextOps}
-      val docsPath = s"target/streambench_folddocs$shards"
-      Tables.shardedDocuments(spark, base, shards)
-        .repartition(32).write.mode("overwrite").parquet(docsPath)
-      val rows = spark.read.parquet(docsPath).count()
-      val corpusFp = Tables.documents(spark, base)
-        .filter(Sampling.uniform01($"doc_id") >= 0.3)
-        .select(TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
-        .localCheckpoint()
-      val docsSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
+      import graft.operators.{StandingIndex, TextOps}
+      val (docsPath, rows, corpusFp) = foldFixture
+      val docsSchema = foldDocsSchema
       def run(): Double = {
         val ix = new StandingIndex(spark, "sbfoldexp", 4, Seq("fingerprint"))
         ix.init(corpusFp, maxEventMs = -1L)
@@ -410,7 +410,8 @@ object StreamBench {
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             // the q98 gate's exact per-batch spelling: horizon first,
             // then the shared probe + stamped fold
-            ix.expire(expireBeforeMs = batchId - 2L)
+            ix.expire(expireBeforeMs =
+              batchId - graft.queries.StreamGateQueries.ExpiryHorizon)
             graft.queries.LlmQueries.admitAndFold(batch, ix, batchId,
               maxEventMs = batchId)
             ()

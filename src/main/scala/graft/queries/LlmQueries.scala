@@ -2292,18 +2292,28 @@ object LlmQueries {
     * expression assigning each doc its group (0 = corpus, 1..n = batch),
     * and must match the gate's staging exactly.
     */
+  /** The horizon blocker-window shared by every expiring-oracle
+    * generator (q98/q99 fingerprints, q102/q103 vectors, q104/q105 band
+    * keys): for batch `k` (1-based) under horizon H, the corpus (group
+    * 0) blocks iff `k ≤ H`, and earlier batches `j ∈ [lo, k−1]` with
+    * `lo = max(k−H, 1)` block through their admitted sets. ONE
+    * spelling, so the three modalities' expiry windows can never drift;
+    * `horizon = None` is the never-expiring window (corpus always, all
+    * earlier batches). Returns (corpusBlocks, lo).
+    */
+  private[queries] def horizonWindow(
+      k: Int, horizon: Option[Long]): (Boolean, Int) =
+    (horizon.forall(k <= _), horizon.map(h => ((k - h) max 1L).toInt).getOrElse(1))
+
   def neardupSequentialOracle(
       grpCase: String, n: Int, horizon: Option[Long] = None): String = {
     require(n >= 1, s"need at least one batch, got $n")
     val abRows = minhashAB.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val admCtes = (1 to n).map { k =>
-      // with a horizon H the blocker windows EXPIRE (q104/q105's shape,
-      // mirroring the vector generator): corpus blocks while k <= H,
-      // earlier admissions block for the H batches after their fold
-      val corpusArm =
-        if (horizon.forall(k <= _)) Seq(s"gb.g = 0") else Seq.empty
-      val lo = horizon.map(h => ((k - h) max 1L).toInt).getOrElse(1)
+      // the shared expiry window ([[horizonWindow]]) — q104/q105's shape
+      val (corpusBlocks, lo) = horizonWindow(k, horizon)
+      val corpusArm = if (corpusBlocks) Seq(s"gb.g = 0") else Seq.empty
       val earlier = lo.until(k)
         .map(j => s"(gb.g = $j AND conf.blocker IN (SELECT doc_id FROM adm$j))")
       val blockerIs = (corpusArm ++ Seq(s"gb.g = $k") ++ earlier).mkString("\n      OR ")
@@ -2431,9 +2441,9 @@ object LlmQueries {
     require(n >= 1, s"need at least one batch, got $n")
     val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val admCtes = (1 to n).map { k =>
-      val corpusArm =
-        if (horizon.forall(k <= _)) Seq(s"gb.g = 0") else Seq.empty
-      val lo = horizon.map(h => ((k - h) max 1L).toInt).getOrElse(1)
+      // the shared expiry window ([[horizonWindow]]) — q102/q103's shape
+      val (corpusBlocks, lo) = horizonWindow(k, horizon)
+      val corpusArm = if (corpusBlocks) Seq(s"gb.g = 0") else Seq.empty
       val earlier = lo.until(k)
         .map(j => s"(gb.g = $j AND conf.blocker IN (SELECT vec_id FROM adm$j))")
       val blockerIs = (corpusArm ++ Seq(s"gb.g = $k") ++ earlier).mkString("\n      OR ")

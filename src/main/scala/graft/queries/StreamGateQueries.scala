@@ -2098,10 +2098,18 @@ object StreamGateQueries {
     neardupFoldGate(s, dir, "q97", failAt = Some(2L))
 
   /** Shared harness behind q96 (clean) and q97 (crashed + replayed). */
+  /** Shared harness behind q96/q97 (never-expiring) and q104/q105
+    * (`horizon = Some(H)` — per-batch expire + stamped folds + the
+    * post-expiry re-admission fence), the `streamingFoldGate(compactAt)`
+    * parametrization pattern: one drive/sink/probe spelling for the
+    * whole near-dup gate family.
+    */
   private def neardupFoldGate(
-      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long],
+      horizon: Option[Long] = None): DataFrame = {
     import s.implicits._
-    val n = if (failAt.isDefined) 6 else 4
+    val n =
+      if (failAt.isDefined) 6 else if (horizon.isDefined) 5 else 4
     val staged = stageDocHashSplit(s, dir, tag, n)
     // the confirm step's doc store: every blocker's shingles fetched by
     // id (at 100 TB the q53 bucket-pruned point lookup; here one
@@ -2110,9 +2118,17 @@ object StreamGateQueries {
       .localCheckpoint()
     val corpusSh = docStoreSh
       .filter(graft.operators.Sampling.uniform01($"doc_id") >= 0.3)
+    val corpusBands = {
+      val b = LlmQueries.minhashBands(corpusSh).select($"doc_id", $"band", $"bk")
+      // the expiring fence below re-probes against the corpus index
+      if (horizon.isDefined) b.localCheckpoint() else b
+    }
     val ix = new graft.operators.StandingIndex(
       s, s"${tag}_band_ix", buckets = 4, keys = Seq("band", "bk"))
-    ix.init(LlmQueries.minhashBands(corpusSh).select($"doc_id", $"band", $"bk"))
+    // expiring shape: the corpus folded BEFORE batch 0 — stamp -1 on the
+    // batch-position clock, so it expires when batch H's threshold passes
+    ix.init(corpusBands,
+      maxEventMs = if (horizon.isDefined) -1L else Long.MaxValue)
     val out = Files.createTempDirectory(s"graft-$tag-out").toString
     val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
     val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
@@ -2130,12 +2146,17 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // horizon first (q98's ordering): segments stamped behind
+          // batchId − H stop blocking BEFORE this batch probes; then
           // the ONE per-batch spelling (LlmQueries.neardupAdmitAndFold,
           // shared with StreamBench's neardup subject): shingle + band
-          // once, probe strictly-earlier segments, fold the admitted
-          // band keys
+          // once, probe strictly-earlier surviving segments, fold the
+          // admitted band keys (stamped at the batch position when
+          // expiring)
+          horizon.foreach(h => ix.expire(expireBeforeMs = batchId - h))
           val admitted = LlmQueries.neardupAdmitAndFold(
-            batch, ix, batchId, docStoreSh)
+            batch, ix, batchId, docStoreSh,
+            maxEventMs = if (horizon.isDefined) batchId else Long.MaxValue)
           admitted
             .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
               $"n_shingles")
@@ -2154,9 +2175,34 @@ object StreamGateQueries {
       s"$tag must run STATELESS (the standing index is the cross-batch " +
         s"state), got $stateful")
     dropStaged(staged)
-    s.read.parquet(s"$out/batch_*")
+    val result = s.read.parquet(s"$out/batch_*")
       .select($"doc_id", $"batch", $"n_shingles")
       .orderBy($"doc_id")
+    horizon.foreach { h =>
+      // non-vacuity fence: expiry must have RE-OPENED at least one
+      // corpus-blocked doc — a late admission with a CONFIRMED corpus
+      // near-duplicate (band-candidate + exact Jaccard >= 0.8), which
+      // the never-expiring gate would reject; otherwise the expiring
+      // gate silently collapses into q96
+      val lateSh = docStoreSh
+        .join(result.filter($"batch" > h).select($"doc_id"), "doc_id")
+        .localCheckpoint()
+      val lateCand = LlmQueries.minhashBands(lateSh)
+        .select($"doc_id", $"band", $"bk")
+        .join(corpusBands.select($"doc_id".as("blocker"), $"band", $"bk"),
+          Seq("band", "bk"))
+        .select($"doc_id", $"blocker").distinct()
+      val reopened = lateCand
+        .join(lateSh.select($"doc_id", $"sh".as("sh_i")), "doc_id")
+        .join(docStoreSh.select($"doc_id".as("blocker"), $"sh".as("sh_b")), "blocker")
+        .withColumn("common", size(array_intersect($"sh_i", $"sh_b")))
+        .filter($"common".cast("double") /
+          (size($"sh_i") + size($"sh_b") - $"common") >= 0.8)
+        .select($"doc_id").distinct().count()
+      require(reopened > 0,
+        s"$tag must admit at least one post-expiry corpus near-duplicate, got none")
+    }
+    result
   }
 
   /** q96/q97's oracle: the sequential near-dup recurrence unrolled over
@@ -2189,7 +2235,7 @@ object StreamGateQueries {
     * — the SAME generator as q89/q96/q97.
     */
   def q104ExpiringNeardupFold(s: SparkSession, dir: String): DataFrame =
-    expiringNeardupGate(s, dir, "q104", failAt = None)
+    neardupFoldGate(s, dir, "q104", failAt = None, horizon = Some(ExpiryHorizon))
 
   /** q105 — q104's pipeline crashed on the first attempt of batch 2
     * after its durable effects (expire + fold + sink), then replayed:
@@ -2198,93 +2244,8 @@ object StreamGateQueries {
     * stamped re-fold of the deterministic band keys.
     */
   def q105ExpiringNeardupCrash(s: SparkSession, dir: String): DataFrame =
-    expiringNeardupGate(s, dir, "q105", failAt = Some(2L))
+    neardupFoldGate(s, dir, "q105", failAt = Some(2L), horizon = Some(ExpiryHorizon))
 
-  /** Shared harness behind q104 (clean) and q105 (crashed + replayed). */
-  private def expiringNeardupGate(
-      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
-    import s.implicits._
-    val n = if (failAt.isDefined) 6 else 5
-    val staged = stageDocHashSplit(s, dir, tag, n)
-    val docStoreSh = LlmQueries.shingleDocs(Tables.documents(s, dir))
-      .localCheckpoint()
-    val corpusSh = docStoreSh
-      .filter(graft.operators.Sampling.uniform01($"doc_id") >= 0.3)
-    val corpusBands = LlmQueries.minhashBands(corpusSh)
-      .select($"doc_id", $"band", $"bk").localCheckpoint()
-    val ix = new graft.operators.StandingIndex(
-      s, s"${tag}_band_ix", buckets = 4, keys = Seq("band", "bk"))
-    // the corpus folded BEFORE batch 0 — stamp -1 on the batch-position
-    // clock, so it expires exactly when batch H's threshold passes it
-    ix.init(corpusBands, maxEventMs = -1L)
-    val out = Files.createTempDirectory(s"graft-$tag-out").toString
-    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
-    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
-    val failMarker = Paths.get(out, "_fail_injected")
-    def runOnce(run: String): StreamingQuery = {
-      val incoming = s.readStream
-        .schema(StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-      incoming
-        .writeStream
-        .queryName(s"${tag}_expiring_neardup_$run")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // horizon first (q98's ordering), then the shared
-          // shingle-once probe + stamped fold
-          ix.expire(expireBeforeMs = batchId - ExpiryHorizon)
-          val admitted = LlmQueries.neardupAdmitAndFold(
-            batch, ix, batchId, docStoreSh, maxEventMs = batchId)
-          admitted
-            .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
-              $"n_shingles")
-            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
-          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
-            Files.createFile(failMarker)
-            throw new RuntimeException(injectedMsg)
-          }
-          ()
-        }
-        .start()
-    }
-    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
-    val stateful = Option(query.lastProgress)
-      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
-    require(stateful.isEmpty,
-      s"$tag must run STATELESS (the standing index is the cross-batch " +
-        s"state), got $stateful")
-    dropStaged(staged)
-    val result = s.read.parquet(s"$out/batch_*")
-      .select($"doc_id", $"batch", $"n_shingles")
-      .orderBy($"doc_id")
-    // non-vacuity fence: expiry must have RE-OPENED at least one
-    // corpus-blocked doc — a late admission with a CONFIRMED corpus
-    // near-duplicate (band-candidate + exact Jaccard >= 0.8), which
-    // q96's never-expiring gate would reject; otherwise this gate
-    // silently collapses into q96
-    val lateSh = docStoreSh
-      .join(result.filter($"batch" > ExpiryHorizon).select($"doc_id"), "doc_id")
-      .localCheckpoint()
-    val lateCand = LlmQueries.minhashBands(lateSh)
-      .select($"doc_id", $"band", $"bk")
-      .join(corpusBands.select($"doc_id".as("blocker"), $"band", $"bk"),
-        Seq("band", "bk"))
-      .select($"doc_id", $"blocker").distinct()
-    val reopened = lateCand
-      .join(lateSh.select($"doc_id", $"sh".as("sh_i")), "doc_id")
-      .join(docStoreSh.select($"doc_id".as("blocker"), $"sh".as("sh_b")), "blocker")
-      .withColumn("common", size(array_intersect($"sh_i", $"sh_b")))
-      .filter($"common".cast("double") /
-        (size($"sh_i") + size($"sh_b") - $"common") >= 0.8)
-      .select($"doc_id").distinct().count()
-    require(reopened > 0,
-      s"$tag must admit at least one post-expiry corpus near-duplicate, got none")
-    result
-  }
 
   /** q98 — streamed EXPIRING dedup: q91's continuous fold loop with a
     * DEDUP HORIZON enforced by [[graft.operators.StandingIndex.expire]],
@@ -2325,7 +2286,12 @@ object StreamGateQueries {
   def q99ExpiringFoldCrash(s: SparkSession, dir: String): DataFrame =
     expiringFoldGate(s, dir, "q99", failAt = Some(2L))
 
-  private val ExpiryHorizon = 2L // batches a fold blocks for (see q98)
+  /** Batches a fold blocks for in the expiring gates (see q98).
+    * `private[graft]` so StreamBench's `foldexp` subject prices exactly
+    * the horizon the gates verify — a bench-side literal could silently
+    * drift if this changed.
+    */
+  private[graft] val ExpiryHorizon = 2L
 
   /** Shared harness behind q98 (clean) and q99 (crashed + replayed). */
   private def expiringFoldGate(
@@ -2412,11 +2378,14 @@ object StreamGateQueries {
     val u = graft.operators.Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
     val gh = graft.operators.Sampling.duckHash60("'g' || CAST(doc_id AS VARCHAR)")
     val admCtes = (1 to n).map { k =>
+      // the shared expiry window (LlmQueries.horizonWindow) — the
+      // fingerprint modality's spelling of the same blocker arms
+      val (corpusBlocks, lo) = LlmQueries.horizonWindow(k, Some(horizon))
       val blockers =
-        (if (k <= horizon)
+        (if (corpusBlocks)
           Seq(s"EXISTS (SELECT 1 FROM f c WHERE c.g = 0 AND c.fingerprint = i.fingerprint)")
         else Seq.empty) ++
-        ((k - horizon) max 1L).toInt.until(k).map(j =>
+        lo.until(k).map(j =>
           s"EXISTS (SELECT 1 FROM adm$j a WHERE a.fingerprint = i.fingerprint)")
       s"""adm$k AS (
          |  SELECT min(i.doc_id) AS doc_id, i.fingerprint
@@ -2513,18 +2482,28 @@ object StreamGateQueries {
     vectorFoldGate(s, dir, "q101", failAt = Some(2L))
 
   /** Shared harness behind q100 (clean) and q101 (crashed + replayed). */
+  /** Shared harness behind q100/q101 (never-expiring) and q102/q103
+    * (`horizon = Some(H)` — per-batch expire + stamped folds + the
+    * post-expiry re-admission fence) — the `streamingFoldGate(compactAt)`
+    * parametrization pattern on the vector modality.
+    */
   private def vectorFoldGate(
-      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long],
+      horizon: Option[Long] = None): DataFrame = {
     import s.implicits._
-    val n = if (failAt.isDefined) 6 else 4
+    val n =
+      if (failAt.isDefined) 6 else if (horizon.isDefined) 5 else 4
     val staged = stageVecHashSplit(s, dir, tag, n)
     val corpusFrame = LlmQueries.vectorIndexRows(
         LlmQueries.vectorSketch(Tables.embeddings(s, dir))
           .filter(graft.operators.Sampling.uniform01($"vec_id") >= 0.5))
-      .localCheckpoint() // reused by the non-vacuity fence below
+      .localCheckpoint() // reused by the non-vacuity fences below
     val ix = new graft.operators.StandingIndex(
       s, s"${tag}_vec_ix", buckets = 4, keys = Seq("bucket"))
-    ix.init(corpusFrame)
+    // expiring shape: the corpus folded BEFORE batch 0 — stamp -1 on the
+    // batch-position clock, so it expires when batch H's threshold passes
+    ix.init(corpusFrame,
+      maxEventMs = if (horizon.isDefined) -1L else Long.MaxValue)
     val out = Files.createTempDirectory(s"graft-$tag-out").toString
     val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
     val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
@@ -2543,12 +2522,15 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // the ONE per-batch spelling (LlmQueries.vectorAdmitAndFold,
-          // shared with StreamBench's vecfold subject): sketch once,
-          // probe strictly-earlier segments, fold the admitted sketch
-          // rows (the sketch is deterministic per vector, so the crash
-          // replay's re-fold is byte-identical)
-          val admitted = LlmQueries.vectorAdmitAndFold(batch, ix, batchId)
+          // horizon first (q98's ordering) when expiring; then the ONE
+          // per-batch spelling (LlmQueries.vectorAdmitAndFold, shared
+          // with StreamBench's vecfold subject): sketch once, probe
+          // strictly-earlier surviving segments, fold the admitted
+          // sketch rows (the sketch is deterministic per vector, so the
+          // crash replay's re-fold is byte-identical)
+          horizon.foreach(h => ix.expire(expireBeforeMs = batchId - h))
+          val admitted = LlmQueries.vectorAdmitAndFold(batch, ix, batchId,
+            maxEventMs = if (horizon.isDefined) batchId else Long.MaxValue)
           admitted
             .select($"vec_id", lit(batchId + 1).cast("int").as("batch"),
               $"bucket")
@@ -2571,26 +2553,44 @@ object StreamGateQueries {
     val result = s.read.parquet(s"$out/batch_*")
       .select($"vec_id", $"batch", $"bucket")
       .orderBy($"vec_id")
-    // non-vacuity fence: at least one rejection must be attributable to
-    // a FOLD (an earlier batch's admission), not the corpus or the
-    // in-batch self-join — otherwise the gate silently collapses into a
-    // streamed q80 and proves nothing about index maintenance. The
-    // no-fold baseline replays each batch's admission against the
-    // corpus segment ALONE; strictly more admissions there means a fold
-    // blocked somebody here.
-    val grpCol = (graft.operators.Sampling.hash60(
-      concat(lit("g"), $"vec_id".cast("string"))) % n + 1).cast("int")
-    val stagedSv = LlmQueries.vectorSketch(Tables.embeddings(s, dir)
-        .filter(graft.operators.Sampling.uniform01($"vec_id") < 0.5))
-      .withColumn("g", grpCol).localCheckpoint()
-    val noFold = (1 to n).map { k =>
-      LlmQueries.admitByVectorSegments(
-        stagedSv.filter($"g" === k).drop("g"), Seq(corpusFrame)).count()
-    }.sum
-    val admittedCount = result.count()
-    require(noFold > admittedCount,
-      s"$tag: folds must block at least one vector " +
-        s"(no-fold admissions $noFold vs admitted $admittedCount)")
+    if (horizon.isEmpty) {
+      // non-vacuity fence (never-expiring shape): at least one rejection
+      // must be attributable to a FOLD (an earlier batch's admission),
+      // not the corpus or the in-batch self-join — otherwise the gate
+      // silently collapses into a streamed q80 and proves nothing about
+      // index maintenance. The no-fold baseline replays each batch's
+      // admission against the corpus segment ALONE; strictly more
+      // admissions there means a fold blocked somebody here.
+      val grpCol = (graft.operators.Sampling.hash60(
+        concat(lit("g"), $"vec_id".cast("string"))) % n + 1).cast("int")
+      val stagedSv = LlmQueries.vectorSketch(Tables.embeddings(s, dir)
+          .filter(graft.operators.Sampling.uniform01($"vec_id") < 0.5))
+        .withColumn("g", grpCol).localCheckpoint()
+      val noFold = (1 to n).map { k =>
+        LlmQueries.admitByVectorSegments(
+          stagedSv.filter($"g" === k).drop("g"), Seq(corpusFrame)).count()
+      }.sum
+      val admittedCount = result.count()
+      require(noFold > admittedCount,
+        s"$tag: folds must block at least one vector " +
+          s"(no-fold admissions $noFold vs admitted $admittedCount)")
+    }
+    horizon.foreach { h =>
+      // non-vacuity fence (expiring shape): expiry must have RE-OPENED
+      // at least one corpus-blocked vector — an admission in a batch
+      // past the horizon whose confirmed corpus near-duplicate would
+      // have rejected it under the never-expiring gate; otherwise the
+      // expiring gate silently collapses into q100
+      val lateSv = LlmQueries.vectorSketch(Tables.embeddings(s, dir))
+        .join(result.filter($"batch" > h).select($"vec_id"), "vec_id")
+      val reopened = lateSv.join(corpusFrame, "bucket")
+        .withColumn("cosine", graft.operators.VectorOps.cosineFromParts(
+          graft.operators.VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
+        .filter($"cosine" >= 0.4)
+        .select($"vec_id").distinct().count()
+      require(reopened > 0,
+        s"$tag must admit at least one post-expiry corpus near-duplicate, got none")
+    }
     result
   }
 
@@ -2627,7 +2627,7 @@ object StreamGateQueries {
     * windowed blocker arms.
     */
   def q102ExpiringVectorFold(s: SparkSession, dir: String): DataFrame =
-    expiringVectorGate(s, dir, "q102", failAt = None)
+    vectorFoldGate(s, dir, "q102", failAt = None, horizon = Some(ExpiryHorizon))
 
   /** q103 — q102's pipeline crashed on the first attempt of batch 2
     * after its durable effects (expire + fold + sink), then replayed:
@@ -2639,85 +2639,8 @@ object StreamGateQueries {
     * expiry on the vector modality.
     */
   def q103ExpiringVectorCrash(s: SparkSession, dir: String): DataFrame =
-    expiringVectorGate(s, dir, "q103", failAt = Some(2L))
+    vectorFoldGate(s, dir, "q103", failAt = Some(2L), horizon = Some(ExpiryHorizon))
 
-  /** Shared harness behind q102 (clean) and q103 (crashed + replayed). */
-  private def expiringVectorGate(
-      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
-    import s.implicits._
-    val n = if (failAt.isDefined) 6 else 5
-    val staged = stageVecHashSplit(s, dir, tag, n)
-    val corpusFrame = LlmQueries.vectorIndexRows(
-        LlmQueries.vectorSketch(Tables.embeddings(s, dir))
-          .filter(graft.operators.Sampling.uniform01($"vec_id") >= 0.5))
-      .localCheckpoint() // reused by the re-admission fence below
-    val ix = new graft.operators.StandingIndex(
-      s, s"${tag}_vec_ix", buckets = 4, keys = Seq("bucket"))
-    // the corpus folded BEFORE batch 0 — stamp -1 on the batch-position
-    // clock, so it expires exactly when batch H's threshold passes it
-    ix.init(corpusFrame, maxEventMs = -1L)
-    val out = Files.createTempDirectory(s"graft-$tag-out").toString
-    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
-    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
-    val failMarker = Paths.get(out, "_fail_injected")
-    def runOnce(run: String): StreamingQuery = {
-      val incoming = s.readStream
-        .schema(StructType(Seq(
-          StructField("vec_id", LongType),
-          StructField("embedding", ArrayType(FloatType)))))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-      incoming
-        .writeStream
-        .queryName(s"${tag}_expiring_vector_$run")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // horizon first (q98's ordering): segments stamped behind
-          // batchId − H stop blocking BEFORE this batch probes, then
-          // the shared sketch-once probe + stamped fold
-          ix.expire(expireBeforeMs = batchId - ExpiryHorizon)
-          val admitted = LlmQueries.vectorAdmitAndFold(batch, ix, batchId,
-            maxEventMs = batchId)
-          admitted
-            .select($"vec_id", lit(batchId + 1).cast("int").as("batch"),
-              $"bucket")
-            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
-          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
-            Files.createFile(failMarker)
-            throw new RuntimeException(injectedMsg)
-          }
-          ()
-        }
-        .start()
-    }
-    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
-    val stateful = Option(query.lastProgress)
-      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
-    require(stateful.isEmpty,
-      s"$tag must run STATELESS (the standing index is the cross-batch " +
-        s"state), got $stateful")
-    dropStaged(staged)
-    val result = s.read.parquet(s"$out/batch_*")
-      .select($"vec_id", $"batch", $"bucket")
-      .orderBy($"vec_id")
-    // non-vacuity fence: expiry must have RE-OPENED at least one
-    // corpus-blocked vector — an admission in a batch past the horizon
-    // whose confirmed corpus near-duplicate would have rejected it under
-    // q100's never-expiring gate; otherwise this gate silently collapses
-    // into q100 and proves nothing about the horizon
-    val lateSv = LlmQueries.vectorSketch(Tables.embeddings(s, dir))
-      .join(result.filter($"batch" > ExpiryHorizon).select($"vec_id"), "vec_id")
-    val reopened = lateSv.join(corpusFrame, "bucket")
-      .withColumn("cosine", graft.operators.VectorOps.cosineFromParts(
-        graft.operators.VectorOps.dotL($"v", $"bv"), $"nsq", $"bn"))
-      .filter($"cosine" >= 0.4)
-      .select($"vec_id").distinct().count()
-    require(reopened > 0,
-      s"$tag must admit at least one post-expiry corpus near-duplicate, got none")
-    result
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
