@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Versioned, SEGMENTED standing-index lake — the maintenance story for
   * the per-ingest admission family (q73/q75/q80): after a batch is
@@ -15,17 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout = LSM-style segments, NOT rewrite-on-fold: each fold writes the
   * delta as a NEW bucketed catalog table (bucketed by the probe key —
   * [[BucketedLake]]'s one-file-per-bucket discipline) and publishes it
-  * with an atomic pointer-file rename ([[CdcTable]]'s `_meta`
-  * linearization discipline: a reader resolves the pointer once and from
-  * then on holds immutable segment tables). Rewriting the whole index per
-  * ingest would be O(corpus) per batch — at 100 TB that's the wrong cost
-  * class; appending a segment is O(batch).
+  * with an ATOMIC, OPTIMISTICALLY-CONCURRENT pointer commit (see below).
+  * Rewriting the whole index per ingest would be O(corpus) per batch — at
+  * 100 TB that's the wrong cost class; appending a segment is O(batch).
   *
-  * Each pointer entry carries three fields per segment:
+  * Each pointer entry carries four fields per segment:
   *
   *   - `table` — the physical catalog table (keyed folds use
   *     `<name>_seg<id>`, compaction generations `<name>_cmp<g>`, so a
-  *     merged segment can never collide with a FUTURE keyed fold's id);
+  *     merged segment can never collide with a FUTURE keyed fold's id —
+  *     and, under the one-writer-per-ROLE deployment shape, the
+  *     continuous folder and the async compactor never contend for a
+  *     physical name either);
   *   - `cover` — the maximum fold id the segment SUBSUMES. A keyed fold
   *     at id `i` covers `i`; a compaction's merged segment covers the max
   *     cover of everything it merged. [[segmentsUpTo]] selects by cover,
@@ -36,13 +38,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     Hudi's async compaction under DeltaStreamer `--continuous`, where
   *     an in-flight reader's view is decided by commit coverage, never
   *     by file names;
-  *   - `maxEventMs` — the largest event time folded into the segment
-  *     (`Long.MaxValue` when the caller tracks none). [[expire]] retires
-  *     segments wholly beyond a dedup horizon, bounding index lifetime on
-  *     an infinite stream the same way q61's horizon sizing rule bounds
-  *     the streaming dedup operator's state: entries older than
-  *     `watermark − horizon` can no longer block anything, so the
-  *     segments holding only them are dead weight.
+  *   - `maxEventMs` / `minEventMs` — the largest and smallest event-time
+  *     stamp folded into the segment (`Long.MaxValue` when the caller
+  *     tracks none). A keyed fold is POINT-stamped (min == max: one batch,
+  *     one stamp); a compaction that merges segments with DIFFERING
+  *     stamps records the merged range in the pointer and carries each
+  *     entry's own stamp in a per-row `_g_stamp` column (see
+  *     [[compact]]), so [[expire]] keeps retiring exactly the horizon's
+  *     entries — whole segments when `maxEventMs` fell behind, a
+  *     filter-rewrite of the stamped rows when only part of a merged
+  *     generation did. This is what lets compaction COMPOSE with horizon
+  *     expiry in an expiring streaming deployment, where every fold
+  *     carries a distinct stamp and no two segments are ever
+  *     stamp-homogeneous (the reference runs Hudi cleaning and compaction
+  *     together under continuous upsert — ref
+  *     `hudi/debezium_hudi_demo/base.properties` cleaner retention
+  *     beside compaction, `demonstration_notes.md` "Run Hudi DeltaStreamer
+  *     Continuously").
   *
   * Probing a segmented index is sound because candidate generation
   * DISTRIBUTES over segments: an equi-join of the probe frame against
@@ -51,8 +63,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * segment is bucketed by the join key — plan-verified in BucketingSpec).
   * The union is of CANDIDATES (probe-bounded, tiny), never of the index
   * itself, so no fold ever re-shuffles standing data. Segment count is
-  * bounded by [[compact]] — the merge of all live segments into one
-  * (Hudi's compaction), after which probes touch one table again.
+  * bounded by [[compact]] (Hudi's compaction) — either harness-invoked or
+  * policy-triggered ([[compactIfOver]]: merge the committed prefix when
+  * the live count exceeds a cap).
   *
   * Superseded and expired segments get ONE CYCLE OF GRACE (CdcTable's
   * retain-one cleaner discipline): [[compact]]/[[expire]] move them to a
@@ -62,20 +75,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pre-compact pointer therefore still completes its scan — its tables
   * outlive the pointer swap by a full maintenance cycle.
   *
-  * Single-writer, like CdcTable: folds are not concurrent, and a
-  * violation is LOUD — segments publish via a staging table + catalog
-  * rename, and a publish onto a table the POINTER references throws a
-  * named collision rather than silently overwriting a concurrent
-  * writer's delta (see [[publishSegment]]). A registered table the
-  * pointer does NOT reference is reclaimed ONLY when it is provably
-  * this INSTANCE's own crashed publish — each instance ledgers the
-  * segment names it has attempted, so a crashed `fold()` does not
-  * poison the instance while a racing writer's just-published delta
-  * (registered, not yet pointer-committed, absent from OUR ledger)
-  * still collides by name instead of being silently dropped. Scoped to
-  * one SparkSession's catalog + warehouse (segments are catalog tables);
-  * the pointer file lives under the warehouse dir so index state and
-  * data share a root.
+  * == Concurrency: OCC pointer commits, one writer per ROLE ==
+  *
+  * The pointer is a sequence of immutable VERSION files
+  * (`_<name>_segments.v<n>`, zero-padded); a reader resolves the highest
+  * version, a writer commits by atomically CLAIMING version `n + 1`
+  * (hard-link on a local filesystem — POSIX `link(2)` is
+  * atomic-exclusive; no-overwrite rename on HDFS). Two writers that both
+  * read version `n` race for `n + 1`: exactly one wins, the loser throws
+  * a NAMED collision — a lost update can never silently drop the
+  * winner's segment entry (the failure a last-write-wins pointer rename
+  * would allow). This is Hudi's optimistic concurrency control shape:
+  * the deployment the reference models runs a continuous ingest writer
+  * WITH maintenance beside it, and the commit timeline is what arbitrates.
+  *
+  * The physical-table namespaces make the supported deployment's two
+  * roles collision-free BELOW the pointer too: the continuous folder
+  * writes only `_seg<id>` tables, the async compactor only `_cmp<g>`
+  * tables, so their staging renames never contend for a name and every
+  * conflict surfaces at the pointer CAS, loudly, with both writers'
+  * data intact (the loser's segment table is re-published by its retry).
+  * The ONE unsafe interleaving left is two writers of the SAME role
+  * (two folders, or two compactors): both derive the same next physical
+  * name from the same committed state, and between the loser's staging
+  * rename and its (failing) pointer commit the winner's same-name
+  * publish could reclaim its files. Same-role concurrency is therefore
+  * OUT OF CONTRACT — it requires an external lock provider, exactly
+  * Hudi's rule for multiple writers of the same table.
+  *
+  * A registered-but-unreferenced destination table is reclaimed ONLY
+  * when the per-instance [[attempted]] ledger proves it is this
+  * instance's own crashed publish; the ledger is PRUNED when a commit
+  * lands (a committed name is pointer-referenced and guarded by the
+  * collision check — keeping it in the ledger would misclassify a
+  * much-later reuse of the name). Segment ids and compaction generations
+  * are allocated from never-decreasing HIGH-WATER MARKS persisted in the
+  * pointer, so an [[expire]] that retires the max-cover segment can
+  * never cause a later fold to reallocate a previously-used physical
+  * name (the name-reuse hazard a live-max allocation would have).
+  *
+  * Scoped to one warehouse root. Segments are catalog tables; a session
+  * whose in-memory catalog does not know a committed segment (the
+  * cross-JVM async-compactor shape — in production the roles share a
+  * metastore) re-registers it as an external bucketed table from its
+  * warehouse location before reading ([[resolveTable]]).
   */
 class StandingIndex(
     spark: SparkSession,
@@ -87,77 +130,208 @@ class StandingIndex(
     s"StandingIndex takes an unqualified catalog-safe name, got '$name'")
   require(keys.nonEmpty, "StandingIndex needs at least one bucket key")
 
-  /** One pointer entry — see class doc for the three fields. */
-  private case class Seg(table: String, cover: Long, maxEventMs: Long)
+  /** One pointer entry — see class doc for the four fields. */
+  private case class Seg(table: String, cover: Long, maxEventMs: Long, minEventMs: Long)
 
-  // pointer IO goes through Hadoop FS, not java.nio: index state and
-  // segment data must share a root on ANY warehouse scheme (file:,
-  // hdfs:, s3a: with an atomic-rename layer), and Hadoop's
-  // FileContext.rename(OVERWRITE) is the atomic pointer swap there —
-  // the same discipline BucketedLake uses for its location cleanup
+  /** One resolved pointer snapshot: live entries, retired tables pending
+    * reclaim, the two id high-water marks, and the version the snapshot
+    * was read at (the OCC expectation for the next commit).
+    */
+  private case class State(
+      live: Seq[Seg], retired: Seq[String],
+      hwmSeg: Long, hwmCmp: Long, version: Long)
+
+  /** Per-row stamp column carried by merged segments whose entries have
+    * differing event-time stamps (see [[compact]]); never visible to
+    * readers ([[segments]]/[[segmentsUpTo]] drop it).
+    */
+  private val StampCol = "_g_stamp"
+
+  // pointer IO goes through Hadoop FS, not java.nio, wherever possible:
+  // index state and segment data must share a root on ANY warehouse
+  // scheme (file:, hdfs:, s3a: with an atomic-rename layer). The one
+  // exception is the version CLAIM on a local filesystem, where POSIX
+  // link(2) is the atomic-exclusive primitive (Hadoop's local
+  // create/rename are exists-check-then-act, not atomic).
   private val warehouse = spark.conf.get("spark.sql.warehouse.dir")
   private val warehousePath = new org.apache.hadoop.fs.Path(warehouse)
   private val fs = warehousePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private val ptrPath = new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_segments")
+  private val legacyPtrPath = new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_segments")
 
   private def segTable(i: Long): String = s"${name}_seg$i"
   private def cmpTable(g: Long): String = s"${name}_cmp$g"
+  private def verPath(v: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(warehousePath, f"_${name}_segments.v$v%019d")
 
-  /** (live segments, retired tables pending reclaim); both empty =
-    * index not initialized. Pointer format: line 1 = live entries
-    * `table|cover|maxEventMs` comma-separated; line 2 (optional) =
-    * retired tables comma-separated. A pre-coverage pointer (bare
-    * numeric ids) parses as `cover = id`, `maxEventMs = ∞` — the exact
-    * semantics those segments were written under.
+  private def collisionError(what: String, cause: Throwable = null) =
+    new IllegalStateException(
+      s"StandingIndex '$name' concurrent-maintenance collision: $what — " +
+        "maintenance is one-writer-per-role with OCC pointer commits " +
+        "(see class doc); this mutation was NOT committed and can be " +
+        "retried from fresh state", cause)
+
+  private def isOccCollision(e: Throwable): Boolean =
+    Option(e.getMessage).exists(_.contains("concurrent-maintenance"))
+
+  private def readFile(p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Committed pointer versions, ascending. Tmp files (`.tmp*`) don't
+    * match the glob; unparsable suffixes are ignored defensively.
     */
-  private def state: (Seq[Seg], Seq[String]) =
-    if (fs.exists(ptrPath)) {
-      val in = fs.open(ptrPath)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val lines = s.split("\n", -1)
-      val live = lines(0).trim.split(",").filter(_.nonEmpty).toSeq.map { tok =>
-        tok.split('|') match {
-          case Array(t, c, m) => Seg(t, c.toLong, m.toLong)
-          case Array(id)      => Seg(segTable(id.toLong), id.toLong, Long.MaxValue)
-          case _ => throw new IllegalStateException(
-            s"StandingIndex '$name' pointer entry unparseable: '$tok'")
-        }
-      }
-      val retired =
-        if (lines.length > 1) lines(1).trim.split(",").filter(_.nonEmpty).toSeq
-        else Seq.empty
-      (live, retired)
-    } else (Seq.empty, Seq.empty)
+  private def listVersions(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(warehousePath)) Seq.empty
+    else fs.globStatus(new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_segments.v*"))
+      .toSeq.flatMap { st =>
+        val suffix = st.getPath.getName.stripPrefix(s"_${name}_segments.v")
+        suffix.toLongOption.map(_ -> st.getPath)
+      }.sortBy(_._1)
 
-  /** Atomic pointer commit — the fold/compact linearization point. */
-  private def commit(live: Seq[Seg], retired: Seq[String]): Unit = {
+  /** Resolve the pointer: the highest committed version file, falling
+    * back to a pre-OCC unversioned pointer (read as version 0) and then
+    * to the empty uninitialized state. Pointer format: line 1 = live
+    * entries `table|cover|maxEventMs|minEventMs` comma-separated (a
+    * 3-field entry parses as `min = max` — the exact semantics those
+    * segments were written under; a bare numeric id as the pre-coverage
+    * form); line 2 = retired tables; line 3 = `hwm|<seg>|<cmp>` (derived
+    * from the table names when absent).
+    */
+  private def state: State = {
+    val versions = listVersions()
+    val (body, version) =
+      if (versions.nonEmpty) { val (v, p) = versions.last; (readFile(p), v) }
+      else if (fs.exists(legacyPtrPath)) (readFile(legacyPtrPath), 0L)
+      else return State(Seq.empty, Seq.empty, 0L, 0L, 0L)
+    val lines = body.split("\n", -1)
+    val live = lines(0).trim.split(",").filter(_.nonEmpty).toSeq.map { tok =>
+      tok.split('|') match {
+        case Array(t, c, mx, mn) => Seg(t, c.toLong, mx.toLong, mn.toLong)
+        case Array(t, c, mx)     => Seg(t, c.toLong, mx.toLong, mx.toLong)
+        case Array(id)           => Seg(segTable(id.toLong), id.toLong, Long.MaxValue, Long.MaxValue)
+        case _ => throw new IllegalStateException(
+          s"StandingIndex '$name' pointer entry unparseable: '$tok'")
+      }
+    }
+    val retired =
+      if (lines.length > 1) lines(1).trim.split(",").filter(_.nonEmpty).toSeq
+      else Seq.empty
+    def idOf(prefix: String, t: String): Option[Long] =
+      if (t.startsWith(prefix)) t.stripPrefix(prefix).toLongOption else None
+    val names = live.map(_.table) ++ retired
+    val (hwmSeg, hwmCmp) = lines.lift(2).map(_.trim).filter(_.startsWith("hwm|")) match {
+      case Some(h) => h.split('|') match {
+        case Array(_, s, c) => (s.toLong, c.toLong)
+        case _ => throw new IllegalStateException(
+          s"StandingIndex '$name' pointer hwm line unparseable: '$h'")
+      }
+      case None => // pre-hwm pointer: derive from the committed names
+        (names.flatMap(idOf(s"${name}_seg", _)).maxOption.getOrElse(0L),
+          names.flatMap(idOf(s"${name}_cmp", _)).maxOption.getOrElse(0L))
+    }
+    State(live, retired, hwmSeg, hwmCmp, version)
+  }
+
+  /** Atomically claim pointer version `v` with `body` as its content —
+    * the commit's linearization point. The content is FULLY written to a
+    * tmp file first, so the claimed file is never observable partial:
+    * on a local filesystem the claim is a hard link (POSIX `link(2)`,
+    * atomic-exclusive); elsewhere a no-overwrite rename (atomic-exclusive
+    * on HDFS; object stores need a lock provider — Hudi's own rule).
+    * Returns false when another writer claimed `v` first.
+    */
+  private def claimVersion(v: Long, body: String): Boolean = {
     fs.mkdirs(warehousePath)
-    val tmp = new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_segments.tmp")
-    val body = live.map(s => s"${s.table}|${s.cover}|${s.maxEventMs}")
-      .mkString(",") + "\n" + retired.mkString(",")
+    val tmp = new org.apache.hadoop.fs.Path(warehousePath,
+      s"_${name}_segments.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(warehousePath.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, ptrPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      if (fs.getScheme == "file") {
+        val dst = java.nio.file.Paths.get(verPath(v).toUri.getPath)
+        val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try { java.nio.file.Files.createLink(dst, src); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(warehousePath.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(tmp, verPath(v))
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    } finally { fs.delete(tmp, false); () }
+  }
+
+  /** OCC pointer commit: claim `prev.version + 1`; a racing writer that
+    * committed since `prev` was read makes this throw the named
+    * collision — never a silent lost update. On success, prunes the
+    * committed names from the in-flight [[attempted]] ledger and
+    * retires old version files (the previous version survives one cycle,
+    * like superseded segment tables).
+    */
+  private def commit(
+      prev: State, live: Seq[Seg], retired: Seq[String],
+      hwmSeg: Long, hwmCmp: Long): Unit = {
+    val body = live.map(s => s"${s.table}|${s.cover}|${s.maxEventMs}|${s.minEventMs}")
+      .mkString(",") + "\n" + retired.mkString(",") + "\n" + s"hwm|$hwmSeg|$hwmCmp"
+    if (!claimVersion(prev.version + 1, body))
+      throw collisionError(
+        s"pointer version ${prev.version + 1} was claimed by another writer")
+    attempted --= live.map(_.table)
+    attempted --= retired
+    listVersions().filter(_._1 < prev.version).foreach(p => fs.delete(p._2, false))
+    if (prev.version == 0L && fs.exists(legacyPtrPath)) fs.delete(legacyPtrPath, false)
   }
 
   private def writeSegment(df: DataFrame, table: String): Unit =
     BucketedLake.writeBucketed(df, table, buckets, keys.head, keys.tail: _*)
 
+  /** Resolve a committed segment table, re-registering it as an external
+    * bucketed table from its warehouse location when this session's
+    * in-memory catalog does not know it — the cross-JVM maintenance
+    * shape (an async compactor process beside the ingest writer; in
+    * production the roles share a metastore, which the shared warehouse
+    * root stands in for here). The re-registration declares the same
+    * CLUSTERED/SORTED BY layout writeBucketed produced, so plan-level
+    * zero-exchange probes survive the JVM hop.
+    */
+  private def resolveTable(table: String): DataFrame = {
+    if (!spark.catalog.tableExists(table)) this.synchronized {
+      if (!spark.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          warehouse, table.toLowerCase(java.util.Locale.ROOT))
+        require(fs.exists(loc),
+          s"StandingIndex '$name': committed segment '$table' has neither a " +
+            s"catalog entry nor a warehouse location ($loc) — the pointer " +
+            "references state this warehouse does not hold")
+        val schema = spark.read.parquet(loc.toString).schema
+        val sortKeys = keys.map(k => s"`$k`").mkString(", ")
+        spark.sql(
+          s"CREATE TABLE `$table` (${schema.toDDL}) USING PARQUET " +
+            s"CLUSTERED BY ($sortKeys) SORTED BY ($sortKeys) " +
+            s"INTO $buckets BUCKETS LOCATION '${loc.toString}'")
+      }
+    }
+    spark.table(table)
+  }
+
   /** Drop a segment's catalog entry AND its warehouse location — the
     * in-memory catalog forgets tables when the session ends while the
     * directory persists, so a later JVM must clean both or orphaned
     * locations accumulate and block renames (writeBucketed's own
-    * orphan-location rationale).
+    * orphan-location rationale). Concurrent reclaims of the same retired
+    * generation (two roles' maintenance cycles overlapping) may race the
+    * directory delete; a concurrently-vanishing path is the other
+    * writer's identical cleanup, not an error.
     */
   private def dropSegment(table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       warehouse, table.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    try { if (fs.exists(loc)) fs.delete(loc, true) }
+    catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Segment names THIS instance has attempted to publish — the ledger
@@ -168,54 +342,62 @@ class StandingIndex(
     * would be classified as a crash leftover — including a racing
     * writer's freshly-renamed, not-yet-committed delta, which a reclaim
     * would silently destroy (the silent-overwrite outcome the loud
-    * collision contract exists to prevent).
+    * collision contract exists to prevent). Entries are PRUNED when the
+    * commit referencing them lands ([[commit]]), so the ledger holds
+    * only in-flight publishes and a long-lived instance can never
+    * misclassify a legitimately-freed-and-reused name as its own crash.
     */
-  private val attempted = scala.collection.mutable.Set.empty[String]
+  private[graft] val attempted = scala.collection.mutable.Set.empty[String]
 
   /** Reclaim the RETIRED generation — the deferred half of
     * [[compact]]/[[expire]]'s retain-one grace, run at the head of every
     * mutating call: tables a pre-swap reader may still be scanning get
     * exactly one maintenance cycle before their bytes go away. Returns
-    * the live entries it read, so callers don't re-read the pointer.
+    * the state the caller should proceed from. A reclaim that loses the
+    * pointer CAS to a concurrent writer re-reads and proceeds — the
+    * cleanup is idempotent and the next cycle finishes it.
     */
-  private def reclaimRetired(): Seq[Seg] = {
-    val (live, retired) = state
-    if (retired.nonEmpty) {
-      retired.foreach(dropSegment)
-      commit(live, Seq.empty)
+  private def reclaimRetired(): State = {
+    val st = state
+    if (st.retired.isEmpty) st
+    else {
+      st.retired.foreach(dropSegment)
+      try { commit(st, st.live, Seq.empty, st.hwmSeg, st.hwmCmp); state }
+      catch { case e: IllegalStateException if isOccCollision(e) => state }
     }
-    live
   }
 
   /** Publish a new segment through a STAGING table + catalog rename —
     * CdcTable's commitDelta discipline ported to catalog tables: the
     * rename is the segment's linearization point. Publishing onto a
     * table the POINTER references (live or retired) throws — that table
-    * is committed state, so a same-name publish can only be a
-    * single-writer violation and must surface loudly, never as a silent
-    * overwrite. A catalog-REGISTERED table the pointer does not
-    * reference is reclaimed in place ONLY when the [[attempted]] ledger
-    * proves it is this instance's own crashed publish (renamed, died
-    * before the pointer commit); the contested path re-reads the
-    * pointer first so a racing writer's commit that landed after our
-    * caller's read still collides loudly. A catalog-unregistered
-    * leftover at the segment's LOCATION is a dead JVM's orphan (the
-    * catalog is in-memory) and is reclaimed — CdcTable's orphan-vs-live
-    * staging distinction. Synchronized: two threads racing through one
-    * instance serialize here instead of interleaving drop/rename.
+    * is committed state, so a same-name publish can only be a writer
+    * contract violation and must surface loudly, never as a silent
+    * overwrite (checked BEFORE any catalog probe: a committed segment
+    * another JVM published is referenced without being in our catalog).
+    * A catalog-REGISTERED table the pointer does not reference is
+    * reclaimed in place ONLY when the [[attempted]] ledger proves it is
+    * this instance's own crashed publish (renamed, died before the
+    * pointer commit); the contested path re-reads the pointer first so a
+    * racing writer's commit that landed after our caller's read still
+    * collides loudly. A catalog-unregistered leftover at the segment's
+    * LOCATION is a dead same-role writer's orphan (the catalog is
+    * in-memory; physical names are role-namespaced — class doc) and is
+    * reclaimed. Synchronized: two threads racing through one instance
+    * serialize here instead of interleaving drop/rename.
     */
   private def publishSegment(
       df: DataFrame, table: String, referenced: Set[String]): Unit = this.synchronized {
     def collision(cause: Throwable) = new IllegalStateException(
       s"StandingIndex '$name' publish collision on '$table': folds are " +
-        "single-writer (see class doc); this delta was NOT published", cause)
+        "single-writer-per-role (see class doc); this delta was NOT published", cause)
+    if (referenced.contains(table)) throw collision(null)
     if (spark.catalog.tableExists(table)) {
-      if (referenced.contains(table)) throw collision(null)
       // registered but unreferenced per the caller's read: re-read the
       // pointer (the caller's snapshot may predate a racing commit),
       // then reclaim only our own provable crash leftover
-      val (liveNow, retiredNow) = state
-      if ((liveNow.map(_.table) ++ retiredNow).contains(table) ||
+      val stNow = state
+      if ((stNow.live.map(_.table) ++ stNow.retired).contains(table) ||
           !attempted.contains(table))
         throw collision(null)
     }
@@ -235,28 +417,34 @@ class StandingIndex(
 
   /** Initial index build (the corpus-ingest bulk load). Resets the
     * index: prior segments — live, retired, and this session's crashed
-    * leftovers alike — are superseded and dropped.
+    * leftovers alike — are superseded and dropped; the id high-water
+    * marks reset with them (a reset index is a NEW index).
     */
   def init(df: DataFrame, maxEventMs: Long = Long.MaxValue): Unit = {
-    val (prevLive, prevRetired) = state
+    val prev = state
     writeSegment(df, segTable(0L))
-    commit(Seq(Seg(segTable(0L), 0L, maxEventMs)), Seq.empty)
-    (prevLive.map(_.table) ++ prevRetired).distinct
+    commit(prev, Seq(Seg(segTable(0L), 0L, maxEventMs, maxEventMs)), Seq.empty, 0L, 0L)
+    (prev.live.map(_.table) ++ prev.retired).distinct
       .filter(_ != segTable(0L)).foreach(dropSegment)
+    attempted.clear()
+    attempted += segTable(0L)
   }
 
   /** Fold an admitted batch's index keys into the standing index: write
-    * the delta as a new bucketed segment covering `max cover + 1`, then
-    * atomically publish it. O(batch), never O(corpus) — standing
-    * segments are untouched. `maxEventMs` feeds [[expire]]'s horizon
+    * the delta as a new bucketed segment and atomically publish it.
+    * O(batch), never O(corpus) — standing segments are untouched. The
+    * segment id comes from the persisted high-water mark, never from the
+    * live maximum, so an expire() that retired the top segment cannot
+    * cause a name reuse. `maxEventMs` feeds [[expire]]'s horizon
     * retirement; leave defaulted for an index with no event-time bound.
     */
   def fold(delta: DataFrame, maxEventMs: Long = Long.MaxValue): Unit = {
-    val live = reclaimRetired()
-    require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before fold()")
-    val next = live.map(_.cover).max + 1
-    publishSegment(delta, segTable(next), live.map(_.table).toSet)
-    commit(live :+ Seg(segTable(next), next, maxEventMs), Seq.empty)
+    val st = reclaimRetired()
+    require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before fold()")
+    val next = st.hwmSeg + 1
+    publishSegment(delta, segTable(next), (st.live.map(_.table) ++ st.retired).toSet)
+    commit(st, st.live :+ Seg(segTable(next), next, maxEventMs, maxEventMs),
+      Seq.empty, next, st.hwmCmp)
   }
 
   /** Replay-idempotent KEYED fold for streaming ingest: publish the
@@ -264,7 +452,7 @@ class StandingIndex(
     * OVERWRITING any previous publish at that id — the batch-keyed
     * idempotent-sink discipline lifted to the index: a replayed
     * micro-batch deterministically rewrites its own crashed fold
-    * instead of colliding with it (contrast [[fold]]'s seq-allocated
+    * instead of colliding with it (contrast [[fold]]'s hwm-allocated
     * collision-LOUD publish, which is right for a single-writer batch
     * pipeline where a same-id publish can only be a racing writer).
     * Callers own the id space above 0 (0 is init's corpus segment).
@@ -274,27 +462,35 @@ class StandingIndex(
     * (see [[compact]]).
     */
   def foldAt(delta: DataFrame, id: Long, maxEventMs: Long = Long.MaxValue): Unit = {
-    val live = reclaimRetired()
-    require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before foldAt()")
+    val st = reclaimRetired()
+    require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before foldAt()")
     require(id > 0L, s"segment id 0 is init's corpus segment, got $id")
-    val compactedCover = live.filter(_.table.startsWith(s"${name}_cmp"))
+    val compactedCover = st.live.filter(_.table.startsWith(s"${name}_cmp"))
       .map(_.cover).maxOption.getOrElse(-1L)
     require(id > compactedCover,
       s"StandingIndex '$name' foldAt($id): a compaction generation already " +
         s"covers fold ids <= $compactedCover — refolding one would " +
         "double-count its keys (compact only after its batches commit)")
     writeSegment(delta, segTable(id)) // idempotent overwrite — replay-safe
-    if (!live.exists(_.table == segTable(id)))
-      commit((live :+ Seg(segTable(id), id, maxEventMs)).sortBy(_.cover), Seq.empty)
+    if (!st.live.exists(_.table == segTable(id)))
+      commit(st, (st.live :+ Seg(segTable(id), id, maxEventMs, maxEventMs)).sortBy(_.cover),
+        Seq.empty, st.hwmSeg max id, st.hwmCmp)
   }
 
+  /** Live segment count, pointer resolved once — the cheap observability
+    * hook [[compactIfOver]]'s cadence policy and its gates assert on.
+    */
+  def segmentCount: Int = state.live.size
+
   /** The live segments, pointer resolved once — probe each with a
-    * bucket-colocated join and union the RESULTS (see class doc).
+    * bucket-colocated join and union the RESULTS (see class doc). The
+    * internal per-row stamp column of merged mixed-stamp generations is
+    * dropped: readers see one uniform key schema.
     */
   def segments: Seq[DataFrame] = {
-    val (live, _) = state
-    require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before reads")
-    live.map(s => spark.table(s.table))
+    val st = state
+    require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before reads")
+    st.live.map(s => resolveTable(s.table).drop(StampCol))
   }
 
   /** The live segments COVERING fold ids ≤ `maxId` — the keyed-fold
@@ -310,17 +506,17 @@ class StandingIndex(
     * segments would admit every doc unprobed.
     */
   def segmentsUpTo(maxId: Long): Seq[DataFrame] = {
-    val (live, _) = state
-    require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before reads")
-    val sel = live.filter(_.cover <= maxId)
+    val st = state
+    require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before reads")
+    val sel = st.live.filter(_.cover <= maxId)
     require(sel.nonEmpty,
       s"StandingIndex '$name' segmentsUpTo($maxId) selected no segments " +
-        s"(live covers: ${live.map(_.cover).mkString(",")}) — either a " +
+        s"(live covers: ${st.live.map(_.cover).mkString(",")}) — either a " +
         "compaction subsumed fold ids beyond this batch (compact only " +
         "covers of committed batches, e.g. compact(coverAtMost)) or a " +
         "horizon expiry retired every low-cover segment while this batch " +
         "replayed; every in-flight probe must keep a covering segment")
-    sel.map(s => spark.table(s.table))
+    sel.map(s => resolveTable(s.table).drop(StampCol))
   }
 
   /** Segment merge (Hudi compaction): rewrite the live segments covering
@@ -331,10 +527,12 @@ class StandingIndex(
     * it — compaction composes with a continuous keyed-fold ingest (q94)
     * exactly as Hudi's async compaction composes with DeltaStreamer
     * `--continuous`. Generation tables live in their own namespace
-    * (`<name>_cmp<g>`), so a merged segment can never be overwritten by
-    * a future keyed fold's idempotent same-id rewrite. Superseded
-    * segments are RETIRED, not dropped — one maintenance cycle of grace
-    * for cross-JVM readers holding the old pointer (class doc); the
+    * (`<name>_cmp<g>`, allocated from the persisted high-water mark), so
+    * a merged segment can never be overwritten by a future keyed fold's
+    * idempotent same-id rewrite — and the continuous folder and the
+    * async compactor never contend for a physical name (class doc).
+    * Superseded segments are RETIRED, not dropped — one maintenance
+    * cycle of grace for cross-JVM readers holding the old pointer; the
     * next mutating call reclaims them.
     *
     * `coverAtMost` is how a CONTINUOUS pipeline compacts safely: Hudi's
@@ -347,59 +545,124 @@ class StandingIndex(
     * content). The unbounded default is the quiesced/batch-pipeline
     * spelling (q93): everything is committed, merge it all.
     *
-    * Refuses to merge segments with DIFFERING `maxEventMs` stamps:
-    * stamps are segment-granular, so merging a batch-3 fold with a
-    * batch-5 fold would give batch 3's entries batch 5's lifetime and
-    * [[expire]]'s horizon contract ("stops blocking H batches after it
-    * folded") would silently stretch. An expiring deployment compacts
-    * stamp-homogeneous prefixes (or expires first); entry-level stamps
-    * are the production extension if finer compaction is needed.
+    * Merging segments with DIFFERING event-time stamps COMPOSES with
+    * [[expire]] through ENTRY-LEVEL stamps: each merged row carries its
+    * source segment's stamp in an internal `_g_stamp` column (readers
+    * never see it), and the pointer entry records the merged
+    * [min, max] stamp range — so an expiring streaming deployment,
+    * where every fold carries a distinct stamp, can still compact its
+    * committed prefix and expiry keeps retiring exactly the horizon's
+    * entries (whole segments when the range fell behind; a
+    * filter-rewrite when only part of it did — see [[expire]]).
+    * Stamp-homogeneous merges (including the all-unstamped q93/q94
+    * shape) stay column-free.
     */
   def compact(coverAtMost: Long = Long.MaxValue): Unit = {
-    val live = reclaimRetired()
-    require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before compact()")
-    val (sel, keep) = live.partition(_.cover <= coverAtMost)
+    val st = reclaimRetired()
+    require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before compact()")
+    val (sel, keep) = st.live.partition(_.cover <= coverAtMost)
     require(sel.nonEmpty,
       s"StandingIndex '$name' compact($coverAtMost): no live segment covers " +
-        s"<= $coverAtMost (live covers: ${live.map(_.cover).mkString(",")})")
-    require(sel.map(_.maxEventMs).distinct.size == 1,
-      s"StandingIndex '$name' compact($coverAtMost) would merge segments " +
-        s"with differing maxEventMs stamps " +
-        s"(${sel.map(_.maxEventMs).distinct.sorted.mkString(",")}) — the " +
-        "merged segment's stamp would stretch older entries' expire() " +
-        "horizon; compact stamp-homogeneous segments or expire first")
-    val gen = live.map(_.table).collect {
-      case t if t.startsWith(s"${name}_cmp") => t.stripPrefix(s"${name}_cmp").toLong
-    }.maxOption.getOrElse(0L) + 1
-    val merged = Seg(cmpTable(gen), sel.map(_.cover).max, sel.head.maxEventMs)
-    publishSegment(
-      sel.map(s => spark.table(s.table)).reduce(_ unionByName _),
-      merged.table, live.map(_.table).toSet)
-    commit((keep :+ merged).sortBy(_.cover), retired = sel.map(_.table))
+        s"<= $coverAtMost (live covers: ${st.live.map(_.cover).mkString(",")})")
+    val gen = st.hwmCmp + 1
+    // entry-level stamps only when needed: a merge of differing stamps
+    // (or of a source already carrying per-row stamps) stamps every row;
+    // a homogeneous merge stays column-free
+    val needStamp = sel.map(_.maxEventMs).distinct.size > 1 ||
+      sel.exists(s => s.minEventMs != s.maxEventMs)
+    val frames = sel.map { s =>
+      val t = resolveTable(s.table)
+      // drop covers the edge where an expire() rewrite collapsed a
+      // stamped segment's range to a point (threshold == max): its rows
+      // still carry the column, but a homogeneous merge must not
+      if (!needStamp) t.drop(StampCol)
+      else if (t.columns.contains(StampCol)) t
+      else {
+        require(s.minEventMs == s.maxEventMs,
+          s"StandingIndex '$name' segment '${s.table}' records a stamp range " +
+            s"[${s.minEventMs}, ${s.maxEventMs}] but carries no per-row stamps")
+        t.withColumn(StampCol, lit(s.maxEventMs))
+      }
+    }
+    val merged = Seg(cmpTable(gen), sel.map(_.cover).max,
+      sel.map(_.maxEventMs).max, sel.map(_.minEventMs).min)
+    publishSegment(frames.reduce(_ unionByName _), merged.table,
+      (st.live.map(_.table) ++ st.retired).toSet)
+    commit(st, (keep :+ merged).sortBy(_.cover), retired = sel.map(_.table),
+      hwmSeg = st.hwmSeg, hwmCmp = gen)
   }
 
-  /** Horizon-scoped segment retirement — the index-lifetime bound an
-    * infinite stream needs (q61's dedup-horizon sizing rule, lifted from
-    * operator state to the standing index): a segment whose
-    * `maxEventMs < expireBeforeMs` holds only entries that can no longer
-    * block any in-tolerance arrival, so it is retired (retain-one grace,
-    * like [[compact]]'s supersession) and stops being probed; the next
-    * mutating call reclaims its bytes. Callers pass
-    * `watermarkMs − horizonMs`. Segments without event-time metadata
-    * (`maxEventMs = ∞` — e.g. init's corpus segment unless the caller
-    * stamped it) never expire. Refuses to expire the LAST live segment:
-    * an initialized index must keep ≥ 1 segment (every read path
-    * requires it), and a fully-expired index is a reset — use [[init]].
+  /** Cadence POLICY for continuous ingest: compact the committed prefix
+    * (covers ≤ `coverAtMost`) when the live segment count exceeds
+    * `maxLive`, bounding segment count — and so probe fan-out — on an
+    * infinite stream without any harness-side scheduling. Fires only
+    * when the bounded prefix holds ≥ 2 segments (merging one segment is
+    * a pure rewrite). Returns whether a compaction ran. The
+    * Θ(corpus/batch) cadence arithmetic (COVERAGE round-13): each
+    * compact rewrites the committed prefix once, so a threshold of k
+    * amortizes the rewrite over k−1 folds — the caller picks k as
+    * rewrite-cost / acceptable-ingest-overhead.
+    */
+  def compactIfOver(maxLive: Int, coverAtMost: Long = Long.MaxValue): Boolean = {
+    require(maxLive >= 1, s"maxLive must be >= 1, got $maxLive")
+    val st = state
+    if (st.live.size > maxLive && st.live.count(_.cover <= coverAtMost) >= 2) {
+      compact(coverAtMost)
+      true
+    } else false
+  }
+
+  /** Horizon-scoped retirement — the index-lifetime bound an infinite
+    * stream needs (q61's dedup-horizon sizing rule, lifted from operator
+    * state to the standing index): entries stamped before
+    * `expireBeforeMs` can no longer block any in-tolerance arrival, so
+    * they stop being probed. Callers pass `watermarkMs − horizonMs`.
+    * Three arms, decided per segment from the pointer's stamp range:
+    *
+    *   - `maxEventMs < expireBeforeMs` — every entry is beyond the
+    *     horizon: the whole segment is RETIRED (retain-one grace, like
+    *     [[compact]]'s supersession) and reclaimed next cycle;
+    *   - `minEventMs < expireBeforeMs ≤ maxEventMs` — only possible for
+    *     a merged mixed-stamp generation (folds are point-stamped): the
+    *     segment is REWRITTEN keeping rows whose entry-level stamp
+    *     survives (`_g_stamp ≥ expireBeforeMs`), published as a new
+    *     generation at the SAME cover (probe visibility unchanged), and
+    *     the old table retired — entry-level expiry, the composition
+    *     that makes [[compact]] usable in an expiring deployment;
+    *   - otherwise untouched. Segments without event-time metadata
+    *     (`maxEventMs = ∞`) never expire.
+    *
+    * Refuses to retire the LAST live segment: an initialized index must
+    * keep ≥ 1 segment (every read path requires it), and a fully-expired
+    * index is a reset — use [[init]]. Stamps need NOT be monotone with
+    * cover for safety (ids come from persisted high-water marks, never
+    * from the live maximum), though every in-repo caller's clock is.
     */
   def expire(expireBeforeMs: Long): Unit = {
-    val live = reclaimRetired()
-    require(live.nonEmpty, s"StandingIndex '$name' must be init()-ed before expire()")
-    val (dead, keep) = live.partition(_.maxEventMs < expireBeforeMs)
-    if (dead.nonEmpty) {
-      require(keep.nonEmpty,
-        s"StandingIndex '$name' expire($expireBeforeMs) would retire every " +
-          "live segment; an initialized index keeps >= 1 — reset with init()")
-      commit(keep, retired = dead.map(_.table))
+    val st = reclaimRetired()
+    require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before expire()")
+    val (dead, rest) = st.live.partition(_.maxEventMs < expireBeforeMs)
+    val (partial, untouched) = rest.partition(_.minEventMs < expireBeforeMs)
+    if (dead.isEmpty && partial.isEmpty) return
+    require(untouched.nonEmpty || partial.nonEmpty,
+      s"StandingIndex '$name' expire($expireBeforeMs) would retire every " +
+        "live segment; an initialized index keeps >= 1 — reset with init()")
+    var gen = st.hwmCmp
+    var referenced = (st.live.map(_.table) ++ st.retired).toSet
+    val rewritten = partial.map { s =>
+      gen += 1
+      val src = resolveTable(s.table)
+      require(src.columns.contains(StampCol),
+        s"StandingIndex '$name' segment '${s.table}' records a stamp range " +
+          s"[${s.minEventMs}, ${s.maxEventMs}] but carries no per-row stamps")
+      val nt = cmpTable(gen)
+      publishSegment(src.filter(col(StampCol) >= expireBeforeMs), nt, referenced)
+      referenced += nt
+      // surviving rows all carry stamps >= expireBeforeMs: record it as
+      // the (conservative, monotone) new lower bound
+      Seg(nt, s.cover, s.maxEventMs, expireBeforeMs)
     }
+    commit(st, (untouched ++ rewritten).sortBy(_.cover),
+      retired = (dead ++ partial).map(_.table), hwmSeg = st.hwmSeg, hwmCmp = gen)
   }
 }

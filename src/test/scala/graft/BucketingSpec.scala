@@ -203,26 +203,26 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
     // a fold that crashed between the catalog rename and the pointer
-    // commit leaves a REGISTERED table the pointer never references; the
-    // instance's attempt ledger proves the leftover is its OWN, so the
-    // next fold reclaims it in place. Simulate the crash faithfully:
-    // run a real fold through the instance (the rename happens, the
-    // ledger records it), then roll the pointer file back to the
-    // pre-fold state — exactly the on-disk state a crash between rename
-    // and commit leaves behind.
+    // commit leaves a REGISTERED table the pointer never references but
+    // the instance's attempt ledger still holds (the ledger prunes only
+    // on a SUCCESSFUL commit); the next fold reclaims it in place.
+    // Construct that exact state: run a real fold (rename lands), roll
+    // its pointer commit back by deleting the version file it claimed,
+    // and restore the ledger entry the successful commit pruned — the
+    // registered-table + unreferenced-pointer + in-ledger state a crash
+    // between rename and commit leaves behind.
     val ix = new StandingIndex(spark, "law_crash_ix", 2, Seq("band", "bk"))
     ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr = new org.apache.hadoop.fs.Path(wh, "_law_crash_ix_segments")
-    val preFold = {
-      val in = fs.open(ptr)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
+    def versions: Seq[org.apache.hadoop.fs.Path] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(wh, "_law_crash_ix_segments.v*"))
+        .toSeq.map(_.getPath).sortBy(_.getName)
+    val preFoldMax = versions.last
     ix.fold(Seq((9L, 1, "q")).toDF("doc_id", "band", "bk"))
     // "crash": the publish survived (seg1 registered), the commit didn't
-    val out = fs.create(ptr, true)
-    try out.write(preFold.getBytes("UTF-8")) finally out.close()
+    versions.filter(_.getName > preFoldMax.getName).foreach(fs.delete(_, false))
+    ix.attempted += "law_crash_ix_seg1" // the commit's prune undone too
     assert(spark.catalog.tableExists("law_crash_ix_seg1"))
     ix.fold(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"))
     assert(ix.segments.size == 2)
@@ -284,23 +284,43 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("no live segment"))
   }
 
-  test("StandingIndex compact refuses mixed maxEventMs stamps: merging would stretch older entries' expire horizon") {
+  test("StandingIndex compact COMPOSES with expire: a mixed-stamp merge carries entry-level stamps and expiry keeps retiring exactly the horizon's entries") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
-    // stamps are segment-granular: merging a batch-1 fold with a batch-2
-    // fold would give batch 1's entries batch 2's lifetime, silently
-    // breaking expire()'s "stops blocking H batches after it folded"
-    // contract — the composition is fenced loudly until entry-level
-    // stamps exist. Homogeneous stamps (incl. all-unstamped, the q93/q94
-    // shape) still compact.
+    // the expiring-deployment composition (q106/q107's mechanism): every
+    // streaming fold carries a distinct stamp, so compaction MUST merge
+    // mixed-stamp segments — each merged row keeps its source segment's
+    // stamp in an internal per-row column (readers never see it), and
+    // expire() retires exactly the horizon's ENTRIES from the merged
+    // generation via a filter-rewrite at the same cover. Without
+    // entry-level stamps a max()-stamped merge would stretch older
+    // entries' lifetime (admit-blocking beyond their horizon).
     val ix = new StandingIndex(spark, "law_stampmix_ix", 2, Seq("band", "bk"))
     ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"), maxEventMs = 1000L)
     ix.foldAt(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"), 1L, maxEventMs = 2000L)
-    val e = intercept[IllegalArgumentException] { ix.compact() }
-    assert(e.getMessage.contains("maxEventMs"))
-    assert(ix.segments.size == 2, "the refused compact must leave the index intact")
-    // equal stamps merge fine and the merged segment KEEPS the stamp:
-    // expire just past it still retires the merged generation
+    ix.foldAt(Seq((3L, 1, "z")).toDF("doc_id", "band", "bk"), 2L, maxEventMs = 3000L)
+    ix.compact() // mixed stamps 1000/2000/3000: entry-level stamped merge
+    assert(ix.segments.size == 1)
+    assert(!ix.segments.head.columns.contains("_g_stamp"),
+      "readers must never see the internal stamp column")
+    assert(ix.segments.head.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // horizon passes the 1000-stamped entry ONLY: partial rewrite at the
+    // same cover — the 2000/3000 entries keep blocking
+    ix.expire(expireBeforeMs = 1500L)
+    assert(ix.segments.size == 1)
+    assert(ix.segments.head.collect().map(_.getLong(0)).toSet === Set(2L, 3L),
+      "expiry must retire exactly the horizon's entries from a merged generation")
+    assert(ix.segmentsUpTo(2L).size == 1,
+      "the rewritten generation must keep its cover (probe visibility)")
+    // the next horizon retires the 2000 entry the same way
+    ix.expire(expireBeforeMs = 2500L)
+    assert(ix.segments.head.collect().map(_.getLong(0)).toSet === Set(3L))
+    // ...and once every entry is behind the horizon the whole segment
+    // arm would apply — but the last-live guard refuses (reset = init)
+    val eAll = intercept[IllegalArgumentException] { ix.expire(expireBeforeMs = 3500L) }
+    assert(eAll.getMessage.contains("init()"))
+    // equal stamps merge column-free and the merged segment KEEPS the
+    // stamp: expire just past it still retires the merged generation
     val ix2 = new StandingIndex(spark, "law_stampok_ix", 2, Seq("band", "bk"))
     ix2.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"), maxEventMs = 2000L)
     ix2.foldAt(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"), 1L, maxEventMs = 2000L)
@@ -316,22 +336,27 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("StandingIndex publish onto a POINTER-REFERENCED table is LOUD: committed state rejects the publish; index stays readable") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
-    // CdcTable's single-writer discipline on the catalog-table layout: a
-    // publish targeting a table the pointer already references is a
-    // committed concurrent writer's segment — it must fail by name, never
-    // silently lose one delta to an overwrite. Forge that state by
-    // committing a pointer that lists the table fold() will allocate next
-    // (two live entries at cover 0 → next target = seg1, referenced).
+    // CdcTable's single-writer-per-role discipline on the catalog-table
+    // layout: a publish targeting a table the pointer already references
+    // is a committed concurrent writer's segment — it must fail by name,
+    // never silently lose one delta to an overwrite. Forge that state by
+    // committing a pointer version that lists the table fold() will
+    // allocate next (hwm 0 → next target = seg1, referenced).
     val ix = new StandingIndex(spark, "law_collide_ix", 2, Seq("band", "bk"))
     ix.init(Seq((1L, 0, "x")).toDF("doc_id", "band", "bk"))
     Seq((9L, 1, "q")).toDF("doc_id", "band", "bk")
       .write.mode("overwrite").saveAsTable("law_collide_ix_seg1")
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(wh, "_law_collide_ix_segments"), true)
+    val nextVer = fs.globStatus(
+        new org.apache.hadoop.fs.Path(wh, "_law_collide_ix_segments.v*"))
+      .map(_.getPath.getName.takeRight(19).toLong).max + 1
+    val out = fs.create(new org.apache.hadoop.fs.Path(wh,
+      "_law_collide_ix_segments.v" + "%019d".format(nextVer)), false)
     val max = Long.MaxValue
     try out.write(
-      s"law_collide_ix_seg0|0|$max,law_collide_ix_seg1|0|$max\n".getBytes("UTF-8"))
+      (s"law_collide_ix_seg0|0|$max|$max,law_collide_ix_seg1|0|$max|$max\n" +
+        "\nhwm|0|0").getBytes("UTF-8"))
     finally out.close()
     val e = intercept[IllegalStateException] {
       ix.fold(Seq((2L, 0, "y")).toDF("doc_id", "band", "bk"))
