@@ -28,6 +28,15 @@ import org.apache.spark.sql.SparkSession
   *    the r4 "1.81× regression" was noise concentrated in unchanged
   *    queries. Medians of interleaved rounds (all queries once, 3 passes)
   *    sample the load at 3 separated points per query instead of one.
+  *  - (round 14) PER-PASS calibration normalization: each pass is
+  *    bracketed by two calibration probes and every query time is also
+  *    reported divided by its own pass's bracketed-average calibration
+  *    ("queries_min_norm", "min_total_norm" — dimensionless calibration
+  *    units). The r13 driver run proved a run-level min-calibration
+  *    cannot adjudicate a contention RAMP (calibration rose 0.245 →
+  *    0.656 across its passes; totals +11% while the min said the box
+  *    was fast): normalized numbers are the cross-round comparison —
+  *    drift that survives normalization is code, not box.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,13 +79,19 @@ object Bench {
     calibrate() // warm the calibration plan's codegen too
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val calibrations = collection.mutable.ArrayBuffer.empty[Double]
+    // per-pass calibration at the pass's START and END, averaged: the r13
+    // driver run proved a single min-calibration cannot adjudicate a run
+    // whose contention RAMPS mid-flight (its calibration rose 2.7× across
+    // passes while calibration-min said the box was fast) — bracketing
+    // each pass samples the load the pass's queries actually ran under
+    val calStarts = collection.mutable.ArrayBuffer.empty[Double]
+    val calEnds = collection.mutable.ArrayBuffer.empty[Double]
     // pass-major order (q1..qN, q1..qN, ...): a transient load spike hits
     // one sample of many queries, not all samples of one query
     val samples: Seq[Seq[(String, Double, Option[String])]] =
       (1 to passes).map { _ =>
-        calibrations += calibrate()
-        SparkEntry.benchQueries.map { name =>
+        calStarts += calibrate()
+        val pass = SparkEntry.benchQueries.map { name =>
           val t0 = System.nanoTime()
           val outcome = materialize(name, sfDir)
           val secs = (System.nanoTime() - t0) / 1e9
@@ -87,45 +102,60 @@ object Bench {
               (name, -1.0, Some(name))
           }
         }
+        calEnds += calibrate()
+        pass
       }
+    val calibrations = calStarts // raw start-of-pass probes (r13 field)
+    // THAT pass's box speed = bracketed average; normalized time = raw /
+    // cal(pass), in dimensionless calibration units — cross-round
+    // comparable without sharing a reference box
+    val calPass = (0 until passes).map(p => (calStarts(p) + calEnds(p)) / 2.0)
     val results = SparkEntry.benchQueries.map { name =>
       val times = samples.map(_.find(_._1 == name).get)
       val failed = times.exists(_._3.isDefined)
-      if (failed) (name, -1.0, -1.0, Some(name))
+      if (failed) (name, -1.0, -1.0, -1.0, Some(name))
       else {
         val ts = times.map(_._2).sorted
-        (name, ts(ts.size / 2), ts.head, None)
+        val norm = times.zipWithIndex.map { case (t, p) => t._2 / calPass(p) }
+        (name, ts(ts.size / 2), ts.head, norm.min, None)
       }
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, mn, _) => "\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val errors = results.flatMap(_._4).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, med, _, None) => med }.sum
+    val qsMinNorm = results.map { case (k, _, _, nm, _) => "\"" + k + "\":" + f"$nm%.4f" }
+      .mkString("{", ",", "}")
+    val errors = results.flatMap(_._5).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, med, _, _, None) => med }.sum
     // min_total (sum of per-query minima) rides the headline so a
     // co-tenant-stalled run is self-adjudicating from the 4 KB stdout
     // tail alone: BENCH_r08 reported a 494.98 s median-total whose own
     // detail showed a ~55 s min-sum — total >> min_total means load
     // skew, not a code regression (re-run on a quiet box to confirm)
-    val minTotal = results.collect { case (_, _, mn, None) => mn }.sum
+    val minTotal = results.collect { case (_, _, mn, _, None) => mn }.sum
+    // normalized min-total: each query's best PASS-NORMALIZED time — the
+    // cross-round comparison number (drift in it is code, not box)
+    val minTotalNorm = results.collect { case (_, _, _, nm, None) => nm }.sum
     // 1-minute system load BEFORE this bench's own threads inflate it is
     // gone by now, so report the current one: co-tenant contention on the
     // bench box has been observed to move totals 3-5x between runs
     // minutes apart with identical code — the reader needs the context.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val calArr = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calEndArr = calEnds.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calPassArr = calPass.map(c => f"$c%.3f").mkString("[", ",", "]")
     val calMin = f"${calibrations.min}%.3f"
     // The driver captures only the TAIL of stdout (BENCH_r05 lost its
     // "metric":"total" to front-truncation of one long line), so the
     // final stdout line carries just the headline (≤ ~300 bytes); the
     // full per-query median/min maps go to a detail file and stderr.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration":$calArr,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${f"$minTotalNorm%.3f"},"queries":$qs,"queries_min":$qsMin,"queries_min_norm":$qsMinNorm,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration":$calArr,"calibration_end":$calEndArr,"calibration_pass":$calPassArr,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_detail.json"), detail)
     System.err.println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${f"$minTotalNorm%.3f"},"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -612,6 +612,22 @@ class StandingIndex(
     } else false
   }
 
+  /** TEST SEAM (`private[graft]`): read the pointer, run `interleaved`
+    * (a racing writer's full mutation), then attempt a commit from the
+    * PRE-RACE snapshot — the exact lost-update interleaving the OCC
+    * version claim exists to refuse. The racing writer's committed entry
+    * must survive and this stale commit must throw the named collision;
+    * a last-write-wins pointer would silently drop the racer's segment.
+    * Exists because the read→commit window is unreachable
+    * deterministically from outside the class; used only by
+    * ConcurrentMaintenanceSpec's lost-update law.
+    */
+  private[graft] def commitFromStaleRead(interleaved: () => Unit): Unit = {
+    val st = state
+    interleaved()
+    commit(st, st.live, st.retired, st.hwmSeg, st.hwmCmp)
+  }
+
   /** Horizon-scoped retirement — the index-lifetime bound an infinite
     * stream needs (q61's dedup-horizon sizing rule, lifted from operator
     * state to the standing index): entries stamped before

@@ -506,16 +506,29 @@ object StreamGateQueries {
     * batch assignment from the `u` corpus split (different md5 input).
     */
   private def stageDocHashSplit(
-      s: SparkSession, dir: String, tag: String, n: Int): String = {
+      s: SparkSession, dir: String, tag: String, n: Int,
+      eventTs: Boolean = false): String = {
     import s.implicits._
     val staged = Files.createTempDirectory(s"graft-$tag-src")
     val scratch = Files.createTempDirectory(s"graft-$tag-part")
     val grp = graft.operators.Sampling.hash60(
       concat(lit("g"), $"doc_id".cast("string"))) % n
-    val src = Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .filter(graft.operators.Sampling.uniform01($"doc_id") < 0.3)
       .select($"doc_id", $"text")
       .withColumn("_slice", (grp + 1).cast("int"))
+    // eventTs (q108): a REAL event-time column, deterministic per doc —
+    // batch k's events live in [T0 + (k−1)·step, T0 + (k−1)·step + jmax]
+    // (a content-hash jitter inside each batch, so max-event and
+    // watermark values are data-derived, not degenerate constants). The
+    // jitter is strictly inside the step (step > 2·jmax), which is what
+    // makes the watermark-window arithmetic batch-exact — see
+    // [[q108WatermarkExpiringFold]]'s window law.
+    val src = if (!eventTs) base else base.withColumn("event_ts",
+      timestamp_millis(lit(WmT0) +
+        ($"_slice" - 1).cast("long") * WmStepMs +
+        graft.operators.Sampling.hash60(
+          concat(lit("t"), $"doc_id".cast("string"))) % (WmJitterMax + 1)))
     writeSlices(staged, scratch, src, n, filePrefix = "docs")
     staged.toString
   }
@@ -1961,16 +1974,40 @@ object StreamGateQueries {
   def q95CompactedFoldCrash(s: SparkSession, dir: String): DataFrame =
     streamingFoldGate(s, dir, "q95", failAt = Some(2L), compactAt = Some(1L))
 
-  /** Shared harness behind q91/q92 (clean/crashed) and q94/q95 (with a
-    * mid-stream compaction) — one implementation of the probe, sink,
-    * fold, compact, and read-back. See q91's scaladoc for semantics,
-    * q70's for the injection contract, q94's for the coverage argument.
+  /** q111 — the COMPACTION-CADENCE POLICY as code: q91's continuous fold
+    * loop over a LONG horizon (10 micro-batches) where compaction fires
+    * from [[graft.operators.StandingIndex.compactIfOver]] — merge the
+    * committed prefix whenever the live segment count exceeds k = 4 —
+    * not from the harness. This moves the Θ(corpus/batch) cadence rule
+    * from COVERAGE prose into the operator: the policy alone must keep
+    * the probe fan-out bounded (asserted ≤ k at every batch's probe
+    * point) while firing ≥ 2 times across the run (asserted — a policy
+    * that never fires silently degrades this gate to q91), and the
+    * admitted set must STILL meet q91's oracle verbatim — cadence is a
+    * pure cost knob, never a semantics knob. Scale: this is the index's
+    * steady-state shape on an infinite stream — segment count sawtooths
+    * in [1, k+1] forever, each compact bounded to committed covers so a
+    * crash anywhere replays it idempotently (q95's law).
+    */
+  def q111PolicyCompactedFold(s: SparkSession, dir: String): DataFrame =
+    streamingFoldGate(s, dir, "q111", failAt = None,
+      autoCompactOver = Some(4), nOverride = Some(10))
+
+  /** Shared harness behind q91/q92 (clean/crashed), q94/q95 (with a
+    * harness-scheduled mid-stream compaction), and q111 (policy-driven
+    * compaction cadence + long horizon) — one implementation of the
+    * probe, sink, fold, compact, and read-back. See q91's scaladoc for
+    * semantics, q70's for the injection contract, q94's for the
+    * coverage argument, q111's for the cadence-policy contract.
     */
   private def streamingFoldGate(
       s: SparkSession, dir: String, tag: String, failAt: Option[Long],
-      compactAt: Option[Long] = None): DataFrame = {
+      compactAt: Option[Long] = None, autoCompactOver: Option[Int] = None,
+      nOverride: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val staged = stageDocSplit(s, dir, tag, n = if (failAt.isDefined) 6 else 4)
+    val policyFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val staged = stageDocSplit(s, dir, tag,
+      n = nOverride.getOrElse(if (failAt.isDefined) 6 else 4))
     val corpus = Tables.documents(s, dir)
       .select(
         graft.operators.TextOps.bagFingerprint(
@@ -2012,6 +2049,18 @@ object StreamGateQueries {
           // can never be subsumed — Hudi's async-compaction discipline
           // (compaction plans only committed file slices)
           if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
+          // q111: the cadence POLICY decides — compact the committed
+          // prefix (covers <= batchId, q94's bounded discipline) when
+          // the live count exceeds k; the policy, not the harness, is
+          // what must keep the probe fan-out bounded
+          autoCompactOver.foreach { k =>
+            if (ix.compactIfOver(k, coverAtMost = batchId))
+              policyFired.incrementAndGet()
+            val live = ix.segmentCount
+            require(live <= k,
+              s"$tag: the cadence policy must bound live segments to <= $k " +
+                s"at every probe point, got $live at batch $batchId")
+          }
           // probe strictly-earlier segments + keyed fold — the ONE
           // spelling (LlmQueries.admitAndFold, shared with StreamBench's
           // fold subject); see q92's scaladoc for the replay contract
@@ -2031,6 +2080,13 @@ object StreamGateQueries {
     require(stateful.isEmpty,
       s"$tag must run STATELESS (the standing index is the cross-batch " +
         s"state), got $stateful")
+    // q111's non-vacuity fence: a policy that never fired would silently
+    // degrade the gate to q91 and prove nothing about cadence
+    autoCompactOver.foreach { _ =>
+      require(policyFired.get >= 2,
+        s"$tag: the cadence policy must fire >= 2 compactions across the " +
+          s"run, got ${policyFired.get}")
+    }
     dropStaged(staged)
     s.read.parquet(s"$out/batch_*")
       .select($"doc_id", $"fingerprint")
@@ -2097,16 +2153,29 @@ object StreamGateQueries {
   def q97NeardupFoldCrash(s: SparkSession, dir: String): DataFrame =
     neardupFoldGate(s, dir, "q97", failAt = Some(2L))
 
-  /** Shared harness behind q96 (clean) and q97 (crashed + replayed). */
-  /** Shared harness behind q96/q97 (never-expiring) and q104/q105
+  /** q109 — q94's MID-STREAM COMPACTION on the NEAR-DUP modality: q96's
+    * continuous banded-fold loop with the bounded head-of-batch compact
+    * injected at batch 2, gating the matrix cell the round-13 spanning
+    * ARGUMENT covered (compact moves whole segments without inspecting
+    * key schema) with an end-to-end oracle: the merged band-key
+    * generation must keep every in-flight `segmentsUpTo` probe resolving
+    * the same candidates, so the admitted set meets q96's sequential
+    * oracle VERBATIM — a compaction that loses, dups, or re-keys band
+    * rows shifts some batch's candidate set and fails the hash.
+    */
+  def q109CompactedNeardupFold(s: SparkSession, dir: String): DataFrame =
+    neardupFoldGate(s, dir, "q109", failAt = None, compactAt = Some(1L))
+
+  /** Shared harness behind q96/q97 (never-expiring), q104/q105
     * (`horizon = Some(H)` — per-batch expire + stamped folds + the
-    * post-expiry re-admission fence), the `streamingFoldGate(compactAt)`
-    * parametrization pattern: one drive/sink/probe spelling for the
-    * whole near-dup gate family.
+    * post-expiry re-admission fence), and q109 (`compactAt` — the
+    * bounded head-of-batch mid-stream compaction), the
+    * `streamingFoldGate(compactAt)` parametrization pattern: one
+    * drive/sink/probe spelling for the whole near-dup gate family.
     */
   private def neardupFoldGate(
       s: SparkSession, dir: String, tag: String, failAt: Option[Long],
-      horizon: Option[Long] = None): DataFrame = {
+      horizon: Option[Long] = None, compactAt: Option[Long] = None): DataFrame = {
     import s.implicits._
     val n =
       if (failAt.isDefined) 6 else if (horizon.isDefined) 5 else 4
@@ -2146,6 +2215,10 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // q109: the bounded head-of-batch compact (q94's placement
+          // discipline) — strictly after batch `compactAt`'s commit,
+          // bounded to committed folds
+          if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
           // horizon first (q98's ordering): segments stamped behind
           // batchId − H stop blocking BEFORE this batch probes; then
           // the ONE per-batch spelling (LlmQueries.neardupAdmitAndFold,
@@ -2293,9 +2366,51 @@ object StreamGateQueries {
     */
   private[graft] val ExpiryHorizon = 2L
 
-  /** Shared harness behind q98 (clean) and q99 (crashed + replayed). */
+  /** q106 — COMPACTION UNDER EXPIRING CONTINUOUS INGEST: q98's horizon
+    * recurrence with q94's head-of-batch bounded compaction injected at
+    * batch 2 — the one mechanism×mechanism composition the matrix had
+    * not run, and the exact deployment shape the reference models (Hudi
+    * cleaning and compaction coexisting under continuous DeltaStreamer
+    * upsert — ref `hudi/debezium_hudi_demo/base.properties` cleaner
+    * retention beside compaction settings, `demonstration_notes.md`
+    * "Run Hudi DeltaStreamer Continuously"). In an expiring deployment
+    * EVERY fold carries a distinct stamp (its batch position), so the
+    * compact at the head of batch 2 necessarily merges MIXED-stamp
+    * segments (corpus −1, fold-1 0, fold-2 1): the mechanism under test
+    * is [[graft.operators.StandingIndex.compact]]'s entry-level stamps —
+    * each merged row keeps its source segment's stamp, and the very next
+    * `expire(batchId − H)` must retire exactly the horizon's ENTRIES
+    * from the merged generation (a filter-rewrite at the same cover),
+    * never stretch or truncate a neighbor batch's lifetime. The result
+    * must meet q98's expiring oracle VERBATIM: a compact that stretched
+    * the corpus's lifetime suppresses re-admissions from batch H+1 on;
+    * one that truncated fold-2's lifetime leaks duplicates into batch 3
+    * — both shift admissions and fail the hash.
+    */
+  def q106ExpiringCompactedFold(s: SparkSession, dir: String): DataFrame =
+    expiringFoldGate(s, dir, "q106", failAt = None, compactAt = Some(1L))
+
+  /** q107 — q106's pipeline crashed on the first attempt of batch 2
+    * after ALL its durable effects (the bounded compact, the expiry
+    * rewrite of the merged generation, the stamped fold, the sink), then
+    * replayed: the replay re-runs the SAME bounded compact — now over
+    * the already-expired generation alone, idempotently (the crashed
+    * fold at cover 3 > 2 is never subsumed) — re-expires (no-op: the
+    * surviving range is already inside the horizon), re-probes the
+    * merged generation alone, and re-folds segment 3 with identical
+    * content AND stamp. Crash recovery composed with compaction AND
+    * expiry at once — the full maintenance stack under one failure.
+    */
+  def q107ExpiringCompactCrash(s: SparkSession, dir: String): DataFrame =
+    expiringFoldGate(s, dir, "q107", failAt = Some(2L), compactAt = Some(1L))
+
+  /** Shared harness behind q98/q99 (clean/crashed) and q106/q107 (with a
+    * mid-stream bounded compaction — `compactAt`, the
+    * streamingFoldGate parametrization pattern).
+    */
   private def expiringFoldGate(
-      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long],
+      compactAt: Option[Long] = None): DataFrame = {
     import s.implicits._
     val n = if (failAt.isDefined) 6 else 5
     val staged = stageDocHashSplit(s, dir, tag, n)
@@ -2331,9 +2446,16 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // horizon first: segments whose stamp fell behind batchId − H
-          // stop blocking BEFORE this batch probes (retire → next fold
-          // reclaims); then the standard probe + stamped fold
+          // q106/q107: the bounded head-of-batch compact (q94's
+          // placement discipline), BEFORE the expire — it merges
+          // mixed-stamp committed segments into an entry-level-stamped
+          // generation, and the expire right after must still retire
+          // exactly the horizon's entries from it
+          if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
+          // horizon next: segments (and merged-generation ENTRIES) whose
+          // stamp fell behind batchId − H stop blocking BEFORE this
+          // batch probes (retire/rewrite → next cycle reclaims); then
+          // the standard probe + stamped fold
           ix.expire(expireBeforeMs = batchId - ExpiryHorizon)
           val admitted = LlmQueries.admitAndFold(batch, ix, batchId,
             maxEventMs = batchId)
@@ -2409,6 +2531,145 @@ object StreamGateQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // q108's event-time geometry (see q108's scaladoc for the window law):
+  // batch k's events live in [T0 + k·step, T0 + k·step + jmax], 0-based
+  private[queries] val WmT0 = 1700000000000L
+  private[queries] val WmStepMs = 60000L
+  private[queries] val WmJitterMax = 20000L
+  /** The `withWatermark` delay — the engine's own late-data tolerance. */
+  private val WmDelayMs = 15000L
+  /** The dedup horizon in EVENT-TIME ms: entries expire at
+    * `committedWatermark − WmHorizonMs`.
+    */
+  private val WmHorizonMs = 10000L
+
+  /** q108 — WATERMARK-CLOCKED horizon expiry: q98's expiring recurrence
+    * with the index clock spelled the way a production deployment spells
+    * it (the contract `StandingIndex.expire`'s scaladoc states): folds
+    * are stamped with the batch's MAX EVENT TIME from a real event-time
+    * column, the stream declares `withWatermark(event_ts, 15s)`, and
+    * each batch expires at `committedWatermark − horizonMs`, where the
+    * committed watermark is pulled from the engine's own progress (the
+    * watermark the LAST COMMITTED batch ran under — Spark stamps each
+    * batch's progress with the watermark used during that batch, so
+    * `lastProgress` at batch b reports the watermark of batch b−1,
+    * which itself derives from data through batch b−2: the committed
+    * clock lags the data by one batch on each of the two hops).
+    *
+    * The gate's event-time geometry makes that ms-clock recurrence
+    * BATCH-EXACT, so q98's oracle applies verbatim: batch k's events
+    * live in `[T0 + k·step, T0 + k·step + J_k]` with realized jitter
+    * `J_k ≤ jmax` ([[stageDocHashSplit]] `eventTs`), so the expiry
+    * threshold at batch b is `T0 + (b−2)·step + J_{b−2} − D − Hms` and a
+    * fold stamped at batch j survives iff
+    * `(j − b + 2)·step ≥ J_{b−2} − J_j − (D + Hms)`. With
+    * `D + Hms = slack` and `jmax ≤ slack < step − jmax` (required at
+    * runtime), the jitter terms can never flip a batch boundary:
+    * `j ≥ b − H` survives and `j < b − H` expires, for EVERY realized
+    * jitter — the exact window [[LlmQueries.horizonWindow]] unrolls with
+    * H = [[ExpiryHorizon]]. The corpus is stamped `T0 − step` (one step
+    * before batch 0), so corpus blockers flip to re-admissible from
+    * batch H on, exactly as q98 — enforced by the same non-vacuity
+    * fence. Stateless like every fold gate (the watermark operator
+    * tracks event time but holds no state store).
+    */
+  def q108WatermarkExpiringFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = "q108"
+    // the window law: slack = D + Hms − (H − 2)·step must sit strictly
+    // inside [jmax, step − jmax) or realized jitters could flip a batch
+    // boundary and the oracle's batch-window unrolling would not apply
+    val slack = WmDelayMs + WmHorizonMs - (ExpiryHorizon - 2L) * WmStepMs
+    require(slack >= WmJitterMax && slack < WmStepMs - WmJitterMax,
+      s"$tag window law violated: slack=$slack not in " +
+        s"[$WmJitterMax, ${WmStepMs - WmJitterMax})")
+    val n = 5
+    val staged = stageDocHashSplit(s, dir, tag, n, eventTs = true)
+    val corpus = Tables.documents(s, dir)
+      .select(
+        graft.operators.TextOps.bagFingerprint(
+          graft.operators.TextOps.normText($"text")).as("fingerprint"),
+        graft.operators.Sampling.uniform01($"doc_id").as("u"))
+      .filter($"u" >= 0.3)
+      .select($"fingerprint")
+    val ix = new graft.operators.StandingIndex(
+      s, s"${tag}_fp_ix", buckets = 4, keys = Seq("fingerprint"))
+    // the corpus ingested one step before batch 0's events — its entries
+    // fall out of the horizon exactly when batch H's threshold passes
+    ix.init(corpus, maxEventMs = WmT0 - WmStepMs)
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val qn = s"${tag}_watermark_fold"
+    val sawWm = new java.util.concurrent.atomic.AtomicInteger(0)
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("event_ts", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .select($"doc_id",
+          graft.operators.TextOps.bagFingerprint(
+            graft.operators.TextOps.normText($"text")).as("fingerprint"),
+          $"event_ts")
+        .withWatermark("event_ts", s"${WmDelayMs / 1000} seconds")
+      incoming
+        .writeStream
+        .queryName(s"${qn}_$run")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // the COMMITTED watermark: the engine's own clock, read from
+          // the last committed batch's progress (null before the first
+          // commit of a run — nothing to expire yet)
+          val wmMs = s.streams.active
+            .find(q => Option(q.name).exists(_.startsWith(qn)))
+            .flatMap(q => Option(q.lastProgress))
+            .flatMap(p => Option(p.eventTime.get("watermark")))
+            .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+          wmMs.foreach { wm =>
+            if (wm > 0L) sawWm.incrementAndGet()
+            ix.expire(expireBeforeMs = wm - WmHorizonMs)
+          }
+          // fold stamped with the batch's max event time — the
+          // production stamp the scaladoc contract names
+          val batchMaxEventMs =
+            batch.agg(max(unix_millis($"event_ts"))).head.getLong(0)
+          val admitted = LlmQueries.admitAndFold(
+            batch.select($"doc_id", $"fingerprint"), ix, batchId,
+            maxEventMs = batchMaxEventMs)
+          admitted
+            .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
+              $"fingerprint")
+            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+        }
+        .start()
+    }
+    val query = driveRuns(tag, None, "", Paths.get(out, "_unused"))(runOnce)
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.isEmpty,
+      s"$tag must run STATELESS (the standing index is the cross-batch " +
+        s"state; the watermark operator holds no store), got $stateful")
+    // the engine must actually have reported advancing watermarks — a
+    // silently-absent watermark would leave every expire() a no-op and
+    // collapse this gate into q91's never-expiring shape
+    require(sawWm.get >= n - 2,
+      s"$tag: the engine must report a committed event-time watermark " +
+        s"from batch 2 on, got ${sawWm.get} reports")
+    dropStaged(staged)
+    val result = s.read.parquet(s"$out/batch_*")
+      .select($"doc_id", $"batch", $"fingerprint")
+      .orderBy($"doc_id")
+    // q98's non-vacuity fence: watermark-clocked expiry must have
+    // RE-OPENED at least one corpus-blocked fingerprint
+    val reopened = result.join(corpus, "fingerprint").count()
+    require(reopened > 0,
+      s"$tag must admit at least one post-expiry corpus duplicate, got none")
+    result
+  }
+
   /** Stage the incoming embeddings (content-hash split `u < 0.5`) as
     * `n` HASH-GROUP files — vector → micro-batch
     * `hash60('g' || vec_id) % n` — for the streamed VECTOR fold gates
@@ -2481,15 +2742,28 @@ object StreamGateQueries {
   def q101VectorFoldCrash(s: SparkSession, dir: String): DataFrame =
     vectorFoldGate(s, dir, "q101", failAt = Some(2L))
 
-  /** Shared harness behind q100 (clean) and q101 (crashed + replayed). */
-  /** Shared harness behind q100/q101 (never-expiring) and q102/q103
+  /** q110 — q94's MID-STREAM COMPACTION on the VECTOR modality: q100's
+    * continuous sketch-fold loop with the bounded head-of-batch compact
+    * injected at batch 2 — q109's gate on the third modality, closing
+    * the compact row of the mechanism × modality matrix end-to-end
+    * (exact q94/q95, near-dup q109, vector here). The merged
+    * bucket-keyed generation must keep every in-flight probe's candidate
+    * set intact: the admitted set meets q100's sequential oracle
+    * VERBATIM.
+    */
+  def q110CompactedVectorFold(s: SparkSession, dir: String): DataFrame =
+    vectorFoldGate(s, dir, "q110", failAt = None, compactAt = Some(1L))
+
+  /** Shared harness behind q100/q101 (never-expiring), q102/q103
     * (`horizon = Some(H)` — per-batch expire + stamped folds + the
-    * post-expiry re-admission fence) — the `streamingFoldGate(compactAt)`
-    * parametrization pattern on the vector modality.
+    * post-expiry re-admission fence), and q110 (`compactAt` — the
+    * bounded head-of-batch mid-stream compaction) — the
+    * `streamingFoldGate(compactAt)` parametrization pattern on the
+    * vector modality.
     */
   private def vectorFoldGate(
       s: SparkSession, dir: String, tag: String, failAt: Option[Long],
-      horizon: Option[Long] = None): DataFrame = {
+      horizon: Option[Long] = None, compactAt: Option[Long] = None): DataFrame = {
     import s.implicits._
     val n =
       if (failAt.isDefined) 6 else if (horizon.isDefined) 5 else 4
@@ -2522,6 +2796,10 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // q110: the bounded head-of-batch compact (q94's placement
+          // discipline) — strictly after batch `compactAt`'s commit,
+          // bounded to committed folds
+          if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
           // horizon first (q98's ordering) when expiring; then the ONE
           // per-batch spelling (LlmQueries.vectorAdmitAndFold, shared
           // with StreamBench's vecfold subject): sketch once, probe
@@ -2681,7 +2959,13 @@ object StreamGateQueries {
     "q102_expiring_vector_fold" -> (q102ExpiringVectorFold _),
     "q103_expiring_vector_crash" -> (q103ExpiringVectorCrash _),
     "q104_expiring_neardup_fold" -> (q104ExpiringNeardupFold _),
-    "q105_expiring_neardup_crash" -> (q105ExpiringNeardupCrash _))
+    "q105_expiring_neardup_crash" -> (q105ExpiringNeardupCrash _),
+    "q106_expiring_compacted_fold" -> (q106ExpiringCompactedFold _),
+    "q107_expiring_compact_crash" -> (q107ExpiringCompactCrash _),
+    "q108_watermark_expiring_fold" -> (q108WatermarkExpiringFold _),
+    "q109_compacted_neardup_fold" -> (q109CompactedNeardupFold _),
+    "q110_compacted_vector_fold" -> (q110CompactedVectorFold _),
+    "q111_policy_compacted_fold" -> (q111PolicyCompactedFold _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -2764,5 +3048,21 @@ object StreamGateQueries {
     "q103_expiring_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)),
     // the expiring near-dup pair: the near-dup generator's windowed arms
     "q104_expiring_neardup_fold" -> neardupGateOracle(5, Some(ExpiryHorizon)),
-    "q105_expiring_neardup_crash" -> neardupGateOracle(6, Some(ExpiryHorizon)))
+    "q105_expiring_neardup_crash" -> neardupGateOracle(6, Some(ExpiryHorizon)),
+    // compaction composed with horizon expiry (entry-level stamps): the
+    // expiring recurrence must hold VERBATIM through a mid-stream compact
+    // of mixed-stamp segments — clean and crash+replay shapes
+    "q106_expiring_compacted_fold" -> expiringFoldOracle(5, ExpiryHorizon),
+    "q107_expiring_compact_crash" -> expiringFoldOracle(6, ExpiryHorizon),
+    // the watermark-clocked spelling of the same horizon recurrence:
+    // stamps = batch max event time, expiry at committedWatermark − Hms;
+    // the event-time geometry makes the ms clock batch-exact (q108 doc)
+    "q108_watermark_expiring_fold" -> expiringFoldOracle(5, ExpiryHorizon),
+    // mid-stream compaction on the near-dup and vector modalities: the
+    // never-expiring sequential oracles must hold verbatim through it
+    "q109_compacted_neardup_fold" -> neardupGateOracle(4),
+    "q110_compacted_vector_fold" -> vectorGateOracle(4),
+    // policy-driven compaction cadence over a 10-batch horizon: cadence
+    // is a cost knob, never a semantics knob — q91's oracle verbatim
+    "q111_policy_compacted_fold" -> foldGateOracle)
 }

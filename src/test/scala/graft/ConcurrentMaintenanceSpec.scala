@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Cross-JVM maintenance concurrency — the deployment shape the
+  * reference actually runs (an async Hudi compactor PROCESS beside the
+  * continuous DeltaStreamer writer, ref `demonstration_notes.md` "Run
+  * Hudi DeltaStreamer Continuously"), lifted from argument to law:
+  *
+  *   1. the deterministic LOST-UPDATE law: a writer that read the
+  *      pointer before a racer's commit must have its own commit REFUSED
+  *      loudly (OCC version claim) — a last-write-wins pointer rename
+  *      would silently drop the racer's segment entry, the exact silent
+  *      data loss the round-13 design could not exclude;
+  *   2. the PROCESS law: a real second JVM (own SparkSession, own empty
+  *      in-memory catalog) compacts the same warehouse while this JVM
+  *      folds continuously — every fold completes (retrying the named
+  *      collision), at least one cross-JVM compaction lands, and the
+  *      final index holds every fold's delta exactly once. Exercises
+  *      the external-table re-registration path (a fresh catalog
+  *      resolving committed segments from the shared warehouse root —
+  *      the shared-metastore stand-in) and the OCC pointer on both
+  *      sides. Same-role concurrency (two folders / two compactors)
+  *      stays out of contract — StandingIndex's class doc names it and
+  *      the lock-provider requirement, Hudi's own rule.
+  */
+class ConcurrentMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var wh: String = _
+
+  override def beforeAll(): Unit = {
+    wh = Files.createTempDirectory("warehouse").toString
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .appName("concurrent-maintenance-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("OCC lost-update law: a commit from a stale pointer read is refused loudly and the racer's committed segment survives") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    val a = new StandingIndex(spark, "occ_ix", 2, Seq("band", "bk"))
+    val b = new StandingIndex(spark, "occ_ix", 2, Seq("band", "bk"))
+    a.init(Seq((0L, 0, "x")).toDF("doc_id", "band", "bk"))
+    // A reads the pointer; B commits a fold in the window; A's commit
+    // from the stale snapshot must lose the version CAS LOUDLY
+    val e = intercept[IllegalStateException] {
+      a.commitFromStaleRead(() =>
+        b.fold(Seq((1L, 1, "y")).toDF("doc_id", "band", "bk")))
+    }
+    assert(e.getMessage.contains("concurrent-maintenance"),
+      s"the stale commit must name the collision, got: ${e.getMessage}")
+    // the racer's segment entry survived — no silent lost update
+    assert(a.segments.size == 2)
+    assert(a.segments.last.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("async compactor in a SECOND JVM beside a continuous folder: all folds land, >= 1 cross-JVM compaction lands, no silent segment loss") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.StandingIndex
+    val ix = new StandingIndex(spark, "cc_ix", 2, Seq("band", "bk"))
+    ix.init(Seq((0L, 0, "k0")).toDF("doc_id", "band", "bk"))
+    // fork the compactor role: full test classpath (sbt forks tests, so
+    // java.class.path is complete) + the JDK17 add-opens Spark needs
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val marker = s"$wh/_compactor_ready"
+    val procLog = Files.createTempFile("compactor", ".log").toFile
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.AsyncCompactor", wh, "cc_ix", "20", marker)).toArray
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(procLog)
+      .start()
+    try {
+      // wait for the compactor's session to be LIVE, so folding overlaps
+      // compaction work rather than the second JVM's startup
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      while (!Files.exists(java.nio.file.Paths.get(marker)) &&
+          proc.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(200L)
+      assert(Files.exists(java.nio.file.Paths.get(marker)),
+        s"compactor never came up; log:\n${Files.readString(procLog.toPath)}")
+      // the continuous folder: every fold must COMPLETE — a lost version
+      // CAS is the named collision, retried from fresh state; any other
+      // failure propagates and fails the law
+      var folderCollisions = 0
+      (1 to 10).foreach { i =>
+        val delta = Seq((i.toLong, i % 2, s"k$i")).toDF("doc_id", "band", "bk")
+        var tries = 0
+        var done = false
+        while (!done) {
+          try { ix.fold(delta); done = true }
+          catch {
+            case e: IllegalStateException
+                if Option(e.getMessage).exists(_.contains("collision")) =>
+              folderCollisions += 1
+              tries += 1
+              assert(tries < 30, s"fold $i starved: $e")
+              Thread.sleep(50L)
+          }
+        }
+      }
+      assert(proc.waitFor(180, TimeUnit.SECONDS),
+        s"compactor did not exit; log:\n${Files.readString(procLog.toPath)}")
+      val log = Files.readString(procLog.toPath)
+      val line = "ASYNC_COMPACTOR done=(\\d+) collided=(\\d+)".r
+        .findFirstMatchIn(log)
+        .getOrElse(fail(s"compactor report line missing; log:\n$log"))
+      val compactions = line.group(1).toInt
+      info(s"cross-JVM compactions=$compactions " +
+        s"compactorCollisions=${line.group(2).toInt} " +
+        s"folderCollisions=$folderCollisions")
+      assert(compactions >= 1,
+        s"at least one cross-JVM compaction must land; log:\n$log")
+      // NO SILENT SEGMENT LOSS: the final index holds init's row and
+      // every fold's delta exactly once, through every interleaving
+      val ids = ix.segments.flatMap(_.collect().map(_.getLong(0))).sorted
+      assert(ids === (0L to 10L).toSeq,
+        s"every committed delta must survive exactly once, got $ids")
+    } finally {
+      if (proc.isAlive) proc.destroyForcibly()
+      procLog.delete()
+      ()
+    }
+  }
+}
