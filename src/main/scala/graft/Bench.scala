@@ -124,7 +124,14 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsMinNorm = results.map { case (k, _, _, nm, _) => "\"" + k + "\":" + f"$nm%.4f" }
+    // JSON-bound decimal formatting pinned to Locale.ROOT: the f
+    // interpolator uses the default locale, and a comma-decimal locale
+    // would emit unparseable JSON
+    def j3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def j4(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    val qsMinNorm = results.map { case (k, _, _, nm, _) => "\"" + k + "\":" + j4(nm) }
       .mkString("{", ",", "}")
     val errors = results.flatMap(_._5).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, med, _, _, None) => med }.sum
@@ -142,20 +149,20 @@ object Bench {
     // bench box has been observed to move totals 3-5x between runs
     // minutes apart with identical code — the reader needs the context.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val calArr = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val calEndArr = calEnds.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val calPassArr = calPass.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val calMin = f"${calibrations.min}%.3f"
+    val calArr = calibrations.map(j3).mkString("[", ",", "]")
+    val calEndArr = calEnds.map(j3).mkString("[", ",", "]")
+    val calPassArr = calPass.map(j3).mkString("[", ",", "]")
+    val calMin = j3(calibrations.min)
     // The driver captures only the TAIL of stdout (BENCH_r05 lost its
     // "metric":"total" to front-truncation of one long line), so the
     // final stdout line carries just the headline (≤ ~300 bytes); the
     // full per-query median/min maps go to a detail file and stderr.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${f"$minTotalNorm%.3f"},"queries":$qs,"queries_min":$qsMin,"queries_min_norm":$qsMinNorm,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration":$calArr,"calibration_end":$calEndArr,"calibration_pass":$calPassArr,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${j3(minTotalNorm)},"queries":$qs,"queries_min":$qsMin,"queries_min_norm":$qsMinNorm,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration":$calArr,"calibration_end":$calEndArr,"calibration_pass":$calPassArr,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_detail.json"), detail)
     System.err.println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${f"$minTotalNorm%.3f"},"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${j3(minTotalNorm)},"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions.{col, lit}
   * Each pointer entry carries four fields per segment:
   *
   *   - `table` — the physical catalog table (keyed folds use
-  *     `<name>_seg<id>`, compaction generations `<name>_cmp<g>`, so a
-  *     merged segment can never collide with a FUTURE keyed fold's id —
-  *     and, under the one-writer-per-ROLE deployment shape, the
-  *     continuous folder and the async compactor never contend for a
-  *     physical name either);
+  *     `<name>_seg<id>`, compaction generations `<name>_cmp<g>`, expiry
+  *     rewrites `<name>_exp<g>`, so a merged segment can never collide
+  *     with a FUTURE keyed fold's id — and, under the
+  *     one-writer-per-ROLE deployment shape, the continuous ingest role
+  *     and the async compactor never contend for a physical name
+  *     either);
   *   - `cover` — the maximum fold id the segment SUBSUMES. A keyed fold
   *     at id `i` covers `i`; a compaction's merged segment covers the max
   *     cover of everything it merged. [[segmentsUpTo]] selects by cover,
@@ -90,11 +91,12 @@ import org.apache.spark.sql.functions.{col, lit}
   * WITH maintenance beside it, and the commit timeline is what arbitrates.
   *
   * The physical-table namespaces make the supported deployment's two
-  * roles collision-free BELOW the pointer too: the continuous folder
-  * writes only `_seg<id>` tables, the async compactor only `_cmp<g>`
-  * tables, so their staging renames never contend for a name and every
-  * conflict surfaces at the pointer CAS, loudly, with both writers'
-  * data intact (the loser's segment table is re-published by its retry).
+  * roles collision-free BELOW the pointer too: the continuous ingest
+  * role writes only `_seg<id>` tables (folds) and `_exp<g>` tables
+  * (expiry rewrites), the async compactor only `_cmp<g>` tables, so
+  * their staging renames never contend for a name and every conflict
+  * surfaces at the pointer CAS, loudly, with both writers' data intact
+  * (the loser's segment table is re-published by its retry).
   * The ONE unsafe interleaving left is two writers of the SAME role
   * (two folders, or two compactors): both derive the same next physical
   * name from the same committed state, and between the loser's staging
@@ -160,6 +162,13 @@ class StandingIndex(
 
   private def segTable(i: Long): String = s"${name}_seg$i"
   private def cmpTable(g: Long): String = s"${name}_cmp$g"
+  // expiry rewrites get their OWN physical namespace: the ingest role
+  // (fold + expire) and the async-compactor role (compact) must never
+  // derive the same next physical name from the same committed state,
+  // or the rename-window hazard the class doc scopes to SAME-role
+  // concurrency would reopen between the two roles. Generations of both
+  // kinds allocate from the one hwm counter (monotone, never reused).
+  private def expTable(g: Long): String = s"${name}_exp$g"
   private def verPath(v: Long): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(warehousePath, f"_${name}_segments.v$v%019d")
 
@@ -199,6 +208,22 @@ class StandingIndex(
     * from the table names when absent).
     */
   private def state: State = {
+    // a racing pair of commits can delete the version this reader just
+    // globbed (commit keeps only the previous version as grace): re-list
+    // and re-read — the retry always lands on a newer committed snapshot
+    var attempt = 0
+    while (true) {
+      try return stateOnce
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def stateOnce: State = {
     val versions = listVersions()
     val (body, version) =
       if (versions.nonEmpty) { val (v, p) = versions.last; (readFile(p), v) }
@@ -228,7 +253,8 @@ class StandingIndex(
       }
       case None => // pre-hwm pointer: derive from the committed names
         (names.flatMap(idOf(s"${name}_seg", _)).maxOption.getOrElse(0L),
-          names.flatMap(idOf(s"${name}_cmp", _)).maxOption.getOrElse(0L))
+          names.flatMap(t => idOf(s"${name}_cmp", t)
+            .orElse(idOf(s"${name}_exp", t))).maxOption.getOrElse(0L))
     }
     State(live, retired, hwmSeg, hwmCmp, version)
   }
@@ -279,8 +305,12 @@ class StandingIndex(
     if (!claimVersion(prev.version + 1, body))
       throw collisionError(
         s"pointer version ${prev.version + 1} was claimed by another writer")
-    attempted --= live.map(_.table)
-    attempted --= retired
+    // the ledger is shared with publishSegment's synchronized reads: two
+    // threads on one instance must not race the mutable set
+    this.synchronized {
+      attempted --= live.map(_.table)
+      attempted --= retired
+    }
     listVersions().filter(_._1 < prev.version).foreach(p => fs.delete(p._2, false))
     if (prev.version == 0L && fs.exists(legacyPtrPath)) fs.delete(legacyPtrPath, false)
   }
@@ -421,13 +451,32 @@ class StandingIndex(
     * marks reset with them (a reset index is a NEW index).
     */
   def init(df: DataFrame, maxEventMs: Long = Long.MaxValue): Unit = {
-    val prev = state
+    var prev = state
     writeSegment(df, segTable(0L))
-    commit(prev, Seq(Seg(segTable(0L), 0L, maxEventMs, maxEventMs)), Seq.empty, 0L, 0L)
+    // init is a RESET — quiesce maintenance before calling it. Should a
+    // racing writer still commit inside this window, the reset retries
+    // until its commit lands (first-write-wins has no meaning under a
+    // reset: the racer's state is superseded by definition, and the
+    // retry closes the torn window where seg0's rewritten bytes sat
+    // under the racer's pointer metadata).
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      try {
+        commit(prev, Seq(Seg(segTable(0L), 0L, maxEventMs, maxEventMs)), Seq.empty, 0L, 0L)
+        committed = true
+      } catch {
+        case e: IllegalStateException if isOccCollision(e) && attempts < 5 =>
+          attempts += 1
+          prev = state
+      }
+    }
     (prev.live.map(_.table) ++ prev.retired).distinct
       .filter(_ != segTable(0L)).foreach(dropSegment)
-    attempted.clear()
-    attempted += segTable(0L)
+    this.synchronized {
+      attempted.clear()
+      attempted += segTable(0L)
+    }
   }
 
   /** Fold an admitted batch's index keys into the standing index: write
@@ -443,8 +492,12 @@ class StandingIndex(
     require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before fold()")
     val next = st.hwmSeg + 1
     publishSegment(delta, segTable(next), (st.live.map(_.table) ++ st.retired).toSet)
+    // st.retired passes through: it is non-empty only when this cycle's
+    // reclaim lost its commit CAS to a racer — dropping the LIST without
+    // having dropped the TABLES would orphan them forever; carrying it
+    // lets the next cycle's reclaim finish the job
     commit(st, st.live :+ Seg(segTable(next), next, maxEventMs, maxEventMs),
-      Seq.empty, next, st.hwmCmp)
+      st.retired, next, st.hwmCmp)
   }
 
   /** Replay-idempotent KEYED fold for streaming ingest: publish the
@@ -465,7 +518,9 @@ class StandingIndex(
     val st = reclaimRetired()
     require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before foldAt()")
     require(id > 0L, s"segment id 0 is init's corpus segment, got $id")
-    val compactedCover = st.live.filter(_.table.startsWith(s"${name}_cmp"))
+    // any non-fold table (a _cmp compaction generation OR an _exp expiry
+    // rewrite of one) subsumes every fold id <= its cover
+    val compactedCover = st.live.filter(s => !s.table.startsWith(s"${name}_seg"))
       .map(_.cover).maxOption.getOrElse(-1L)
     require(id > compactedCover,
       s"StandingIndex '$name' foldAt($id): a compaction generation already " +
@@ -474,7 +529,7 @@ class StandingIndex(
     writeSegment(delta, segTable(id)) // idempotent overwrite — replay-safe
     if (!st.live.exists(_.table == segTable(id)))
       commit(st, (st.live :+ Seg(segTable(id), id, maxEventMs, maxEventMs)).sortBy(_.cover),
-        Seq.empty, st.hwmSeg max id, st.hwmCmp)
+        st.retired, st.hwmSeg max id, st.hwmCmp)
   }
 
   /** Live segment count, pointer resolved once — the cheap observability
@@ -588,7 +643,8 @@ class StandingIndex(
       sel.map(_.maxEventMs).max, sel.map(_.minEventMs).min)
     publishSegment(frames.reduce(_ unionByName _), merged.table,
       (st.live.map(_.table) ++ st.retired).toSet)
-    commit(st, (keep :+ merged).sortBy(_.cover), retired = sel.map(_.table),
+    commit(st, (keep :+ merged).sortBy(_.cover),
+      retired = st.retired ++ sel.map(_.table),
       hwmSeg = st.hwmSeg, hwmCmp = gen)
   }
 
@@ -671,7 +727,10 @@ class StandingIndex(
       require(src.columns.contains(StampCol),
         s"StandingIndex '$name' segment '${s.table}' records a stamp range " +
           s"[${s.minEventMs}, ${s.maxEventMs}] but carries no per-row stamps")
-      val nt = cmpTable(gen)
+      // the _exp namespace, NOT _cmp: expire runs in the INGEST role, so
+      // its rewrites must never contend with the async compactor's next
+      // generation name (one-writer-per-role — class doc)
+      val nt = expTable(gen)
       publishSegment(src.filter(col(StampCol) >= expireBeforeMs), nt, referenced)
       referenced += nt
       // surviving rows all carry stamps >= expireBeforeMs: record it as
@@ -679,6 +738,7 @@ class StandingIndex(
       Seg(nt, s.cover, s.maxEventMs, expireBeforeMs)
     }
     commit(st, (untouched ++ rewritten).sortBy(_.cover),
-      retired = (dead ++ partial).map(_.table), hwmSeg = st.hwmSeg, hwmCmp = gen)
+      retired = st.retired ++ (dead ++ partial).map(_.table),
+      hwmSeg = st.hwmSeg, hwmCmp = gen)
   }
 }

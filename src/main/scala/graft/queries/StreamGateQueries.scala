@@ -2633,9 +2633,13 @@ object StreamGateQueries {
             ix.expire(expireBeforeMs = wm - WmHorizonMs)
           }
           // fold stamped with the batch's max event time — the
-          // production stamp the scaladoc contract names
-          val batchMaxEventMs =
-            batch.agg(max(unix_millis($"event_ts"))).head.getLong(0)
+          // production stamp the scaladoc contract names. A rowless
+          // batch has no max event (null aggregate): nothing arrived,
+          // nothing to probe or fold — skip rather than NPE (staging
+          // refuses empty slices, so this is a defensive fence)
+          val maxRow = batch.agg(max(unix_millis($"event_ts"))).head
+          if (!maxRow.isNullAt(0)) {
+          val batchMaxEventMs = maxRow.getLong(0)
           val admitted = LlmQueries.admitAndFold(
             batch.select($"doc_id", $"fingerprint"), ix, batchId,
             maxEventMs = batchMaxEventMs)
@@ -2643,6 +2647,7 @@ object StreamGateQueries {
             .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
               $"fingerprint")
             .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          }
         }
         .start()
     }
