@@ -124,13 +124,9 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    // JSON-bound decimal formatting pinned to Locale.ROOT: the f
-    // interpolator uses the default locale, and a comma-decimal locale
-    // would emit unparseable JSON
-    def j3(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    def j4(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    // JSON-bound decimals pinned to Locale.ROOT (shared: [[JsonNum]])
+    def j3(d: Double): String = JsonNum.j(d)
+    def j4(d: Double): String = JsonNum.j(d, precision = 4)
     val qsMinNorm = results.map { case (k, _, _, nm, _) => "\"" + k + "\":" + j4(nm) }
       .mkString("{", ",", "}")
     val errors = results.flatMap(_._5).map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -350,7 +350,7 @@ object ScaleProbe {
       val ratio = t10 / t1
       val exponent = math.log(ratio) / math.log(Shards.toDouble)
       System.err.println(f"$name%-22s 1x=$t1%7.2fs ${Shards}x=$t10%7.2fs ratio=$ratio%5.2f exp=$exponent%4.2f")
-      s"""{"query":"$name","shards":$Shards,"t1_sec":${f"$t1%.3f"},"tN_sec":${f"$t10%.3f"},"ratio":${f"$ratio%.3f"},"exponent":${f"$exponent%.3f"}}"""
+      s"""{"query":"$name","shards":$Shards,"t1_sec":${JsonNum.j(t1)},"tN_sec":${JsonNum.j(t10)},"ratio":${JsonNum.j(ratio)},"exponent":${JsonNum.j(exponent)}}"""
     }
     println("[" + rows.mkString(",") + "]")
     spark.stop()

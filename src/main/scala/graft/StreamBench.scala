@@ -170,8 +170,8 @@ object StreamBench {
         System.err.println(
           f"$metric/$name%-22s median=$med%6.2fs min=$mn%6.2fs ${rows / mn}%,.0f rows/s")
       }
-      val med = out.map { case (k, m, _) => s""""$k":${f"$m%.3f"}""" }.mkString("{", ",", "}")
-      val mn = out.map { case (k, _, m) => s""""$k":${f"$m%.3f"}""" }.mkString("{", ",", "}")
+      val med = out.map { case (k, m, _) => s""""$k":${JsonNum.j(m)}""" }.mkString("{", ",", "}")
+      val mn = out.map { case (k, _, m) => s""""$k":${JsonNum.j(m)}""" }.mkString("{", ",", "}")
       val rps = out.map { case (k, _, m) => s""""$k":${(rows / m).toLong}""" }.mkString("{", ",", "}")
       println(s"""{"metric":"$metric","rows":$rows,"shards":$shards,"passes":$passes,"median_sec":$med,"min_sec":$mn,"rows_per_sec":$rps,"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
     }
@@ -280,7 +280,7 @@ object StreamBench {
         System.err.println(
           f"recovery/$mode%-9s shards=$n%-3d keys=$keys%,d build=$build%6.2fs " +
             f"baseline=$baseline%6.2fs recover=$recover%6.2fs reload=${recover - baseline}%6.2fs")
-        s""""${mode}_x$n":{"rows":$rows,"state_keys":$keys,"build_sec":${f"$build%.3f"},"baseline_sec":${f"$baseline%.3f"},"recover_sec":${f"$recover%.3f"}}"""
+        s""""${mode}_x$n":{"rows":$rows,"state_keys":$keys,"build_sec":${JsonNum.j(build)},"baseline_sec":${JsonNum.j(baseline)},"recover_sec":${JsonNum.j(recover)}}"""
       }
       println(s"""{"metric":"stream_recovery","cells":${cells.mkString("{", ",", "}")},"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
     }
@@ -566,7 +566,7 @@ object StreamBench {
             f"dedup_rocksdb=$v3%6.2fs join_rocksdb=$v4%6.2fs " +
             f"(${v1 / (rows / 1e6)}%.2f / ${v2 / (rows / 1e6)}%.2f / " +
             f"${v3 / (rows / 1e6)}%.2f / ${v4 / (rows / 1e6)}%.2f s/Mrow)")
-        s""""x$n":{"rows":$rows,"fmgws_hdfs_sec":${f"$v1%.3f"},"tws_rocksdb_sec":${f"$v2%.3f"},"dedup_rocksdb_sec":${f"$v3%.3f"},"join_rocksdb_sec":${f"$v4%.3f"}}"""
+        s""""x$n":{"rows":$rows,"fmgws_hdfs_sec":${JsonNum.j(v1)},"tws_rocksdb_sec":${JsonNum.j(v2)},"dedup_rocksdb_sec":${JsonNum.j(v3)},"join_rocksdb_sec":${JsonNum.j(v4)}}"""
       }
       println(s"""{"metric":"stream_state_scale","decades":${decades.mkString("{", ",", "}")},"load_avg_1m":$loadAvg,"cpus":$cpus,"sf":"$base"}""")
     }

@@ -447,35 +447,54 @@ class StandingIndex(
 
   /** Initial index build (the corpus-ingest bulk load). Resets the
     * index: prior segments — live, retired, and this session's crashed
-    * leftovers alike — are superseded and dropped; the id high-water
-    * marks reset with them (a reset index is a NEW index).
+    * leftovers alike — are superseded and dropped, and the fold-id
+    * high-water mark resets (a reset index is a NEW index; the
+    * generation counter stays monotone on a RE-init, whose staged
+    * corpus takes a fresh generation name so the old corpus is never
+    * overwritten before the reset's commit lands).
     */
   def init(df: DataFrame, maxEventMs: Long = Long.MaxValue): Unit = {
-    var prev = state
-    writeSegment(df, segTable(0L))
-    // init is a RESET — quiesce maintenance before calling it. Should a
-    // racing writer still commit inside this window, the reset retries
-    // until its commit lands (first-write-wins has no meaning under a
-    // reset: the racer's state is superseded by definition, and the
-    // retry closes the torn window where seg0's rewritten bytes sat
-    // under the racer's pointer metadata).
+    val prev = state
+    val fresh = prev.live.isEmpty && prev.retired.isEmpty
+    // a FRESH init owns the namespace — plain write to seg0, nothing
+    // committed exists to tear. A RE-init writes the new corpus under a
+    // NEW generation name instead of overwriting seg0 in place: the old
+    // corpus bytes stay intact under the old pointer until OUR commit
+    // lands, so a lost CAS (or a crash) leaves readers fully consistent
+    // — never new bytes under old metadata. init is still a RESET
+    // (quiesce maintenance first); a racing commit is retried and
+    // superseded, and on give-up the staged corpus is dropped.
+    val gen = prev.hwmCmp + 1
+    val target = if (fresh) segTable(0L) else expTable(gen)
+    if (fresh) writeSegment(df, target)
+    else publishSegment(df, target, (prev.live.map(_.table) ++ prev.retired).toSet)
     var committed = false
     var attempts = 0
+    var basis = prev
     while (!committed) {
       try {
-        commit(prev, Seq(Seg(segTable(0L), 0L, maxEventMs, maxEventMs)), Seq.empty, 0L, 0L)
+        commit(basis, Seq(Seg(target, 0L, maxEventMs, maxEventMs)), Seq.empty,
+          0L, if (fresh) 0L else basis.hwmCmp max gen)
         committed = true
       } catch {
-        case e: IllegalStateException if isOccCollision(e) && attempts < 5 =>
+        case e: IllegalStateException if isOccCollision(e) =>
           attempts += 1
-          prev = state
+          if (attempts >= 5) {
+            // give up loudly with nothing torn: drop the staged corpus
+            // (provably ours — a re-init generation name no racer
+            // derives); the old pointer and bytes are untouched
+            if (!fresh) dropSegment(target)
+            throw e
+          }
+          basis = state
       }
     }
-    (prev.live.map(_.table) ++ prev.retired).distinct
-      .filter(_ != segTable(0L)).foreach(dropSegment)
+    (basis.live.map(_.table) ++ basis.retired ++
+        prev.live.map(_.table) ++ prev.retired).distinct
+      .filter(_ != target).foreach(dropSegment)
     this.synchronized {
       attempted.clear()
-      attempted += segTable(0L)
+      attempted += target
     }
   }
 
@@ -643,9 +662,18 @@ class StandingIndex(
       sel.map(_.maxEventMs).max, sel.map(_.minEventMs).min)
     publishSegment(frames.reduce(_ unionByName _), merged.table,
       (st.live.map(_.table) ++ st.retired).toSet)
-    commit(st, (keep :+ merged).sortBy(_.cover),
+    try commit(st, (keep :+ merged).sortBy(_.cover),
       retired = st.retired ++ sel.map(_.table),
       hwmSeg = st.hwmSeg, hwmCmp = gen)
+    catch {
+      case e: IllegalStateException if isOccCollision(e) =>
+        // a racer's commit may have bumped the shared generation
+        // counter past ours, so a retry would derive a NEW name and
+        // this uncommitted (provably ours) table would orphan forever —
+        // compensate before surfacing the named collision
+        dropSegment(merged.table)
+        throw e
+    }
   }
 
   /** Cadence POLICY for continuous ingest: compact the committed prefix
@@ -737,8 +765,15 @@ class StandingIndex(
       // the (conservative, monotone) new lower bound
       Seg(nt, s.cover, s.maxEventMs, expireBeforeMs)
     }
-    commit(st, (untouched ++ rewritten).sortBy(_.cover),
+    try commit(st, (untouched ++ rewritten).sortBy(_.cover),
       retired = st.retired ++ (dead ++ partial).map(_.table),
       hwmSeg = st.hwmSeg, hwmCmp = gen)
+    catch {
+      case e: IllegalStateException if isOccCollision(e) =>
+        // compact()'s compensation rationale: uncommitted rewrites at
+        // possibly-superseded generation names must not orphan
+        rewritten.foreach(s => dropSegment(s.table))
+        throw e
+    }
   }
 }
