@@ -2572,10 +2572,44 @@ object StreamGateQueries {
     * batch H on, exactly as q98 — enforced by the same non-vacuity
     * fence. Stateless like every fold gate (the watermark operator
     * tracks event time but holds no state store).
+    *
+    * The committed watermark each batch plans with is RECORDED durably
+    * (an idempotent per-batch file beside the checkpoint) before use —
+    * Spark's own offsets-log discipline (the engine re-runs a batch
+    * with the batch's original planning state) mirrored at the
+    * foreachBatch level, because a RESTARTED query's `lastProgress` is
+    * null until its first commit: without the record, a replayed
+    * batch could not re-derive the expiry threshold its first attempt
+    * used and recovery would diverge (q112 is exactly that crash
+    * shape). A deployment that cannot record may instead derive the
+    * clock from the index itself (max live fold stamp − delay), which
+    * is committed state by construction.
     */
-  def q108WatermarkExpiringFold(s: SparkSession, dir: String): DataFrame = {
+  def q108WatermarkExpiringFold(s: SparkSession, dir: String): DataFrame =
+    watermarkFoldGate(s, dir, "q108", failAt = None)
+
+  /** q112 — q108's pipeline crashed on the first attempt of batch 2
+    * after ALL its durable effects (the recorded planning watermark,
+    * the expiry it drove, the stamped fold, the sink), then replayed:
+    * the watermark-clock row's crash cell. The replay cannot read the
+    * committed watermark from the engine (a restarted query's
+    * `lastProgress` is null until its first commit) — it reads the
+    * batch's RECORDED planning watermark instead, re-expires
+    * idempotently at the same threshold, probes the surviving
+    * strictly-earlier segments only, and re-folds segment 3 with the
+    * identical max-event stamp. Batch-dir union meets the expiring
+    * oracle verbatim.
+    */
+  def q112WatermarkExpiryCrash(s: SparkSession, dir: String): DataFrame =
+    watermarkFoldGate(s, dir, "q112", failAt = Some(2L))
+
+  /** Shared harness behind q108 (clean) and q112 (crashed + replayed) —
+    * see q108's scaladoc for the window law and the recorded-watermark
+    * replay discipline.
+    */
+  private def watermarkFoldGate(
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
     import s.implicits._
-    val tag = "q108"
     // the window law: slack = D + Hms − (H − 2)·step must sit strictly
     // inside [jmax, step − jmax) or realized jitters could flip a batch
     // boundary and the oracle's batch-window unrolling would not apply
@@ -2583,7 +2617,7 @@ object StreamGateQueries {
     require(slack >= WmJitterMax && slack < WmStepMs - WmJitterMax,
       s"$tag window law violated: slack=$slack not in " +
         s"[$WmJitterMax, ${WmStepMs - WmJitterMax})")
-    val n = 5
+    val n = if (failAt.isDefined) 6 else 5
     val staged = stageDocHashSplit(s, dir, tag, n, eventTs = true)
     val corpus = Tables.documents(s, dir)
       .select(
@@ -2601,6 +2635,8 @@ object StreamGateQueries {
     val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
     val qn = s"${tag}_watermark_fold"
     val sawWm = new java.util.concurrent.atomic.AtomicInteger(0)
+    val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
+    val failMarker = Paths.get(out, "_fail_injected")
     def runOnce(run: String): StreamingQuery = {
       val incoming = s.readStream
         .schema(StructType(Seq(
@@ -2620,14 +2656,27 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // the COMMITTED watermark: the engine's own clock, read from
-          // the last committed batch's progress (null before the first
-          // commit of a run — nothing to expire yet)
-          val wmMs = s.streams.active
-            .find(q => Option(q.name).exists(_.startsWith(qn)))
-            .flatMap(q => Option(q.lastProgress))
-            .flatMap(p => Option(p.eventTime.get("watermark")))
-            .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+          // the COMMITTED watermark — this batch's PLANNING state,
+          // recorded durably before first use (the offsets-log
+          // discipline, q108 scaladoc): the first evaluation reads the
+          // engine's clock from the last committed batch's progress
+          // (null before a run's first commit — nothing to expire yet)
+          // and records it; a REPLAY (whose restarted query has no
+          // progress yet) reads the record back and re-derives the
+          // identical expiry threshold
+          val wmRecord = Paths.get(ck, f"wm_$batchId%06d")
+          val wmMs: Option[Long] =
+            if (Files.exists(wmRecord))
+              Some(Files.readString(wmRecord).toLong).filter(_ != Long.MinValue)
+            else {
+              val read = s.streams.active
+                .find(q => Option(q.name).exists(_.startsWith(qn)))
+                .flatMap(q => Option(q.lastProgress))
+                .flatMap(p => Option(p.eventTime.get("watermark")))
+                .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+              Files.writeString(wmRecord, read.getOrElse(Long.MinValue).toString)
+              read
+            }
           wmMs.foreach { wm =>
             if (wm > 0L) sawWm.incrementAndGet()
             ix.expire(expireBeforeMs = wm - WmHorizonMs)
@@ -2648,10 +2697,14 @@ object StreamGateQueries {
               $"fingerprint")
             .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
           }
+          if (failAt.contains(batchId) && !Files.exists(failMarker)) {
+            Files.createFile(failMarker)
+            throw new RuntimeException(injectedMsg)
+          }
         }
         .start()
     }
-    val query = driveRuns(tag, None, "", Paths.get(out, "_unused"))(runOnce)
+    val query = driveRuns(tag, failAt, injectedMsg, failMarker)(runOnce)
     val stateful = Option(query.lastProgress)
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.isEmpty,
@@ -2970,7 +3023,8 @@ object StreamGateQueries {
     "q108_watermark_expiring_fold" -> (q108WatermarkExpiringFold _),
     "q109_compacted_neardup_fold" -> (q109CompactedNeardupFold _),
     "q110_compacted_vector_fold" -> (q110CompactedVectorFold _),
-    "q111_policy_compacted_fold" -> (q111PolicyCompactedFold _))
+    "q111_policy_compacted_fold" -> (q111PolicyCompactedFold _),
+    "q112_watermark_expiry_crash" -> (q112WatermarkExpiryCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -3069,5 +3123,9 @@ object StreamGateQueries {
     "q110_compacted_vector_fold" -> vectorGateOracle(4),
     // policy-driven compaction cadence over a 10-batch horizon: cadence
     // is a cost knob, never a semantics knob — q91's oracle verbatim
-    "q111_policy_compacted_fold" -> foldGateOracle)
+    "q111_policy_compacted_fold" -> foldGateOracle,
+    // the watermark clock's crash cell: the replay re-derives batch 2's
+    // expiry threshold from its RECORDED planning watermark (a restarted
+    // query has no progress to read) — same windowed oracle
+    "q112_watermark_expiry_crash" -> expiringFoldOracle(6, ExpiryHorizon))
 }
