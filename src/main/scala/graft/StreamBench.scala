@@ -96,9 +96,9 @@ object StreamBench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale",
-      "admission", "fold", "foldexp", "neardup", "vecfold")
+      "admission", "fold", "foldexp", "foldcmp", "neardup", "vecfold")
     val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
-      "sessionize,join,dedup,recovery,scale,admission,fold,foldexp,neardup,vecfold")
+      "sessionize,join,dedup,recovery,scale,admission,fold,foldexp,foldcmp,neardup,vecfold")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // a typo'd or empty subject list would otherwise run ZERO subjects
     // and exit cleanly — indistinguishable from a recorded run (ADVICE)
@@ -421,6 +421,54 @@ object StreamBench {
         (System.nanoTime() - t0) / 1e9
       }
       jsonLine("stream_foldexp", rows, measure(Seq(("foldexp", () => run()))))
+    }
+
+    if (subjects("foldcmp")) {
+      // q111's cadence POLICY priced: the SAME continuous fold loop run
+      // at 16 micro-batches with and without `compactIfOver(k = 4)` at
+      // each batch head. The measured delta is the whole-run price of
+      // the policy's compact rewrites (3 firings at this batch count —
+      // asserted, the gate's non-vacuity fence), and what it buys is
+      // the bounded probe fan-out: the no-policy arm's last batch
+      // probes 16 strictly-earlier segments, the policy arm never more
+      // than k. Both arms drive the gate's exact per-batch helper
+      // (admitAndFold), so the bench can never price a shape the q111
+      // gate doesn't verify.
+      import graft.operators.{StandingIndex, TextOps}
+      val (docsPath, rows, corpusFp) = foldFixture
+      val docsSchema = foldDocsSchema
+      def run(policy: Option[Int], tag: String): Double = {
+        val ix = new StandingIndex(spark, s"sbfoldcmp$tag", 4, Seq("fingerprint"))
+        ix.init(corpusFp)
+        val ck = Files.createTempDirectory("graft-sbfoldcmp-ck").toString
+        val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+        val t0 = System.nanoTime()
+        val q = spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", "2") // 32 fixture files → 16 batches
+          .parquet(docsPath)
+          .select($"doc_id",
+            TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            policy.foreach { k =>
+              if (ix.compactIfOver(k, coverAtMost = batchId)) fired.incrementAndGet()
+            }
+            graft.queries.LlmQueries.admitAndFold(batch, ix, batchId)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        policy.foreach { _ => require(fired.get >= 2,
+          s"foldcmp policy arm must fire >= 2 compactions, got ${fired.get}") }
+        secs
+      }
+      jsonLine("stream_foldcmp", rows, measure(Seq(
+        ("nopolicy", () => run(None, "np")),
+        ("policy", () => run(Some(4), "p")))))
     }
 
     if (subjects("neardup")) {

@@ -2603,13 +2603,56 @@ object StreamGateQueries {
   def q112WatermarkExpiryCrash(s: SparkSession, dir: String): DataFrame =
     watermarkFoldGate(s, dir, "q112", failAt = Some(2L))
 
+  /** q113 — the FULL PRODUCTION LOOP in one gate: q108's
+    * watermark-clocked expiring fold with compaction fired by the
+    * CADENCE POLICY (q111's `compactIfOver`, k = 2) instead of the
+    * harness — every index-maintenance mechanism the engine ships,
+    * composed and self-scheduling the way a deployed pipeline runs
+    * them. Each batch: policy-compact the committed prefix (under the
+    * watermark clock every fold is distinctly stamped, so a firing is
+    * always a MIXED-STAMP merge — q106's entry-level `_g_stamp`
+    * machinery on the policy path), then expire at
+    * `committedWatermark − horizonMs` (partial filter-rewrites of the
+    * merged generation when its stamp range straddles the threshold —
+    * with k = 2 the threshold crosses INSIDE the merged range at every
+    * post-compact batch, so the partial arm is exercised repeatedly,
+    * not once), then probe + max-event-stamped fold. The policy is a
+    * cost knob, never a semantics knob: the admitted set meets q108's
+    * expiring oracle VERBATIM, while in-gate fences require ≥ 2
+    * policy firings (else the gate silently degrades to q108), live
+    * segments ≤ k at every probe point (the bounded probe fan-out an
+    * infinite stream holds forever), advancing engine watermarks, and
+    * ≥ 1 post-expiry corpus re-admission.
+    */
+  def q113PolicyExpiringWatermarkFold(s: SparkSession, dir: String): DataFrame =
+    watermarkFoldGate(s, dir, "q113", failAt = None, autoCompactOver = Some(2))
+
+  /** q114 — q113's pipeline crashed on the first attempt of batch 2
+    * after ALL durable effects, then replayed: the crash cell of the
+    * fully-composed loop. The first attempt's policy compact COMMITTED
+    * before the crash (head-of-batch placement, bounded to committed
+    * covers), so the replay's policy re-reads the compacted state —
+    * live count back under k — and correctly does NOT re-fire (the
+    * no-op arm of the policy is itself replay-correct); it then
+    * re-reads the RECORDED planning watermark (q112's discipline),
+    * re-expires idempotently, probes the surviving strictly-earlier
+    * segments, and re-folds with the identical max-event stamp. The
+    * ≥ 2-firings fence spans the whole drive (the later policy firing
+    * still lands), and the batch-dir union meets the 6-batch expiring
+    * oracle verbatim.
+    */
+  def q114PolicyExpiryCrash(s: SparkSession, dir: String): DataFrame =
+    watermarkFoldGate(s, dir, "q114", failAt = Some(2L), autoCompactOver = Some(2))
+
   /** Shared harness behind q108 (clean) and q112 (crashed + replayed) —
     * see q108's scaladoc for the window law and the recorded-watermark
     * replay discipline.
     */
   private def watermarkFoldGate(
-      s: SparkSession, dir: String, tag: String, failAt: Option[Long]): DataFrame = {
+      s: SparkSession, dir: String, tag: String, failAt: Option[Long],
+      autoCompactOver: Option[Int] = None): DataFrame = {
     import s.implicits._
+    val policyFired = new java.util.concurrent.atomic.AtomicInteger(0)
     // the window law: slack = D + Hms − (H − 2)·step must sit strictly
     // inside [jmax, step − jmax) or realized jitters could flip a batch
     // boundary and the oracle's batch-window unrolling would not apply
@@ -2656,6 +2699,23 @@ object StreamGateQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // q113/q114: the cadence POLICY fires the entry-stamped
+          // compact at the head of the batch, bounded to committed
+          // covers (q94's placement discipline) and BEFORE the expire —
+          // under the watermark clock every fold carries a distinct
+          // event-time stamp, so a policy-fired merge is always
+          // mixed-stamp (q106's entry-level machinery) and the expire
+          // right after must still retire exactly the horizon's entries
+          // from the merged generation, here policy-triggered rather
+          // than harness-scheduled
+          autoCompactOver.foreach { k =>
+            if (ix.compactIfOver(k, coverAtMost = batchId))
+              policyFired.incrementAndGet()
+            val live = ix.segmentCount
+            require(live <= k,
+              s"$tag: the cadence policy must bound live segments to <= $k " +
+                s"at every probe point, got $live at batch $batchId")
+          }
           // the COMMITTED watermark — this batch's PLANNING state,
           // recorded durably before first use (the offsets-log
           // discipline, q108 scaladoc): the first evaluation reads the
@@ -2716,6 +2776,13 @@ object StreamGateQueries {
     require(sawWm.get >= n - 2,
       s"$tag: the engine must report a committed event-time watermark " +
         s"from batch 2 on, got ${sawWm.get} reports")
+    // q113's non-vacuity fence (q111's): a policy that never fired would
+    // silently degrade the gate to q108 and prove nothing about cadence
+    autoCompactOver.foreach { _ =>
+      require(policyFired.get >= 2,
+        s"$tag: the cadence policy must fire >= 2 compactions across the " +
+          s"run, got ${policyFired.get}")
+    }
     dropStaged(staged)
     val result = s.read.parquet(s"$out/batch_*")
       .select($"doc_id", $"batch", $"fingerprint")
@@ -3024,7 +3091,9 @@ object StreamGateQueries {
     "q109_compacted_neardup_fold" -> (q109CompactedNeardupFold _),
     "q110_compacted_vector_fold" -> (q110CompactedVectorFold _),
     "q111_policy_compacted_fold" -> (q111PolicyCompactedFold _),
-    "q112_watermark_expiry_crash" -> (q112WatermarkExpiryCrash _))
+    "q112_watermark_expiry_crash" -> (q112WatermarkExpiryCrash _),
+    "q113_policy_expiring_watermark_fold" -> (q113PolicyExpiringWatermarkFold _),
+    "q114_policy_expiry_crash" -> (q114PolicyExpiryCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -3127,5 +3196,7 @@ object StreamGateQueries {
     // the watermark clock's crash cell: the replay re-derives batch 2's
     // expiry threshold from its RECORDED planning watermark (a restarted
     // query has no progress to read) — same windowed oracle
-    "q112_watermark_expiry_crash" -> expiringFoldOracle(6, ExpiryHorizon))
+    "q112_watermark_expiry_crash" -> expiringFoldOracle(6, ExpiryHorizon),
+    "q113_policy_expiring_watermark_fold" -> expiringFoldOracle(5, ExpiryHorizon),
+    "q114_policy_expiry_crash" -> expiringFoldOracle(6, ExpiryHorizon))
 }
