@@ -53,10 +53,10 @@ object AsyncCompactor {
     (1 to attemptsStr.toInt).foreach { _ =>
       try if (ix.compactIfOver(maxLive = 1)) done += 1
       catch {
-        // both loud shapes carry "collision": the OCC version-claim loss
-        // and the publish-collision guard — retried from fresh state
-        case e: IllegalStateException
-            if Option(e.getMessage).exists(_.contains("collision")) =>
+        // both loud shapes are the TYPED collision: the OCC
+        // version-claim loss and the publish-collision guard — retried
+        // from fresh state
+        case _: graft.operators.OccCollisionException =>
           collided += 1
       }
       Thread.sleep(100L)

@@ -3,6 +3,19 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
+/** A maintenance mutation lost its optimistic-concurrency race (a
+  * pointer version CAS claimed by another writer, or a publish onto a
+  * name committed state already references): the mutation was NOT
+  * committed and is retryable from fresh state. A dedicated TYPE so
+  * retry/compensation control flow — [[StandingIndex]]'s internal
+  * catch sites, [[graft.AsyncCompactor]]'s retry loop, spec laws —
+  * matches on the class, never on error-message wording (which a text
+  * edit would silently turn into hard failures). Extends
+  * IllegalStateException so pre-existing broad handlers keep working.
+  */
+class OccCollisionException(message: String, cause: Throwable = null)
+  extends IllegalStateException(message, cause)
+
 /** Versioned, SEGMENTED standing-index lake — the maintenance story for
   * the per-ingest admission family (q73/q75/q80): after a batch is
   * admitted, its index keys must FOLD INTO the standing index before the
@@ -158,6 +171,20 @@ class StandingIndex(
   private val warehouse = spark.conf.get("spark.sql.warehouse.dir")
   private val warehousePath = new org.apache.hadoop.fs.Path(warehouse)
   private val fs = warehousePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // the OCC version claim is only atomic-exclusive on filesystems whose
+  // claim primitive actually is: POSIX link(2) on `file`, no-overwrite
+  // rename on HDFS-family stores. On an object store (s3a without an
+  // atomic-rename layer) rename is exists-check-then-act, so two racers
+  // could BOTH believe they claimed a version and the lost-update
+  // guarantee would silently degrade to last-write-wins — fail FAST at
+  // construction instead, mirroring Hudi's explicit lock-provider
+  // requirement for such stores.
+  require(Set("file", "hdfs", "viewfs").contains(
+      Option(fs.getScheme).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")),
+    s"StandingIndex '$name': warehouse scheme '${fs.getScheme}' has no " +
+      "atomic-exclusive claim primitive, so OCC pointer commits would " +
+      "silently degrade to last-write-wins; run on file/hdfs/viewfs or " +
+      "front the store with an external lock provider (Hudi's own rule)")
   private val legacyPtrPath = new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_segments")
 
   private def segTable(i: Long): String = s"${name}_seg$i"
@@ -173,14 +200,11 @@ class StandingIndex(
     new org.apache.hadoop.fs.Path(warehousePath, f"_${name}_segments.v$v%019d")
 
   private def collisionError(what: String, cause: Throwable = null) =
-    new IllegalStateException(
+    new OccCollisionException(
       s"StandingIndex '$name' concurrent-maintenance collision: $what — " +
         "maintenance is one-writer-per-role with OCC pointer commits " +
         "(see class doc); this mutation was NOT committed and can be " +
         "retried from fresh state", cause)
-
-  private def isOccCollision(e: Throwable): Boolean =
-    Option(e.getMessage).exists(_.contains("concurrent-maintenance"))
 
   private def readFile(p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)
@@ -393,7 +417,7 @@ class StandingIndex(
     else {
       st.retired.foreach(dropSegment)
       try { commit(st, st.live, Seq.empty, st.hwmSeg, st.hwmCmp); state }
-      catch { case e: IllegalStateException if isOccCollision(e) => state }
+      catch { case _: OccCollisionException => state }
     }
   }
 
@@ -418,7 +442,7 @@ class StandingIndex(
     */
   private def publishSegment(
       df: DataFrame, table: String, referenced: Set[String]): Unit = this.synchronized {
-    def collision(cause: Throwable) = new IllegalStateException(
+    def collision(cause: Throwable) = new OccCollisionException(
       s"StandingIndex '$name' publish collision on '$table': folds are " +
         "single-writer-per-role (see class doc); this delta was NOT published", cause)
     if (referenced.contains(table)) throw collision(null)
@@ -477,7 +501,7 @@ class StandingIndex(
           0L, if (fresh) 0L else basis.hwmCmp max gen)
         committed = true
       } catch {
-        case e: IllegalStateException if isOccCollision(e) =>
+        case e: OccCollisionException =>
           attempts += 1
           if (attempts >= 5) {
             // give up loudly with nothing torn: drop the staged corpus
@@ -666,7 +690,7 @@ class StandingIndex(
       retired = st.retired ++ sel.map(_.table),
       hwmSeg = st.hwmSeg, hwmCmp = gen)
     catch {
-      case e: IllegalStateException if isOccCollision(e) =>
+      case e: OccCollisionException =>
         // a racer's commit may have bumped the shared generation
         // counter past ours, so a retry would derive a NEW name and
         // this uncommitted (provably ours) table would orphan forever —
@@ -769,7 +793,7 @@ class StandingIndex(
       retired = st.retired ++ (dead ++ partial).map(_.table),
       hwmSeg = st.hwmSeg, hwmCmp = gen)
     catch {
-      case e: IllegalStateException if isOccCollision(e) =>
+      case e: OccCollisionException =>
         // compact()'s compensation rationale: uncommitted rewrites at
         // possibly-superseded generation names must not orphan
         rewritten.foreach(s => dropSegment(s.table))

@@ -56,7 +56,7 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.init(Seq((0L, 0, "x")).toDF("doc_id", "band", "bk"))
     // A reads the pointer; B commits a fold in the window; A's commit
     // from the stale snapshot must lose the version CAS LOUDLY
-    val e = intercept[IllegalStateException] {
+    val e = intercept[graft.operators.OccCollisionException] {
       a.commitFromStaleRead(() =>
         b.fold(Seq((1L, 1, "y")).toDF("doc_id", "band", "bk")))
     }
@@ -114,8 +114,7 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
         while (!done) {
           try { ix.fold(delta); done = true }
           catch {
-            case e: IllegalStateException
-                if Option(e.getMessage).exists(_.contains("collision")) =>
+            case e: graft.operators.OccCollisionException =>
               folderCollisions += 1
               tries += 1
               assert(tries < 30, s"fold $i starved: $e")
