@@ -25,7 +25,16 @@ import org.apache.spark.sql.SparkSession
   *     lost update on either side);
   *   - physical namespaces are disjoint by role (`_seg` folds vs `_cmp`
   *     generations), so the two roles never contend for a staging
-  *     rename — all contention surfaces at the pointer, loudly.
+  *     rename — all contention surfaces at the pointer, loudly;
+  *   - the process starts under the COMPACTOR ROLE LEASE
+  *     (StandingIndex.acquireRoleLease, renewed each cycle, released on
+  *     exit): a second misdeployed compactor fails loudly at startup
+  *     (RoleLockHeldException) instead of opening the same-role
+  *     rename-window hazard — the spec probes the held lease from the
+  *     folder's JVM;
+  *   - collisions back off with JITTERED EXPONENTIAL delay (100 ms
+  *     doubling to 1.6 s cap, uniform jitter): a fixed cadence
+  *     phase-locks with a hot folder and starves.
   *
   * args: `<warehouseDir> <indexName> <attempts> <readyMarkerPath>`.
   * Prints one `ASYNC_COMPACTOR done=<n> collided=<n>` line for the
@@ -45,22 +54,44 @@ object AsyncCompactor {
     spark.sparkContext.setLogLevel("WARN")
     val ix = new graft.operators.StandingIndex(
       spark, name, buckets = 2, keys = Seq("band", "bk"))
-    // signal readiness only once the session is live, so the spec's
-    // folder loop overlaps real compaction work, not JVM startup
+    // the same-role single-writer contract, ENFORCED: this process IS
+    // the compactor role, so it starts under the role lease (a second
+    // misdeployed compactor fails loudly here) and renews each cycle
+    val holderId = s"compactor-${java.lang.ProcessHandle.current().pid()}"
+    ix.acquireRoleLease("compactor", holderId, leaseMs = 60000L)
+    // signal readiness only once the session is live AND the lease is
+    // held, so the spec's folder loop overlaps real compaction work —
+    // and its lease-refusal probe races against a held lease
     java.nio.file.Files.writeString(java.nio.file.Paths.get(marker), "ready")
     var done = 0
     var collided = 0
+    var consecutive = 0 // collisions since the last non-colliding attempt
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
     (1 to attemptsStr.toInt).foreach { _ =>
-      try if (ix.compactIfOver(maxLive = 1)) done += 1
-      catch {
+      ix.acquireRoleLease("compactor", holderId, leaseMs = 60000L) // renew
+      // compactIfOver re-reads the pointer fresh on every call, so each
+      // attempt plans against the racer's latest committed state
+      try {
+        if (ix.compactIfOver(maxLive = 1)) done += 1
+        consecutive = 0
+      } catch {
         // both loud shapes are the TYPED collision: the OCC
         // version-claim loss and the publish-collision guard — retried
         // from fresh state
         case _: graft.operators.OccCollisionException =>
           collided += 1
+          consecutive += 1
       }
-      Thread.sleep(100L)
+      // JITTERED EXPONENTIAL BACKOFF after collisions: a fixed retry
+      // cadence phase-locks with a hot writer's own cadence and starves
+      // (measured round 14: 17 straight CAS losses for 1 landed
+      // compaction at a fixed 100 ms); doubling with jitter decorrelates
+      // the two clocks so the compactor lands within a bounded attempt
+      // budget — the two-JVM law pins that bound
+      val base = 100L << math.min(consecutive, 4) // 100..1600 ms
+      Thread.sleep(base / 2 + rnd.nextLong(base / 2 + 1))
     }
+    ix.releaseRoleLease("compactor", holderId)
     println(s"ASYNC_COMPACTOR done=$done collided=$collided")
     spark.stop()
   }

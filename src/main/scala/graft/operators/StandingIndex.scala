@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions.{col, lit}
 class OccCollisionException(message: String, cause: Throwable = null)
   extends IllegalStateException(message, cause)
 
+/** The exclusive same-role lease is HELD by another live writer: a
+  * second writer of the same maintenance role attempted to start
+  * against one index ([[StandingIndex.acquireRoleLease]]). Unlike
+  * [[OccCollisionException]] this is NOT retryable-from-fresh-state
+  * work contention — it is a deployment error (two folders, or two
+  * compactors, on one index), surfaced loudly at startup instead of as
+  * the silent rename-window corruption same-role concurrency risks.
+  */
+class RoleLockHeldException(message: String)
+  extends IllegalStateException(message)
+
 /** Versioned, SEGMENTED standing-index lake — the maintenance story for
   * the per-ingest admission family (q73/q75/q80): after a batch is
   * admitted, its index keys must FOLD INTO the standing index before the
@@ -114,9 +125,15 @@ class OccCollisionException(message: String, cause: Throwable = null)
   * (two folders, or two compactors): both derive the same next physical
   * name from the same committed state, and between the loser's staging
   * rename and its (failing) pointer commit the winner's same-name
-  * publish could reclaim its files. Same-role concurrency is therefore
-  * OUT OF CONTRACT — it requires an external lock provider, exactly
-  * Hudi's rule for multiple writers of the same table.
+  * publish could reclaim its files. Same-role concurrency therefore
+  * requires a lock, exactly Hudi's rule for multiple writers of the
+  * same table — and the lock is SHIPPED, not just documented: each
+  * role starts under its expiry-stamped lease ([[acquireRoleLease]],
+  * itself OCC-claimed like the pointer), so a misdeployed second
+  * same-role writer fails loudly at startup with
+  * [[RoleLockHeldException]] instead of corrupting, and a holder that
+  * crashes un-released simply stops renewing and is taken over after
+  * `leaseMs` (tested in ConcurrentMaintenanceSpec's lease laws).
   *
   * A registered-but-unreferenced destination table is reclaimed ONLY
   * when the per-instance [[attempted]] ledger proves it is this
@@ -283,36 +300,42 @@ class StandingIndex(
     State(live, retired, hwmSeg, hwmCmp, version)
   }
 
-  /** Atomically claim pointer version `v` with `body` as its content —
-    * the commit's linearization point. The content is FULLY written to a
-    * tmp file first, so the claimed file is never observable partial:
-    * on a local filesystem the claim is a hard link (POSIX `link(2)`,
-    * atomic-exclusive); elsewhere a no-overwrite rename (atomic-exclusive
-    * on HDFS; object stores need a lock provider — Hudi's own rule).
-    * Returns false when another writer claimed `v` first.
+  /** Atomically claim immutable file `dst` with `body` as its content —
+    * the shared linearization primitive behind pointer commits
+    * ([[claimVersion]]) and role-lease claims ([[acquireRoleLease]]).
+    * The content is FULLY written to a tmp file first, so the claimed
+    * file is never observable partial: on a local filesystem the claim
+    * is a hard link (POSIX `link(2)`, atomic-exclusive); elsewhere a
+    * no-overwrite rename (atomic-exclusive on HDFS; object stores are
+    * refused at construction — Hudi's lock-provider rule). Returns
+    * false when another writer claimed `dst` first.
     */
-  private def claimVersion(v: Long, body: String): Boolean = {
+  private def claimFile(dst: org.apache.hadoop.fs.Path, body: String): Boolean = {
     fs.mkdirs(warehousePath)
     val tmp = new org.apache.hadoop.fs.Path(warehousePath,
-      s"_${name}_segments.tmp${java.util.UUID.randomUUID().toString.take(8)}")
+      s"_${name}_claim.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     try {
       if (fs.getScheme == "file") {
-        val dst = java.nio.file.Paths.get(verPath(v).toUri.getPath)
+        val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
         val src = java.nio.file.Paths.get(tmp.toUri.getPath)
-        try { java.nio.file.Files.createLink(dst, src); true }
+        try { java.nio.file.Files.createLink(dstNio, src); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
         try {
           org.apache.hadoop.fs.FileContext
             .getFileContext(warehousePath.toUri, spark.sparkContext.hadoopConfiguration)
-            .rename(tmp, verPath(v))
+            .rename(tmp, dst)
           true
         } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
       }
     } finally { fs.delete(tmp, false); () }
   }
+
+  /** Claim pointer version `v` — the commit's linearization point. */
+  private def claimVersion(v: Long, body: String): Boolean =
+    claimFile(verPath(v), body)
 
   /** OCC pointer commit: claim `prev.version + 1`; a racing writer that
     * committed since `prev` was read makes this throw the named
@@ -718,6 +741,113 @@ class StandingIndex(
       compact(coverAtMost)
       true
     } else false
+  }
+
+  // ===== Same-role single-writer LEASE (the shipped lock provider) =====
+
+  private def leasePath(role: String, v: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(warehousePath, f"_${name}_lease_$role.v$v%019d")
+
+  private def listLeaseVersions(role: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(warehousePath)) Seq.empty
+    else fs.globStatus(new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_lease_$role.v*"))
+      .toSeq.flatMap { st =>
+        val suffix = st.getPath.getName.stripPrefix(s"_${name}_lease_$role.v")
+        suffix.toLongOption.map(_ -> st.getPath)
+      }.sortBy(_._1)
+
+  /** Resolve the lease for `role`: (highest committed version, current
+    * holder + expiry if held). Body format `holderId|expiresAtMs`; an
+    * empty holder is a released marker. The FileNotFound retry mirrors
+    * [[state]]'s: a racing pair of claims can prune the version a
+    * reader just globbed.
+    */
+  private def currentLease(role: String): (Long, Option[(String, Long)]) = {
+    var attempt = 0
+    while (true) {
+      try {
+        val versions = listLeaseVersions(role)
+        if (versions.isEmpty) return (0L, None)
+        val (v, p) = versions.last
+        val body = readFile(p)
+        return body.split('|') match {
+          case Array(h, exp) if h.nonEmpty => (v, Some((h, exp.toLong)))
+          case _ => (v, None)
+        }
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** ENFORCE the same-role single-writer contract the class doc scopes
+    * (two folders or two compactors risk the rename-window hazard below
+    * the pointer): acquire — or, held by this holder, RENEW — the
+    * exclusive expiry-stamped lease for `role`. A deployment starts each
+    * maintenance role under its lease (`acquireRoleLease("compactor",
+    * instanceId, leaseMs)` at startup, renewed each cycle), so a
+    * misdeployed SECOND same-role writer fails loudly with
+    * [[RoleLockHeldException]] at startup instead of corrupting — Hudi's
+    * lock-provider requirement, shipped rather than documented. The
+    * lease is itself OCC-claimed like the pointer (immutable version
+    * files, atomic-exclusive create), so two racing acquirers can never
+    * both believe they hold it; a holder that dies un-released stops
+    * renewing and its lease EXPIRES (`leaseMs` after the last renewal),
+    * at which point the next acquirer takes over — crash recovery
+    * without an operator breaking the lock by hand.
+    */
+  def acquireRoleLease(role: String, holderId: String, leaseMs: Long): Unit = {
+    require(role.nonEmpty && role.forall(c => c.isLetterOrDigit || c == '-'),
+      s"role must be name-safe ([A-Za-z0-9-]), got '$role'")
+    require(holderId.nonEmpty && !holderId.contains('|') && !holderId.contains('\n'),
+      s"holderId must be non-empty without '|' or newlines, got '$holderId'")
+    require(leaseMs > 0L, s"leaseMs must be positive, got $leaseMs")
+    var attempt = 0
+    while (true) {
+      val (ver, cur) = currentLease(role)
+      val now = System.currentTimeMillis()
+      cur match {
+        case Some((h, exp)) if h != holderId && now < exp =>
+          throw new RoleLockHeldException(
+            s"StandingIndex '$name' role '$role' lease is held by '$h' " +
+              s"(expires in ${exp - now} ms): same-role maintenance is " +
+              "single-writer (class doc rename-window hazard) — refusing " +
+              s"to start a second '$role' writer '$holderId'")
+        case _ => () // free, released, expired, or our own renewal
+      }
+      if (claimFile(leasePath(role, ver + 1), s"$holderId|${now + leaseMs}")) {
+        // prune stale versions (keep the previous one — currentLease
+        // retries FileNotFound for the racing-prune window, like state)
+        listLeaseVersions(role).filter(_._1 < ver).foreach(p => fs.delete(p._2, false))
+        return
+      }
+      attempt += 1
+      if (attempt >= 5) throw new RoleLockHeldException(
+        s"StandingIndex '$name' role '$role' lease claim lost $attempt " +
+          s"races — another '$role' writer is actively claiming; refusing")
+    }
+  }
+
+  /** Release the `role` lease if (and only if) this holder still holds
+    * it — idempotent, and never clobbers a successor: a lease that
+    * expired and was taken over is no longer ours to release (the
+    * no-op arm), and a claim lost to a racer re-reads and re-decides.
+    */
+  def releaseRoleLease(role: String, holderId: String): Unit = {
+    while (true) {
+      val (ver, cur) = currentLease(role)
+      cur match {
+        case Some((h, _)) if h == holderId =>
+          if (claimFile(leasePath(role, ver + 1), "|0")) {
+            listLeaseVersions(role).filter(_._1 < ver).foreach(p => fs.delete(p._2, false))
+            return
+          } // lost the claim: re-read — a successor took over, or our own retry raced
+        case _ => return // free, released, or held by a successor
+      }
+    }
   }
 
   /** TEST SEAM (`private[graft]`): read the pointer, run `interleaved`

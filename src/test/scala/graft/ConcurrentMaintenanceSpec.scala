@@ -25,9 +25,14 @@ import org.scalatest.BeforeAndAfterAll
   *      the external-table re-registration path (a fresh catalog
   *      resolving committed segments from the shared warehouse root —
   *      the shared-metastore stand-in) and the OCC pointer on both
-  *      sides. Same-role concurrency (two folders / two compactors)
-  *      stays out of contract — StandingIndex's class doc names it and
-  *      the lock-provider requirement, Hudi's own rule.
+  *      sides;
+  *   3. the SAME-ROLE LEASE laws: same-role concurrency (two folders /
+  *      two compactors) risks the rename-window hazard StandingIndex's
+  *      class doc names, so it is enforced — not just documented — by
+  *      the expiry-stamped role lease (Hudi's lock-provider rule):
+  *      a second same-role writer is refused loudly at startup, in
+  *      process and cross-JVM; renewal, release handover, and
+  *      crash-expiry takeover are each pinned.
   */
 class ConcurrentMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -67,6 +72,45 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.segments.last.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("same-role lease law: a second same-role writer is refused loudly at startup; renewal, release handover, and crash-expiry takeover all work") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{StandingIndex, RoleLockHeldException}
+    val a = new StandingIndex(spark, "lease_ix", 2, Seq("band", "bk"))
+    val b = new StandingIndex(spark, "lease_ix", 2, Seq("band", "bk"))
+    a.init(Seq((0L, 0, "x")).toDF("doc_id", "band", "bk"))
+    // the contract, enforced: writer A starts the folder role; a second
+    // folder (the misdeployment the class doc's rename-window hazard
+    // paragraph scopes) must be REFUSED at startup, by name
+    a.acquireRoleLease("folder", "writer-a", leaseMs = 60000L)
+    val e = intercept[RoleLockHeldException] {
+      b.acquireRoleLease("folder", "writer-b", leaseMs = 60000L)
+    }
+    assert(e.getMessage.contains("folder") && e.getMessage.contains("writer-a"),
+      s"the refusal must name the role and the holder, got: ${e.getMessage}")
+    // DIFFERENT roles never contend: the compactor lease coexists
+    b.acquireRoleLease("compactor", "writer-b", leaseMs = 60000L)
+    b.releaseRoleLease("compactor", "writer-b")
+    // the holder renews its own lease freely
+    a.acquireRoleLease("folder", "writer-a", leaseMs = 60000L)
+    // clean handover: release, then the second writer acquires
+    a.releaseRoleLease("folder", "writer-a")
+    b.acquireRoleLease("folder", "writer-b", leaseMs = 60000L)
+    // releasing a lease we no longer hold is an idempotent no-op and
+    // never clobbers the successor
+    a.releaseRoleLease("folder", "writer-a")
+    val e2 = intercept[RoleLockHeldException] {
+      a.acquireRoleLease("folder", "writer-a", leaseMs = 60000L)
+    }
+    assert(e2.getMessage.contains("writer-b"))
+    // crash recovery: a holder that dies un-released stops renewing;
+    // once its lease EXPIRES the next acquirer takes over by itself
+    b.releaseRoleLease("folder", "writer-b")
+    b.acquireRoleLease("folder", "writer-b", leaseMs = 1L)
+    Thread.sleep(10L)
+    a.acquireRoleLease("folder", "writer-a", leaseMs = 60000L)
+    a.releaseRoleLease("folder", "writer-a")
+  }
+
   test("async compactor in a SECOND JVM beside a continuous folder: all folds land, >= 1 cross-JVM compaction lands, no silent segment loss") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex
@@ -103,6 +147,14 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
         Thread.sleep(200L)
       assert(Files.exists(java.nio.file.Paths.get(marker)),
         s"compactor never came up; log:\n${Files.readString(procLog.toPath)}")
+      // the compactor JVM holds the compactor ROLE LEASE (acquired
+      // before it wrote the marker): a second compactor — probed from
+      // THIS JVM — must be refused loudly, cross-JVM
+      val lease = intercept[graft.operators.RoleLockHeldException] {
+        ix.acquireRoleLease("compactor", "spec-probe", leaseMs = 60000L)
+      }
+      assert(lease.getMessage.contains("compactor"),
+        s"the cross-JVM refusal must name the role, got: ${lease.getMessage}")
       // the continuous folder: every fold must COMPLETE — a lost version
       // CAS is the named collision, retried from fresh state; any other
       // failure propagates and fails the law
