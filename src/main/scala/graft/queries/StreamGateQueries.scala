@@ -2175,11 +2175,19 @@ object StreamGateQueries {
     */
   private def neardupFoldGate(
       s: SparkSession, dir: String, tag: String, failAt: Option[Long],
-      horizon: Option[Long] = None, compactAt: Option[Long] = None): DataFrame = {
+      horizon: Option[Long] = None, compactAt: Option[Long] = None,
+      wmClock: Boolean = false): DataFrame = {
     import s.implicits._
+    require(!(wmClock && horizon.isDefined),
+      s"$tag: wmClock IS the expiry clock — horizon is the batch-position spelling")
+    if (wmClock) requireWmWindowLaw(tag)
+    // the two expiry clocks run the SAME horizon recurrence (the window
+    // law makes the ms clock batch-exact), so the fences and oracle of
+    // the batch-position spelling apply verbatim to the watermark one
+    val fenceHorizon = if (wmClock) Some(ExpiryHorizon) else horizon
     val n =
-      if (failAt.isDefined) 6 else if (horizon.isDefined) 5 else 4
-    val staged = stageDocHashSplit(s, dir, tag, n)
+      if (failAt.isDefined) 6 else if (fenceHorizon.isDefined) 5 else 4
+    val staged = stageDocHashSplit(s, dir, tag, n, eventTs = wmClock)
     // the confirm step's doc store: every blocker's shingles fetched by
     // id (at 100 TB the q53 bucket-pruned point lookup; here one
     // checkpointed frame shared by all batches)
@@ -2190,27 +2198,36 @@ object StreamGateQueries {
     val corpusBands = {
       val b = LlmQueries.minhashBands(corpusSh).select($"doc_id", $"band", $"bk")
       // the expiring fence below re-probes against the corpus index
-      if (horizon.isDefined) b.localCheckpoint() else b
+      if (fenceHorizon.isDefined) b.localCheckpoint() else b
     }
     val ix = new graft.operators.StandingIndex(
       s, s"${tag}_band_ix", buckets = 4, keys = Seq("band", "bk"))
     // expiring shape: the corpus folded BEFORE batch 0 — stamp -1 on the
-    // batch-position clock, so it expires when batch H's threshold passes
-    ix.init(corpusBands,
-      maxEventMs = if (horizon.isDefined) -1L else Long.MaxValue)
+    // batch-position clock, one full step before batch 0's events on the
+    // watermark clock — so it expires when batch H's threshold passes
+    ix.init(corpusBands, maxEventMs =
+      if (wmClock) WmT0 - WmStepMs
+      else if (horizon.isDefined) -1L
+      else Long.MaxValue)
     val out = Files.createTempDirectory(s"graft-$tag-out").toString
     val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val qn = s"${tag}_neardup_fold"
+    val sawWm = new java.util.concurrent.atomic.AtomicInteger(0)
     val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
     val failMarker = Paths.get(out, "_fail_injected")
     def runOnce(run: String): StreamingQuery = {
-      val incoming = s.readStream
-        .schema(StructType(Seq(
-          StructField("doc_id", LongType), StructField("text", StringType))))
+      val fields = Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)) ++
+        (if (wmClock) Seq(StructField("event_ts", TimestampType)) else Seq.empty)
+      val read = s.readStream
+        .schema(StructType(fields))
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
+      val incoming = if (!wmClock) read
+        else read.withWatermark("event_ts", s"${WmDelayMs / 1000} seconds")
       incoming
         .writeStream
-        .queryName(s"${tag}_neardup_fold_$run")
+        .queryName(s"${qn}_$run")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
@@ -2219,21 +2236,41 @@ object StreamGateQueries {
           // discipline) — strictly after batch `compactAt`'s commit,
           // bounded to committed folds
           if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
-          // horizon first (q98's ordering): segments stamped behind
-          // batchId − H stop blocking BEFORE this batch probes; then
-          // the ONE per-batch spelling (LlmQueries.neardupAdmitAndFold,
-          // shared with StreamBench's neardup subject): shingle + band
-          // once, probe strictly-earlier surviving segments, fold the
-          // admitted band keys (stamped at the batch position when
-          // expiring)
+          // expiry first (q98's ordering): entries behind the horizon
+          // stop blocking BEFORE this batch probes. Two spellings of
+          // the SAME threshold: the batch-position clock (q104/q105)
+          // expires at batchId − H; the production watermark clock
+          // (q115/q116) at committedWatermark − Hms, re-derived on
+          // replay from the recorded planning watermark
+          // ([[plannedWatermarkMs]] — q112's discipline)
           horizon.foreach(h => ix.expire(expireBeforeMs = batchId - h))
-          val admitted = LlmQueries.neardupAdmitAndFold(
-            batch, ix, batchId, docStoreSh,
-            maxEventMs = if (horizon.isDefined) batchId else Long.MaxValue)
-          admitted
-            .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
-              $"n_shingles")
-            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (wmClock) plannedWatermarkMs(s, ck, qn, batchId).foreach { wm =>
+            if (wm > 0L) sawWm.incrementAndGet()
+            ix.expire(expireBeforeMs = wm - WmHorizonMs)
+          }
+          // fold stamp: batch position on the position clock; the
+          // batch's MAX EVENT TIME (the production stamp) on the
+          // watermark clock — a rowless batch has no max event
+          // (nothing arrived, nothing to probe or fold; staging
+          // refuses empty slices, so this is a defensive fence)
+          val stampMs: Option[Long] =
+            if (wmClock) {
+              val maxRow = batch.agg(max(unix_millis($"event_ts"))).head
+              if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+            } else Some(if (horizon.isDefined) batchId else Long.MaxValue)
+          stampMs.foreach { stamp =>
+            // then the ONE per-batch spelling (LlmQueries
+            // .neardupAdmitAndFold, shared with StreamBench's neardup
+            // subject): shingle + band once, probe strictly-earlier
+            // surviving segments, fold the admitted band keys
+            val admitted = LlmQueries.neardupAdmitAndFold(
+              batch.select($"doc_id", $"text"), ix, batchId, docStoreSh,
+              maxEventMs = stamp)
+            admitted
+              .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
+                $"n_shingles")
+              .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          }
           if (failAt.contains(batchId) && !Files.exists(failMarker)) {
             Files.createFile(failMarker)
             throw new RuntimeException(injectedMsg)
@@ -2246,12 +2283,18 @@ object StreamGateQueries {
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.isEmpty,
       s"$tag must run STATELESS (the standing index is the cross-batch " +
-        s"state), got $stateful")
+        s"state; the watermark operator holds no store), got $stateful")
+    // the engine must actually have reported advancing watermarks — a
+    // silently-absent watermark would leave every expire() a no-op and
+    // collapse the gate into the never-expiring shape (q108's fence)
+    if (wmClock) require(sawWm.get >= n - 2,
+      s"$tag: the engine must report a committed event-time watermark " +
+        s"from batch 2 on, got ${sawWm.get} reports")
     dropStaged(staged)
     val result = s.read.parquet(s"$out/batch_*")
       .select($"doc_id", $"batch", $"n_shingles")
       .orderBy($"doc_id")
-    horizon.foreach { h =>
+    fenceHorizon.foreach { h =>
       // non-vacuity fence: expiry must have RE-OPENED at least one
       // corpus-blocked doc — a late admission with a CONFIRMED corpus
       // near-duplicate (band-candidate + exact Jaccard >= 0.8), which
@@ -2318,6 +2361,40 @@ object StreamGateQueries {
     */
   def q105ExpiringNeardupCrash(s: SparkSession, dir: String): DataFrame =
     neardupFoldGate(s, dir, "q105", failAt = Some(2L), horizon = Some(ExpiryHorizon))
+
+  /** q115 — q104's expiring NEAR-DUP fold with the expiry clock spelled
+    * the way a production deployment spells it (q108's watermark clock
+    * on the near-dup modality): the staged docs carry a REAL event-time
+    * column with q108's geometry, the stream declares
+    * `withWatermark(event_ts, 15s)`, folds are stamped with the batch's
+    * MAX EVENT TIME, and each batch expires at
+    * `committedWatermark − horizonMs` read from the engine's own
+    * committed progress — recorded durably per batch
+    * ([[plannedWatermarkMs]]) so a replay can re-derive the identical
+    * threshold. The window law (q108's scaladoc) makes the ms-clock
+    * recurrence batch-exact, so q104's windowed sequential oracle
+    * applies VERBATIM — which is the point: the stamp plumb-through in
+    * [[LlmQueries.neardupAdmitAndFold]] was the one modality-specific
+    * expiry surface the watermark clock had gates on only by argument
+    * (a mis-plumbed stamp shifts some blocker's lifetime and fails the
+    * hash). Fences: advancing engine watermarks (sawWm ≥ n−2) and ≥ 1
+    * post-expiry corpus re-admission, exactly q104's.
+    */
+  def q115WatermarkNeardupFold(s: SparkSession, dir: String): DataFrame =
+    neardupFoldGate(s, dir, "q115", failAt = None, wmClock = true)
+
+  /** q116 — q115's pipeline crashed on the first attempt of batch 2
+    * after ALL durable effects (the recorded planning watermark, the
+    * expiry it drove, the max-event-stamped band fold, the sink), then
+    * replayed: q112's recovery discipline on the NEAR-DUP modality. The
+    * restarted query has no progress to read, so the replay re-derives
+    * batch 2's expiry threshold from the RECORDED planning watermark,
+    * re-expires idempotently, probes the surviving strictly-earlier
+    * band segments only, and re-folds segment 3 with byte-identical
+    * band keys AND the identical max-event stamp.
+    */
+  def q116WatermarkNeardupCrash(s: SparkSession, dir: String): DataFrame =
+    neardupFoldGate(s, dir, "q116", failAt = Some(2L), wmClock = true)
 
 
   /** q98 — streamed EXPIRING dedup: q91's continuous fold loop with a
@@ -2644,6 +2721,57 @@ object StreamGateQueries {
   def q114PolicyExpiryCrash(s: SparkSession, dir: String): DataFrame =
     watermarkFoldGate(s, dir, "q114", failAt = Some(2L), autoCompactOver = Some(2))
 
+  /** The watermark-clock WINDOW LAW (q108's scaladoc): slack =
+    * D + Hms − (H − 2)·step must sit strictly inside
+    * [jmax, step − jmax), or realized event-time jitters could flip a
+    * batch boundary and the batch-window oracles would not apply.
+    * Shared by every watermark-clocked gate (q108/q112–q118).
+    */
+  private def requireWmWindowLaw(tag: String): Unit = {
+    val slack = WmDelayMs + WmHorizonMs - (ExpiryHorizon - 2L) * WmStepMs
+    require(slack >= WmJitterMax && slack < WmStepMs - WmJitterMax,
+      s"$tag window law violated: slack=$slack not in " +
+        s"[$WmJitterMax, ${WmStepMs - WmJitterMax})")
+  }
+
+  /** This batch's PLANNING watermark — the engine's COMMITTED watermark,
+    * recorded durably (idempotent per-batch file beside the checkpoint)
+    * before first use: Spark's own offsets-log discipline (the engine
+    * re-runs a batch with the batch's original planning state) mirrored
+    * at the foreachBatch level, because a RESTARTED query's
+    * `lastProgress` is null until its first commit — without the record
+    * a replayed batch could not re-derive the expiry threshold its first
+    * attempt used and recovery would diverge (q112/q116/q118 are exactly
+    * that crash shape). The record lands via tmp + ATOMIC_MOVE so a
+    * crash mid-write can never leave a torn file, and an unparsable
+    * record is treated as ABSENT and re-recorded — safe because nothing
+    * after the record write had run (a plain writeString here could
+    * wedge every restart on NumberFormatException — the one
+    * unrecoverable failure inside the recovery mechanism itself).
+    */
+  private def plannedWatermarkMs(
+      s: SparkSession, ck: String, qn: String, batchId: Long): Option[Long] = {
+    val wmRecord = Paths.get(ck, f"wm_$batchId%06d")
+    val recorded: Option[Long] =
+      if (Files.exists(wmRecord)) Files.readString(wmRecord).trim.toLongOption
+      else None
+    recorded match {
+      case Some(v) => Some(v).filter(_ != Long.MinValue)
+      case None =>
+        val read = s.streams.active
+          .find(q => Option(q.name).exists(_.startsWith(qn)))
+          .flatMap(q => Option(q.lastProgress))
+          .flatMap(p => Option(p.eventTime.get("watermark")))
+          .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+        val tmp = Paths.get(ck, f"wm_$batchId%06d.tmp")
+        Files.writeString(tmp, read.getOrElse(Long.MinValue).toString)
+        Files.move(tmp, wmRecord,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        read
+    }
+  }
+
   /** Shared harness behind q108 (clean) and q112 (crashed + replayed) —
     * see q108's scaladoc for the window law and the recorded-watermark
     * replay discipline.
@@ -2653,13 +2781,7 @@ object StreamGateQueries {
       autoCompactOver: Option[Int] = None): DataFrame = {
     import s.implicits._
     val policyFired = new java.util.concurrent.atomic.AtomicInteger(0)
-    // the window law: slack = D + Hms − (H − 2)·step must sit strictly
-    // inside [jmax, step − jmax) or realized jitters could flip a batch
-    // boundary and the oracle's batch-window unrolling would not apply
-    val slack = WmDelayMs + WmHorizonMs - (ExpiryHorizon - 2L) * WmStepMs
-    require(slack >= WmJitterMax && slack < WmStepMs - WmJitterMax,
-      s"$tag window law violated: slack=$slack not in " +
-        s"[$WmJitterMax, ${WmStepMs - WmJitterMax})")
+    requireWmWindowLaw(tag)
     val n = if (failAt.isDefined) 6 else 5
     val staged = stageDocHashSplit(s, dir, tag, n, eventTs = true)
     val corpus = Tables.documents(s, dir)
@@ -2717,27 +2839,13 @@ object StreamGateQueries {
                 s"at every probe point, got $live at batch $batchId")
           }
           // the COMMITTED watermark — this batch's PLANNING state,
-          // recorded durably before first use (the offsets-log
-          // discipline, q108 scaladoc): the first evaluation reads the
-          // engine's clock from the last committed batch's progress
-          // (null before a run's first commit — nothing to expire yet)
-          // and records it; a REPLAY (whose restarted query has no
-          // progress yet) reads the record back and re-derives the
-          // identical expiry threshold
-          val wmRecord = Paths.get(ck, f"wm_$batchId%06d")
-          val wmMs: Option[Long] =
-            if (Files.exists(wmRecord))
-              Some(Files.readString(wmRecord).toLong).filter(_ != Long.MinValue)
-            else {
-              val read = s.streams.active
-                .find(q => Option(q.name).exists(_.startsWith(qn)))
-                .flatMap(q => Option(q.lastProgress))
-                .flatMap(p => Option(p.eventTime.get("watermark")))
-                .map(ts => java.time.Instant.parse(ts).toEpochMilli)
-              Files.writeString(wmRecord, read.getOrElse(Long.MinValue).toString)
-              read
-            }
-          wmMs.foreach { wm =>
+          // recorded durably before first use ([[plannedWatermarkMs]]):
+          // the first evaluation reads the engine's clock from the last
+          // committed batch's progress (null before a run's first
+          // commit — nothing to expire yet) and records it; a REPLAY
+          // (whose restarted query has no progress yet) reads the
+          // record back and re-derives the identical expiry threshold
+          plannedWatermarkMs(s, ck, qn, batchId).foreach { wm =>
             if (wm > 0L) sawWm.incrementAndGet()
             ix.expire(expireBeforeMs = wm - WmHorizonMs)
           }
@@ -2813,16 +2921,26 @@ object StreamGateQueries {
     * ingest pipeline computes it.
     */
   private def stageVecHashSplit(
-      s: SparkSession, dir: String, tag: String, n: Int): String = {
+      s: SparkSession, dir: String, tag: String, n: Int,
+      eventTs: Boolean = false): String = {
     import s.implicits._
     val staged = Files.createTempDirectory(s"graft-$tag-src")
     val scratch = Files.createTempDirectory(s"graft-$tag-part")
     val grp = graft.operators.Sampling.hash60(
       concat(lit("g"), $"vec_id".cast("string"))) % n
-    val src = Tables.embeddings(s, dir)
+    val base = Tables.embeddings(s, dir)
       .filter(graft.operators.Sampling.uniform01($"vec_id") < 0.5)
       .select($"vec_id", $"embedding")
       .withColumn("_slice", (grp + 1).cast("int"))
+    // eventTs (q117/q118): [[stageDocHashSplit]]'s event-time geometry
+    // verbatim on the vector modality — batch k's events live in
+    // [T0 + (k−1)·step, T0 + (k−1)·step + jmax], content-hash jitter,
+    // step > 2·jmax, so the watermark-window arithmetic is batch-exact
+    val src = if (!eventTs) base else base.withColumn("event_ts",
+      timestamp_millis(lit(WmT0) +
+        ($"_slice" - 1).cast("long") * WmStepMs +
+        graft.operators.Sampling.hash60(
+          concat(lit("t"), $"vec_id".cast("string"))) % (WmJitterMax + 1)))
     writeSlices(staged, scratch, src, n, filePrefix = "vecs")
     staged.toString
   }
@@ -2888,11 +3006,19 @@ object StreamGateQueries {
     */
   private def vectorFoldGate(
       s: SparkSession, dir: String, tag: String, failAt: Option[Long],
-      horizon: Option[Long] = None, compactAt: Option[Long] = None): DataFrame = {
+      horizon: Option[Long] = None, compactAt: Option[Long] = None,
+      wmClock: Boolean = false): DataFrame = {
     import s.implicits._
+    require(!(wmClock && horizon.isDefined),
+      s"$tag: wmClock IS the expiry clock — horizon is the batch-position spelling")
+    if (wmClock) requireWmWindowLaw(tag)
+    // the two expiry clocks run the SAME horizon recurrence (the window
+    // law makes the ms clock batch-exact), so the fences and oracle of
+    // the batch-position spelling apply verbatim to the watermark one
+    val fenceHorizon = if (wmClock) Some(ExpiryHorizon) else horizon
     val n =
-      if (failAt.isDefined) 6 else if (horizon.isDefined) 5 else 4
-    val staged = stageVecHashSplit(s, dir, tag, n)
+      if (failAt.isDefined) 6 else if (fenceHorizon.isDefined) 5 else 4
+    val staged = stageVecHashSplit(s, dir, tag, n, eventTs = wmClock)
     val corpusFrame = LlmQueries.vectorIndexRows(
         LlmQueries.vectorSketch(Tables.embeddings(s, dir))
           .filter(graft.operators.Sampling.uniform01($"vec_id") >= 0.5))
@@ -2900,23 +3026,32 @@ object StreamGateQueries {
     val ix = new graft.operators.StandingIndex(
       s, s"${tag}_vec_ix", buckets = 4, keys = Seq("bucket"))
     // expiring shape: the corpus folded BEFORE batch 0 — stamp -1 on the
-    // batch-position clock, so it expires when batch H's threshold passes
-    ix.init(corpusFrame,
-      maxEventMs = if (horizon.isDefined) -1L else Long.MaxValue)
+    // batch-position clock, one full step before batch 0's events on the
+    // watermark clock — so it expires when batch H's threshold passes
+    ix.init(corpusFrame, maxEventMs =
+      if (wmClock) WmT0 - WmStepMs
+      else if (horizon.isDefined) -1L
+      else Long.MaxValue)
     val out = Files.createTempDirectory(s"graft-$tag-out").toString
     val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val qn = s"${tag}_vector_fold"
+    val sawWm = new java.util.concurrent.atomic.AtomicInteger(0)
     val injectedMsg = s"$tag injected mid-batch failure (first attempt of batch ${failAt.getOrElse(-1L)})"
     val failMarker = Paths.get(out, "_fail_injected")
     def runOnce(run: String): StreamingQuery = {
-      val incoming = s.readStream
-        .schema(StructType(Seq(
-          StructField("vec_id", LongType),
-          StructField("embedding", ArrayType(FloatType)))))
+      val fields = Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))) ++
+        (if (wmClock) Seq(StructField("event_ts", TimestampType)) else Seq.empty)
+      val read = s.readStream
+        .schema(StructType(fields))
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
+      val incoming = if (!wmClock) read
+        else read.withWatermark("event_ts", s"${WmDelayMs / 1000} seconds")
       incoming
         .writeStream
-        .queryName(s"${tag}_vector_fold_$run")
+        .queryName(s"${qn}_$run")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
@@ -2925,19 +3060,39 @@ object StreamGateQueries {
           // discipline) — strictly after batch `compactAt`'s commit,
           // bounded to committed folds
           if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
-          // horizon first (q98's ordering) when expiring; then the ONE
-          // per-batch spelling (LlmQueries.vectorAdmitAndFold, shared
-          // with StreamBench's vecfold subject): sketch once, probe
-          // strictly-earlier surviving segments, fold the admitted
-          // sketch rows (the sketch is deterministic per vector, so the
-          // crash replay's re-fold is byte-identical)
+          // expiry first (q98's ordering), in either spelling: the
+          // batch-position clock (q102/q103) expires at batchId − H;
+          // the production watermark clock (q117/q118) at
+          // committedWatermark − Hms, re-derived on replay from the
+          // recorded planning watermark ([[plannedWatermarkMs]])
           horizon.foreach(h => ix.expire(expireBeforeMs = batchId - h))
-          val admitted = LlmQueries.vectorAdmitAndFold(batch, ix, batchId,
-            maxEventMs = if (horizon.isDefined) batchId else Long.MaxValue)
-          admitted
-            .select($"vec_id", lit(batchId + 1).cast("int").as("batch"),
-              $"bucket")
-            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          if (wmClock) plannedWatermarkMs(s, ck, qn, batchId).foreach { wm =>
+            if (wm > 0L) sawWm.incrementAndGet()
+            ix.expire(expireBeforeMs = wm - WmHorizonMs)
+          }
+          // fold stamp: batch position on the position clock; the
+          // batch's MAX EVENT TIME (the production stamp) on the
+          // watermark clock — rowless-batch defensive fence as q108
+          val stampMs: Option[Long] =
+            if (wmClock) {
+              val maxRow = batch.agg(max(unix_millis($"event_ts"))).head
+              if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+            } else Some(if (horizon.isDefined) batchId else Long.MaxValue)
+          stampMs.foreach { stamp =>
+            // then the ONE per-batch spelling (LlmQueries
+            // .vectorAdmitAndFold, shared with StreamBench's vecfold
+            // subject): sketch once, probe strictly-earlier surviving
+            // segments, fold the admitted sketch rows (the sketch is
+            // deterministic per vector, so the crash replay's re-fold
+            // is byte-identical)
+            val admitted = LlmQueries.vectorAdmitAndFold(
+              batch.select($"vec_id", $"embedding"), ix, batchId,
+              maxEventMs = stamp)
+            admitted
+              .select($"vec_id", lit(batchId + 1).cast("int").as("batch"),
+                $"bucket")
+              .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          }
           if (failAt.contains(batchId) && !Files.exists(failMarker)) {
             Files.createFile(failMarker)
             throw new RuntimeException(injectedMsg)
@@ -2951,12 +3106,16 @@ object StreamGateQueries {
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.isEmpty,
       s"$tag must run STATELESS (the standing index is the cross-batch " +
-        s"state), got $stateful")
+        s"state; the watermark operator holds no store), got $stateful")
+    // q108's fence: silently-absent watermarks would no-op every expire
+    if (wmClock) require(sawWm.get >= n - 2,
+      s"$tag: the engine must report a committed event-time watermark " +
+        s"from batch 2 on, got ${sawWm.get} reports")
     dropStaged(staged)
     val result = s.read.parquet(s"$out/batch_*")
       .select($"vec_id", $"batch", $"bucket")
       .orderBy($"vec_id")
-    if (horizon.isEmpty) {
+    if (fenceHorizon.isEmpty) {
       // non-vacuity fence (never-expiring shape): at least one rejection
       // must be attributable to a FOLD (an earlier batch's admission),
       // not the corpus or the in-batch self-join — otherwise the gate
@@ -2978,7 +3137,7 @@ object StreamGateQueries {
         s"$tag: folds must block at least one vector " +
           s"(no-fold admissions $noFold vs admitted $admittedCount)")
     }
-    horizon.foreach { h =>
+    fenceHorizon.foreach { h =>
       // non-vacuity fence (expiring shape): expiry must have RE-OPENED
       // at least one corpus-blocked vector — an admission in a batch
       // past the horizon whose confirmed corpus near-duplicate would
@@ -3044,6 +3203,34 @@ object StreamGateQueries {
   def q103ExpiringVectorCrash(s: SparkSession, dir: String): DataFrame =
     vectorFoldGate(s, dir, "q103", failAt = Some(2L), horizon = Some(ExpiryHorizon))
 
+  /** q117 — q102's expiring VECTOR fold under the production watermark
+    * clock (q115's twin on the embedding modality, completing the
+    * watermark-clock × modality row: exact q108, near-dup q115, vector
+    * here): event-time-stamped embeddings, `withWatermark(event_ts,
+    * 15s)`, folds stamped with the batch's max event time, expiry at
+    * `committedWatermark − horizonMs` from recorded planning watermarks
+    * ([[plannedWatermarkMs]]). The window law makes the ms clock
+    * batch-exact, so q102's windowed sequential oracle applies VERBATIM
+    * — pinning the vector cycle's stamp plumb-through
+    * ([[LlmQueries.vectorAdmitAndFold]]), the last modality-specific
+    * expiry surface gated only by argument. Fences: advancing engine
+    * watermarks and ≥ 1 post-expiry corpus near-dup re-admission.
+    */
+  def q117WatermarkVectorFold(s: SparkSession, dir: String): DataFrame =
+    vectorFoldGate(s, dir, "q117", failAt = None, wmClock = true)
+
+  /** q118 — q117's pipeline crashed on the first attempt of batch 2
+    * after ALL durable effects, then replayed: q112's recovery
+    * discipline on the VECTOR modality — the replay re-derives batch
+    * 2's expiry threshold from the RECORDED planning watermark (a
+    * restarted query's lastProgress is null), re-expires idempotently,
+    * probes the surviving strictly-earlier segments only, and re-folds
+    * segment 3 with byte-identical sketch rows and the identical
+    * max-event stamp.
+    */
+  def q118WatermarkVectorCrash(s: SparkSession, dir: String): DataFrame =
+    vectorFoldGate(s, dir, "q118", failAt = Some(2L), wmClock = true)
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
@@ -3093,7 +3280,11 @@ object StreamGateQueries {
     "q111_policy_compacted_fold" -> (q111PolicyCompactedFold _),
     "q112_watermark_expiry_crash" -> (q112WatermarkExpiryCrash _),
     "q113_policy_expiring_watermark_fold" -> (q113PolicyExpiringWatermarkFold _),
-    "q114_policy_expiry_crash" -> (q114PolicyExpiryCrash _))
+    "q114_policy_expiry_crash" -> (q114PolicyExpiryCrash _),
+    "q115_watermark_neardup_fold" -> (q115WatermarkNeardupFold _),
+    "q116_watermark_neardup_crash" -> (q116WatermarkNeardupCrash _),
+    "q117_watermark_vector_fold" -> (q117WatermarkVectorFold _),
+    "q118_watermark_vector_crash" -> (q118WatermarkVectorCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -3198,5 +3389,13 @@ object StreamGateQueries {
     // query has no progress to read) — same windowed oracle
     "q112_watermark_expiry_crash" -> expiringFoldOracle(6, ExpiryHorizon),
     "q113_policy_expiring_watermark_fold" -> expiringFoldOracle(5, ExpiryHorizon),
-    "q114_policy_expiry_crash" -> expiringFoldOracle(6, ExpiryHorizon))
+    "q114_policy_expiry_crash" -> expiringFoldOracle(6, ExpiryHorizon),
+    // the watermark clock on the NEAR-DUP and VECTOR modalities: the
+    // window law makes the ms clock batch-exact, so the batch-position
+    // windowed sequential oracles apply verbatim (q115/q117 = the
+    // expiring 5-batch shapes, q116/q118 their crash+replay cells)
+    "q115_watermark_neardup_fold" -> neardupGateOracle(5, Some(ExpiryHorizon)),
+    "q116_watermark_neardup_crash" -> neardupGateOracle(6, Some(ExpiryHorizon)),
+    "q117_watermark_vector_fold" -> vectorGateOracle(5, Some(ExpiryHorizon)),
+    "q118_watermark_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)))
 }
