@@ -73,10 +73,35 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SECOND, IO-SHAPED calibration probe (round-15): a fixed parquet
+    // scan + hash-shuffle + aggregate over a deterministic fixture
+    // written once at startup. Rationale: the pure-CPU probe left a
+    // ~14% normalized residual between the r14 driver run (load 10.4)
+    // and the builder's quiet runs — shuffle/IO-heavy queries degrade
+    // SUPERLINEARLY under co-tenant load relative to codegen loops, so
+    // a CPU-only probe under-corrects them. Both series ride the
+    // detail; whichever normalizes same-code runs tighter adjudicates.
+    val ioFixture = "target/bench_io_probe.parquet"
+    def calibrateIo(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(ioFixture)
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("v").as("sv"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // fixed, seedless fixture: 40M rows, ~1009 shuffle keys — written
+    // once, OUTSIDE every timed window
+    spark.range(0L, 40000000L, 1L, cpus.toInt)
+      .selectExpr("id", "id % 1009 AS k", "(id * 2654435761) % 1000003 AS v")
+      .write.mode("overwrite").parquet(ioFixture)
+
     // JVM + codegen warm-up on the smallest SF so BENCH measures the
     // plan, not first-call classloading.
     SparkEntry.benchQueries.foreach(materialize(_, warmDir))
-    calibrate() // warm the calibration plan's codegen too
+    calibrate() // warm the calibration plans' codegen too
+    calibrateIo()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // per-pass calibration at the pass's START and END, averaged: the r13
@@ -86,11 +111,14 @@ object Bench {
     // each pass samples the load the pass's queries actually ran under
     val calStarts = collection.mutable.ArrayBuffer.empty[Double]
     val calEnds = collection.mutable.ArrayBuffer.empty[Double]
+    val calIoStarts = collection.mutable.ArrayBuffer.empty[Double]
+    val calIoEnds = collection.mutable.ArrayBuffer.empty[Double]
     // pass-major order (q1..qN, q1..qN, ...): a transient load spike hits
     // one sample of many queries, not all samples of one query
     val samples: Seq[Seq[(String, Double, Option[String])]] =
       (1 to passes).map { _ =>
         calStarts += calibrate()
+        calIoStarts += calibrateIo()
         val pass = SparkEntry.benchQueries.map { name =>
           val t0 = System.nanoTime()
           val outcome = materialize(name, sfDir)
@@ -102,6 +130,7 @@ object Bench {
               (name, -1.0, Some(name))
           }
         }
+        calIoEnds += calibrateIo()
         calEnds += calibrate()
         pass
       }
@@ -110,36 +139,43 @@ object Bench {
     // cal(pass), in dimensionless calibration units — cross-round
     // comparable without sharing a reference box
     val calPass = (0 until passes).map(p => (calStarts(p) + calEnds(p)) / 2.0)
+    val calIoPass = (0 until passes).map(p => (calIoStarts(p) + calIoEnds(p)) / 2.0)
     val results = SparkEntry.benchQueries.map { name =>
       val times = samples.map(_.find(_._1 == name).get)
       val failed = times.exists(_._3.isDefined)
-      if (failed) (name, -1.0, -1.0, -1.0, Some(name))
+      if (failed) (name, -1.0, -1.0, -1.0, -1.0, Some(name))
       else {
         val ts = times.map(_._2).sorted
         val norm = times.zipWithIndex.map { case (t, p) => t._2 / calPass(p) }
-        (name, ts(ts.size / 2), ts.head, norm.min, None)
+        val normIo = times.zipWithIndex.map { case (t, p) => t._2 / calIoPass(p) }
+        (name, ts(ts.size / 2), ts.head, norm.min, normIo.min, None)
       }
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     // JSON-bound decimals pinned to Locale.ROOT (shared: [[JsonNum]])
     def j3(d: Double): String = JsonNum.j(d)
     def j4(d: Double): String = JsonNum.j(d, precision = 4)
-    val qsMinNorm = results.map { case (k, _, _, nm, _) => "\"" + k + "\":" + j4(nm) }
+    val qsMinNorm = results.map { case (k, _, _, nm, _, _) => "\"" + k + "\":" + j4(nm) }
       .mkString("{", ",", "}")
-    val errors = results.flatMap(_._5).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, med, _, _, None) => med }.sum
+    val qsMinNormIo = results.map { case (k, _, _, _, ni, _) => "\"" + k + "\":" + j4(ni) }
+      .mkString("{", ",", "}")
+    val errors = results.flatMap(_._6).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, med, _, _, _, None) => med }.sum
     // min_total (sum of per-query minima) rides the headline so a
     // co-tenant-stalled run is self-adjudicating from the 4 KB stdout
     // tail alone: BENCH_r08 reported a 494.98 s median-total whose own
     // detail showed a ~55 s min-sum — total >> min_total means load
     // skew, not a code regression (re-run on a quiet box to confirm)
-    val minTotal = results.collect { case (_, _, mn, _, None) => mn }.sum
+    val minTotal = results.collect { case (_, _, mn, _, _, None) => mn }.sum
     // normalized min-total: each query's best PASS-NORMALIZED time — the
-    // cross-round comparison number (drift in it is code, not box)
-    val minTotalNorm = results.collect { case (_, _, _, nm, None) => nm }.sum
+    // cross-round comparison number (drift in it is code, not box);
+    // reported under BOTH probes (cpu and io) so same-code runs decide
+    // which probe adjudicates contention tighter
+    val minTotalNorm = results.collect { case (_, _, _, nm, _, None) => nm }.sum
+    val minTotalNormIo = results.collect { case (_, _, _, _, ni, None) => ni }.sum
     // 1-minute system load BEFORE this bench's own threads inflate it is
     // gone by now, so report the current one: co-tenant contention on the
     // bench box has been observed to move totals 3-5x between runs
@@ -148,17 +184,20 @@ object Bench {
     val calArr = calibrations.map(j3).mkString("[", ",", "]")
     val calEndArr = calEnds.map(j3).mkString("[", ",", "]")
     val calPassArr = calPass.map(j3).mkString("[", ",", "]")
+    val calIoArr = calIoStarts.map(j3).mkString("[", ",", "]")
+    val calIoEndArr = calIoEnds.map(j3).mkString("[", ",", "]")
+    val calIoPassArr = calIoPass.map(j3).mkString("[", ",", "]")
     val calMin = j3(calibrations.min)
     // The driver captures only the TAIL of stdout (BENCH_r05 lost its
     // "metric":"total" to front-truncation of one long line), so the
     // final stdout line carries just the headline (≤ ~300 bytes); the
     // full per-query median/min maps go to a detail file and stderr.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${j3(minTotalNorm)},"queries":$qs,"queries_min":$qsMin,"queries_min_norm":$qsMinNorm,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration":$calArr,"calibration_end":$calEndArr,"calibration_pass":$calPassArr,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${j3(minTotalNorm)},"min_total_norm_io":${j3(minTotalNormIo)},"queries":$qs,"queries_min":$qsMin,"queries_min_norm":$qsMinNorm,"queries_min_norm_io":$qsMinNormIo,"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration":$calArr,"calibration_end":$calEndArr,"calibration_pass":$calPassArr,"calibration_io":$calIoArr,"calibration_io_end":$calIoEndArr,"calibration_io_pass":$calIoPassArr,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_detail.json"), detail)
     System.err.println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${j3(minTotalNorm)},"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"min_total_norm":${j3(minTotalNorm)},"min_total_norm_io":${j3(minTotalNormIo)},"n_queries":${results.size},"passes":$passes,"errors":$errors,"load_avg_1m":$load,"calibration_min":$calMin,"cpus":$cpus,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -64,7 +64,15 @@ object ScaleProbe {
     // point is the NUMBER: with fold cost flat and compact linear, the
     // measured pair quantifies the amortization break-even that sets
     // compact cadence (see COVERAGE's segment-count policy row)
-    "q89_compact_probe")
+    "q89_compact_probe",
+    // the STAMPED arm of the compaction axis: the same merge over
+    // MIXED-stamp segments (corpus stamped 0, fold stamped 1 — the
+    // expiring-deployment shape, where every fold carries a distinct
+    // stamp), so compact() runs the entry-level `_g_stamp` path: each
+    // merged row carries its source's stamp, widening the rewrite by
+    // one long column. The r14 probe measured only the unstamped arm;
+    // a diverging stamped exponent would feed the cadence arithmetic
+    "q89_compact_stamped_probe")
 
   // SPARK_GRAFT_PROBE_QUERIES=q03_...,q35_... probes a subset (and the
   // fixture builder then materializes only the tables that subset reads
@@ -85,9 +93,11 @@ object ScaleProbe {
   private val VecIngestProbes = Set("q80_ingest_probe")
   private val FoldProbes = Set("q89_fold_probe")
   private val CompactProbes = Set("q89_compact_probe")
+  private val StampedCompactProbes = Set("q89_compact_stamped_probe")
   // every probe that reads a materialized index root instead of a data dir
   private val IndexProbes =
-    IngestProbes ++ VecIngestProbes ++ FoldProbes ++ CompactProbes
+    IngestProbes ++ VecIngestProbes ++ FoldProbes ++ CompactProbes ++
+      StampedCompactProbes
 
   private val Shards =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_SHARDS", "10").toInt
@@ -185,6 +195,18 @@ object ScaleProbe {
         ix.compact()
         ix.segments.head.limit(1)
       }),
+      "q89_compact_stamped_probe" -> ((s, root) => {
+        // the timed run IS the stamped compaction: the pre-built index
+        // holds mixed-stamp segments, so compact() takes the
+        // entry-level-stamp path (needStamp). Repeat passes re-compact
+        // the merged generation, which CARRIES per-row stamps — still
+        // the stamped rewrite, so min-of-passes compares like with like.
+        val tag = if (root.contains("scaleingest1")) "p1" else "pn"
+        val ix = new graft.operators.StandingIndex(s, s"probe_cmps_$tag", 4,
+          Seq("band", "bk"))
+        ix.compact()
+        ix.segments.head.limit(1)
+      }),
       "q89_fold_probe" -> ((s, root) => {
         import s.implicits._
         // per-ingest work inside the timed run: band the fixed arriving
@@ -211,7 +233,8 @@ object ScaleProbe {
     // copies dissimilar — see its scaladoc for why that measures an N×
     // BIGGER problem, not a quadratically HARDER one)
     if (Probes.exists(DocProbes) || Probes.exists(IngestProbes) ||
-        Probes.exists(FoldProbes)) {
+        Probes.exists(FoldProbes) || Probes.exists(CompactProbes) ||
+        Probes.exists(StampedCompactProbes)) {
       Tables.shardedDocuments(spark, base, Shards)
         .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
@@ -238,7 +261,7 @@ object ScaleProbe {
     }
 
     if (Probes.exists(IngestProbes) || Probes.exists(FoldProbes) ||
-        Probes.exists(CompactProbes)) {
+        Probes.exists(CompactProbes) || Probes.exists(StampedCompactProbes)) {
       buildIngestIndex(spark, base, "target/scaleingest1")
       buildIngestIndex(spark, out, s"$out/ingest")
     }
@@ -253,11 +276,14 @@ object ScaleProbe {
         Seq("band", "bk")).init(spark.read.parquet(s"$out/ingest/bands.parquet"))
     }
 
-    if (Probes.exists(CompactProbes)) {
+    if (Probes.exists(CompactProbes) || Probes.exists(StampedCompactProbes)) {
       // both decades' compaction subjects: a standing index of (corpus
       // bands + ONE batch-sized fold) — the realistic pre-compact state,
       // built outside the timed run. The timed compact then merges two
-      // segments whose bytes are corpus-dominated on both sides.
+      // segments whose bytes are corpus-dominated on both sides. The
+      // stamped arm's index is identical except its two segments carry
+      // DIFFERING event-time stamps (corpus 0, fold 1), forcing the
+      // entry-level `_g_stamp` merge path.
       import graft.operators.TextOps
       val batchBands = graft.queries.LlmQueries.minhashBands(
           Tables.spread(spark, ingestBatch(spark, base))
@@ -267,10 +293,18 @@ object ScaleProbe {
         .localCheckpoint()
       Seq(("p1", "target/scaleingest1"), ("pn", s"$out/ingest")).foreach {
         case (tag, root) =>
-          val ix = new graft.operators.StandingIndex(spark, s"probe_cmp_$tag", 4,
-            Seq("band", "bk"))
-          ix.init(spark.read.parquet(s"$root/bands.parquet"))
-          ix.fold(batchBands)
+          if (Probes.exists(CompactProbes)) {
+            val ix = new graft.operators.StandingIndex(spark, s"probe_cmp_$tag", 4,
+              Seq("band", "bk"))
+            ix.init(spark.read.parquet(s"$root/bands.parquet"))
+            ix.fold(batchBands)
+          }
+          if (Probes.exists(StampedCompactProbes)) {
+            val ixs = new graft.operators.StandingIndex(spark, s"probe_cmps_$tag", 4,
+              Seq("band", "bk"))
+            ixs.init(spark.read.parquet(s"$root/bands.parquet"), maxEventMs = 0L)
+            ixs.fold(batchBands, maxEventMs = 1L)
+          }
       }
     }
 

@@ -59,6 +59,13 @@ import graft.streaming.StreamJobs
   *    shingle + single-pass banding, segmented band-index probe with
   *    exact-Jaccard confirm against the doc store, admitted band keys
   *    folded; docs/s through the full near-dup maintenance cycle.
+  *  - `wmfold` — the PRODUCTION WATERMARK CLOCK priced against the
+  *    batch-position clock: both arms run the expiring fold cycle on
+  *    one gate-shaped staged fixture (slice-per-batch, q108's
+  *    event-time geometry); `posclock` is q98's loop, `wmclock` adds
+  *    the watermark operator, the recorded-planning-watermark IO, the
+  *    max-event aggregate, and watermark-derived expiry (q108/q115's
+  *    loop) — the delta IS the clock's cost.
   *  - `vecfold` — the VECTOR modality of `fold` (q100's shape):
   *    per-batch sketch (integer scaling + norm + sign-LSH bucket, one
   *    pass), segmented bucket-index probe with exact-cosine confirm,
@@ -96,9 +103,9 @@ object StreamBench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val knownSubjects = Set("sessionize", "join", "dedup", "recovery", "scale",
-      "admission", "fold", "foldexp", "foldcmp", "neardup", "vecfold")
+      "admission", "fold", "foldexp", "foldcmp", "neardup", "vecfold", "wmfold")
     val subjects = sys.env.getOrElse("SPARK_GRAFT_STREAM_SUBJECTS",
-      "sessionize,join,dedup,recovery,scale,admission,fold,foldexp,foldcmp,neardup,vecfold")
+      "sessionize,join,dedup,recovery,scale,admission,fold,foldexp,foldcmp,neardup,vecfold,wmfold")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // a typo'd or empty subject list would otherwise run ZERO subjects
     // and exit cleanly — indistinguishable from a recorded run (ADVICE)
@@ -469,6 +476,112 @@ object StreamBench {
       jsonLine("stream_foldcmp", rows, measure(Seq(
         ("nopolicy", () => run(None, "np")),
         ("policy", () => run(Some(4), "p")))))
+    }
+
+    if (subjects("wmfold")) {
+      // the PRODUCTION WATERMARK CLOCK priced against the batch-position
+      // clock (task: q108/q115's clock overhead as a number, not an
+      // assumption). Both arms run the expiring fold cycle on the SAME
+      // gate-shaped staged fixture (slice = hash60('g'||doc_id) % 4,
+      // event_ts by q108's geometry, one file per slice delivered as one
+      // micro-batch each); the delta is purely the clock's cost:
+      //   posclock — q98's loop: expire(batchId − H), fold stamped at
+      //     the batch position; the event_ts column exists in the files
+      //     but is never read (columnar scan prunes it);
+      //   wmclock — q108/q115's loop: the watermark operator in-plan,
+      //     the per-batch recorded-planning-watermark IO
+      //     (plannedWatermarkMs: lastProgress read + tmp+ATOMIC_MOVE
+      //     record), the max-event aggregate, expiry at
+      //     committedWatermark − Hms, fold stamped at the batch max.
+      import graft.operators.{Sampling, StandingIndex, TextOps}
+      import graft.queries.{LlmQueries, StreamGateQueries => SGQ}
+      val nSlices = 4
+      val stagedDir = s"target/streambench_wmdocs$shards"
+      val scratch = s"$stagedDir-scratch"
+      val grp = Sampling.hash60(concat(lit("g"), $"doc_id".cast("string"))) % nSlices
+      Tables.shardedDocuments(spark, base, shards)
+        .select($"doc_id", $"text")
+        .withColumn("_slice", (grp + 1).cast("int"))
+        .withColumn("event_ts", timestamp_millis(lit(SGQ.WmT0) +
+          ($"_slice" - 1).cast("long") * SGQ.WmStepMs +
+          Sampling.hash60(concat(lit("t"), $"doc_id".cast("string"))) %
+            (SGQ.WmJitterMax + 1)))
+        .repartition(nSlices, $"_slice")
+        .write.mode("overwrite").partitionBy("_slice").parquet(scratch)
+      // one file per slice, mod times ascending: FileStreamSource +
+      // maxFilesPerTrigger=1 delivers slice i as micro-batch i−1 (the
+      // gate staging's writeSlices discipline at bench scale)
+      val stagedP = java.nio.file.Paths.get(stagedDir)
+      if (Files.exists(stagedP))
+        Files.walk(stagedP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.delete(p); () })
+      Files.createDirectories(stagedP)
+      (1 to nSlices).foreach { i =>
+        val parts = new java.io.File(s"$scratch/_slice=$i").listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        require(parts.length == 1, s"slice $i must be one file, got ${parts.length}")
+        val dst = stagedP.resolve(f"docs-$i%04d.parquet")
+        Files.move(parts.head.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val rows = spark.read.parquet(stagedDir).count()
+      val corpusFp = Tables.documents(spark, base)
+        .filter(graft.operators.Sampling.uniform01($"doc_id") >= 0.3)
+        .select(TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+        .localCheckpoint()
+      val wmDocsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("event_ts", TimestampType)))
+      def run(wmClock: Boolean): Double = {
+        val tag = if (wmClock) "wm" else "pos"
+        val ix = new StandingIndex(spark, s"sbwm$tag", 4, Seq("fingerprint"))
+        ix.init(corpusFp, maxEventMs =
+          if (wmClock) SGQ.WmT0 - SGQ.WmStepMs else -1L)
+        val ck = Files.createTempDirectory(s"graft-sbwm$tag-ck").toString
+        val qn = s"sbwm${tag}_q"
+        val t0 = System.nanoTime()
+        val read = spark.readStream.schema(wmDocsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stagedDir)
+        val incoming =
+          if (!wmClock)
+            read.select($"doc_id",
+              TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"))
+          else read
+            .select($"doc_id",
+              TextOps.bagFingerprint(TextOps.normText($"text")).as("fingerprint"),
+              $"event_ts")
+            .withWatermark("event_ts", s"${SGQ.WmDelayMs / 1000} seconds")
+        val q = incoming.writeStream
+          .queryName(qn)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!wmClock) {
+              // q98's exact per-batch cycle
+              ix.expire(expireBeforeMs = batchId - SGQ.ExpiryHorizon)
+              LlmQueries.admitAndFold(batch, ix, batchId, maxEventMs = batchId)
+            } else {
+              // q108/q115's exact per-batch cycle
+              SGQ.plannedWatermarkMs(spark, ck, qn, batchId).foreach { wm =>
+                ix.expire(expireBeforeMs = wm - SGQ.WmHorizonMs)
+              }
+              val maxRow = batch.agg(max(unix_millis($"event_ts"))).head
+              if (!maxRow.isNullAt(0))
+                LlmQueries.admitAndFold(batch.select($"doc_id", $"fingerprint"),
+                  ix, batchId, maxEventMs = maxRow.getLong(0))
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      jsonLine("stream_wmfold", rows, measure(Seq(
+        ("posclock", () => run(wmClock = false)),
+        ("wmclock", () => run(wmClock = true)))))
     }
 
     if (subjects("neardup")) {

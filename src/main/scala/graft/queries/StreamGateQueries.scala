@@ -2610,15 +2610,15 @@ object StreamGateQueries {
 
   // q108's event-time geometry (see q108's scaladoc for the window law):
   // batch k's events live in [T0 + k·step, T0 + k·step + jmax], 0-based
-  private[queries] val WmT0 = 1700000000000L
-  private[queries] val WmStepMs = 60000L
-  private[queries] val WmJitterMax = 20000L
+  private[graft] val WmT0 = 1700000000000L
+  private[graft] val WmStepMs = 60000L
+  private[graft] val WmJitterMax = 20000L
   /** The `withWatermark` delay — the engine's own late-data tolerance. */
-  private val WmDelayMs = 15000L
+  private[graft] val WmDelayMs = 15000L
   /** The dedup horizon in EVENT-TIME ms: entries expire at
     * `committedWatermark − WmHorizonMs`.
     */
-  private val WmHorizonMs = 10000L
+  private[graft] val WmHorizonMs = 10000L
 
   /** q108 — WATERMARK-CLOCKED horizon expiry: q98's expiring recurrence
     * with the index clock spelled the way a production deployment spells
@@ -2749,7 +2749,7 @@ object StreamGateQueries {
     * wedge every restart on NumberFormatException — the one
     * unrecoverable failure inside the recovery mechanism itself).
     */
-  private def plannedWatermarkMs(
+  private[graft] def plannedWatermarkMs(
       s: SparkSession, ck: String, qn: String, batchId: Long): Option[Long] = {
     val wmRecord = Paths.get(ck, f"wm_$batchId%06d")
     val recorded: Option[Long] =
