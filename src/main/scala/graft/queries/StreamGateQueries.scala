@@ -2253,9 +2253,14 @@ object StreamGateQueries {
           // watermark clock — a rowless batch has no max event
           // (nothing arrived, nothing to probe or fold; staging
           // refuses empty slices, so this is a defensive fence)
+          // wmClock checkpoints the batch ONCE: the micro-batch plan
+          // re-executes per action with no pruning through it, so the
+          // stamp aggregate as a second raw action cost a full extra
+          // batch execution (q108's fix, measured in StreamBench wmfold)
+          val src = if (wmClock) batch.localCheckpoint() else batch
           val stampMs: Option[Long] =
             if (wmClock) {
-              val maxRow = batch.agg(max(unix_millis($"event_ts"))).head
+              val maxRow = src.agg(max(unix_millis($"event_ts"))).head
               if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
             } else Some(if (horizon.isDefined) batchId else Long.MaxValue)
           stampMs.foreach { stamp =>
@@ -2264,7 +2269,7 @@ object StreamGateQueries {
             // subject): shingle + band once, probe strictly-earlier
             // surviving segments, fold the admitted band keys
             val admitted = LlmQueries.neardupAdmitAndFold(
-              batch.select($"doc_id", $"text"), ix, batchId, docStoreSh,
+              src.select($"doc_id", $"text"), ix, batchId, docStoreSh,
               maxEventMs = stamp)
             admitted
               .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
@@ -2850,15 +2855,24 @@ object StreamGateQueries {
             ix.expire(expireBeforeMs = wm - WmHorizonMs)
           }
           // fold stamped with the batch's max event time — the
-          // production stamp the scaladoc contract names. A rowless
-          // batch has no max event (null aggregate): nothing arrived,
-          // nothing to probe or fold — skip rather than NPE (staging
-          // refuses empty slices, so this is a defensive fence)
-          val maxRow = batch.agg(max(unix_millis($"event_ts"))).head
+          // production stamp the scaladoc contract names. The batch is
+          // CHECKPOINTED once first: foreachBatch re-executes the whole
+          // micro-batch plan (scan + fingerprint + watermark) on every
+          // action, and column pruning does not reach through it — the
+          // max-event aggregate as a second raw action cost one full
+          // extra batch execution (measured: the entire wmclock-vs-
+          // posclock anomaly at the 100× decade, StreamBench wmfold);
+          // one materialization now serves the stamp aggregate AND the
+          // admission chain. A rowless batch has no max event (null
+          // aggregate): nothing arrived, nothing to probe or fold —
+          // skip rather than NPE (staging refuses empty slices, so
+          // this is a defensive fence)
+          val src = batch.localCheckpoint()
+          val maxRow = src.agg(max(unix_millis($"event_ts"))).head
           if (!maxRow.isNullAt(0)) {
           val batchMaxEventMs = maxRow.getLong(0)
           val admitted = LlmQueries.admitAndFold(
-            batch.select($"doc_id", $"fingerprint"), ix, batchId,
+            src.select($"doc_id", $"fingerprint"), ix, batchId,
             maxEventMs = batchMaxEventMs)
           admitted
             .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
@@ -3073,9 +3087,12 @@ object StreamGateQueries {
           // fold stamp: batch position on the position clock; the
           // batch's MAX EVENT TIME (the production stamp) on the
           // watermark clock — rowless-batch defensive fence as q108
+          // wmClock checkpoints the batch ONCE (q108's fix — see
+          // neardupFoldGate: a second raw action re-executes the plan)
+          val src = if (wmClock) batch.localCheckpoint() else batch
           val stampMs: Option[Long] =
             if (wmClock) {
-              val maxRow = batch.agg(max(unix_millis($"event_ts"))).head
+              val maxRow = src.agg(max(unix_millis($"event_ts"))).head
               if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
             } else Some(if (horizon.isDefined) batchId else Long.MaxValue)
           stampMs.foreach { stamp =>
@@ -3086,7 +3103,7 @@ object StreamGateQueries {
             // deterministic per vector, so the crash replay's re-fold
             // is byte-identical)
             val admitted = LlmQueries.vectorAdmitAndFold(
-              batch.select($"vec_id", $"embedding"), ix, batchId,
+              src.select($"vec_id", $"embedding"), ix, batchId,
               maxEventMs = stamp)
             admitted
               .select($"vec_id", lit(batchId + 1).cast("int").as("batch"),
