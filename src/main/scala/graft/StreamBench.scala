@@ -496,35 +496,20 @@ object StreamBench {
       import graft.operators.{Sampling, StandingIndex, TextOps}
       import graft.queries.{LlmQueries, StreamGateQueries => SGQ}
       val nSlices = 4
-      val stagedDir = s"target/streambench_wmdocs$shards"
-      val scratch = s"$stagedDir-scratch"
+      // the GATE's staging discipline at bench scale: hash-group slices,
+      // wmEventTs geometry, one file per slice with ascending mod times
+      // (SGQ.writeSlices — shared, so fixture and gate staging can
+      // never drift)
+      val stagedP = Files.createTempDirectory("graft-sbwm-src")
+      val scratchP = Files.createTempDirectory("graft-sbwm-part")
       val grp = Sampling.hash60(concat(lit("g"), $"doc_id".cast("string"))) % nSlices
-      Tables.shardedDocuments(spark, base, shards)
-        .select($"doc_id", $"text")
-        .withColumn("_slice", (grp + 1).cast("int"))
-        .withColumn("event_ts", timestamp_millis(lit(SGQ.WmT0) +
-          ($"_slice" - 1).cast("long") * SGQ.WmStepMs +
-          Sampling.hash60(concat(lit("t"), $"doc_id".cast("string"))) %
-            (SGQ.WmJitterMax + 1)))
-        .repartition(nSlices, $"_slice")
-        .write.mode("overwrite").partitionBy("_slice").parquet(scratch)
-      // one file per slice, mod times ascending: FileStreamSource +
-      // maxFilesPerTrigger=1 delivers slice i as micro-batch i−1 (the
-      // gate staging's writeSlices discipline at bench scale)
-      val stagedP = java.nio.file.Paths.get(stagedDir)
-      if (Files.exists(stagedP))
-        Files.walk(stagedP).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.delete(p); () })
-      Files.createDirectories(stagedP)
-      (1 to nSlices).foreach { i =>
-        val parts = new java.io.File(s"$scratch/_slice=$i").listFiles()
-          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        require(parts.length == 1, s"slice $i must be one file, got ${parts.length}")
-        val dst = stagedP.resolve(f"docs-$i%04d.parquet")
-        Files.move(parts.head.toPath, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      SGQ.writeSlices(stagedP, scratchP,
+        Tables.shardedDocuments(spark, base, shards)
+          .select($"doc_id", $"text")
+          .withColumn("_slice", (grp + 1).cast("int"))
+          .withColumn("event_ts", SGQ.wmEventTs($"doc_id")),
+        nSlices, filePrefix = "docs")
+      val stagedDir = stagedP.toString
       val rows = spark.read.parquet(stagedDir).count()
       val corpusFp = Tables.documents(spark, base)
         .filter(graft.operators.Sampling.uniform01($"doc_id") >= 0.3)
@@ -564,18 +549,15 @@ object StreamBench {
               ix.expire(expireBeforeMs = batchId - SGQ.ExpiryHorizon)
               LlmQueries.admitAndFold(batch, ix, batchId, maxEventMs = batchId)
             } else {
-              // q108/q115's exact per-batch cycle — batch checkpointed
-              // ONCE (the gate's spelling): a second raw action would
-              // re-execute the whole micro-batch plan (measured here:
-              // the pre-fix wmclock anomaly, +3.7 s/batch at 100×)
-              SGQ.plannedWatermarkMs(spark, ck, qn, batchId).foreach { wm =>
-                ix.expire(expireBeforeMs = wm - SGQ.WmHorizonMs)
-              }
-              val src = batch.localCheckpoint()
-              val maxRow = src.agg(max(unix_millis($"event_ts"))).head
-              if (!maxRow.isNullAt(0))
+              // q108/q115's exact per-batch cycle — the gates' OWN
+              // wmClockStep (checkpoint once + recorded planning
+              // watermark + expiry + max-event stamp), so the bench
+              // can never price a shape the gates don't verify
+              val (src, stampMs) = SGQ.wmClockStep(spark, ck, qn, batchId, ix, batch)
+              stampMs.foreach { stamp =>
                 LlmQueries.admitAndFold(src.select($"doc_id", $"fingerprint"),
-                  ix, batchId, maxEventMs = maxRow.getLong(0))
+                  ix, batchId, maxEventMs = stamp)
+              }
             }
             ()
           }

@@ -798,6 +798,21 @@ class StandingIndex(
     * renewing and its lease EXPIRES (`leaseMs` after the last renewal),
     * at which point the next acquirer takes over — crash recovery
     * without an operator breaking the lock by hand.
+    *
+    * FENCING LIMIT (every lease lock without filesystem-level fencing
+    * tokens has it — ZooKeeper session locks, Hudi's providers): the
+    * lease guards STARTUP and renewal, not a holder stalled past
+    * `leaseMs` mid-mutation — such a holder can be taken over while its
+    * mutation is in flight, reopening the same-role window until its
+    * pointer CAS fails. Deployments therefore (a) choose `leaseMs`
+    * comfortably above the longest mutation (renewing each cycle —
+    * compact is the long pole; its measured cost curve is ScaleProbe's
+    * compact axis), and (b) re-check [[holdsRoleLease]] after each
+    * mutation to convert a mid-flight takeover into a loud alarm
+    * ([[graft.AsyncCompactor]]'s discipline). `holderId` must be
+    * GLOBALLY unique (host + pid + nonce, not pid alone): the renewal
+    * arm treats a matching holder as the same writer, so a colliding id
+    * from another host would silently alias two writers.
     */
   def acquireRoleLease(role: String, holderId: String, leaseMs: Long): Unit = {
     require(role.nonEmpty && role.forall(c => c.isLetterOrDigit || c == '-'),
@@ -830,6 +845,17 @@ class StandingIndex(
           s"races — another '$role' writer is actively claiming; refusing")
     }
   }
+
+  /** Whether `holderId` currently holds an unexpired `role` lease — the
+    * post-mutation alarm check for the fencing limit acquireRoleLease's
+    * scaladoc states: a mutator that finds its lease gone mid-flight
+    * was stalled past `leaseMs` and possibly raced a takeover; it must
+    * surface that loudly rather than keep writing.
+    */
+  def holdsRoleLease(role: String, holderId: String): Boolean =
+    currentLease(role)._2.exists { case (h, exp) =>
+      h == holderId && System.currentTimeMillis() < exp
+    }
 
   /** Release the `role` lease if (and only if) this holder still holds
     * it — idempotent, and never clobbers a successor: a lease that

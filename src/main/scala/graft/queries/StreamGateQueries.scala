@@ -455,7 +455,7 @@ object StreamGateQueries {
     * `FileStreamSource` + `maxFilesPerTrigger=1` delivers slice i as
     * micro-batch i−1.
     */
-  private def writeSlices(
+  private[graft] def writeSlices(
       staged: java.nio.file.Path, scratch: java.nio.file.Path,
       src: DataFrame, n: Int, filePrefix: String): Unit = {
     import src.sparkSession.implicits._
@@ -505,6 +505,20 @@ object StreamGateQueries {
     * oracle must pin the exact layout. The salt `'g'` decorrelates the
     * batch assignment from the `u` corpus split (different md5 input).
     */
+  /** q108's event-time geometry as a column over an id and the staged
+    * `_slice` (1-based): batch k's events live in
+    * `[T0 + (k−1)·step, T0 + (k−1)·step + jmax]` with a content-hash
+    * jitter — data-derived max-events and watermarks, never degenerate
+    * constants, and `step > 2·jmax` keeps the watermark-window
+    * arithmetic batch-exact (the window law). The ONE spelling shared
+    * by the doc and vector stagings and StreamBench's wmfold fixture.
+    */
+  private[graft] def wmEventTs(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_millis(lit(WmT0) +
+      (col("_slice") - 1).cast("long") * WmStepMs +
+      graft.operators.Sampling.hash60(
+        concat(lit("t"), id.cast("string"))) % (WmJitterMax + 1))
+
   private def stageDocHashSplit(
       s: SparkSession, dir: String, tag: String, n: Int,
       eventTs: Boolean = false): String = {
@@ -524,11 +538,8 @@ object StreamGateQueries {
     // jitter is strictly inside the step (step > 2·jmax), which is what
     // makes the watermark-window arithmetic batch-exact — see
     // [[q108WatermarkExpiringFold]]'s window law.
-    val src = if (!eventTs) base else base.withColumn("event_ts",
-      timestamp_millis(lit(WmT0) +
-        ($"_slice" - 1).cast("long") * WmStepMs +
-        graft.operators.Sampling.hash60(
-          concat(lit("t"), $"doc_id".cast("string"))) % (WmJitterMax + 1)))
+    val src = if (!eventTs) base
+      else base.withColumn("event_ts", wmEventTs($"doc_id"))
     writeSlices(staged, scratch, src, n, filePrefix = "docs")
     staged.toString
   }
@@ -2239,30 +2250,19 @@ object StreamGateQueries {
           // expiry first (q98's ordering): entries behind the horizon
           // stop blocking BEFORE this batch probes. Two spellings of
           // the SAME threshold: the batch-position clock (q104/q105)
-          // expires at batchId − H; the production watermark clock
-          // (q115/q116) at committedWatermark − Hms, re-derived on
-          // replay from the recorded planning watermark
-          // ([[plannedWatermarkMs]] — q112's discipline)
+          // expires at batchId − H here; the production watermark clock
+          // (q115/q116) expires inside [[wmClockStep]] below at
+          // committedWatermark − Hms, re-derived on replay from the
+          // recorded planning watermark (q112's discipline)
           horizon.foreach(h => ix.expire(expireBeforeMs = batchId - h))
-          if (wmClock) plannedWatermarkMs(s, ck, qn, batchId).foreach { wm =>
-            if (wm > 0L) sawWm.incrementAndGet()
-            ix.expire(expireBeforeMs = wm - WmHorizonMs)
-          }
-          // fold stamp: batch position on the position clock; the
-          // batch's MAX EVENT TIME (the production stamp) on the
-          // watermark clock — a rowless batch has no max event
-          // (nothing arrived, nothing to probe or fold; staging
-          // refuses empty slices, so this is a defensive fence)
-          // wmClock checkpoints the batch ONCE: the micro-batch plan
-          // re-executes per action with no pruning through it, so the
-          // stamp aggregate as a second raw action cost a full extra
-          // batch execution (q108's fix, measured in StreamBench wmfold)
-          val src = if (wmClock) batch.localCheckpoint() else batch
-          val stampMs: Option[Long] =
-            if (wmClock) {
-              val maxRow = src.agg(max(unix_millis($"event_ts"))).head
-              if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
-            } else Some(if (horizon.isDefined) batchId else Long.MaxValue)
+          // wmClock: the ONE watermark-clock step ([[wmClockStep]] —
+          // checkpoint once, record/read the planning watermark, expire
+          // at committedWatermark − Hms, max-event stamp)
+          val (src, stampMs) =
+            if (wmClock) wmClockStep(s, ck, qn, batchId, ix, batch,
+              onWm = wm => { if (wm > 0L) sawWm.incrementAndGet(); () })
+            else (batch,
+              Some(if (horizon.isDefined) batchId else Long.MaxValue))
           stampMs.foreach { stamp =>
             // then the ONE per-batch spelling (LlmQueries
             // .neardupAdmitAndFold, shared with StreamBench's neardup
@@ -2777,6 +2777,33 @@ object StreamGateQueries {
     }
   }
 
+  /** ONE watermark-clocked maintenance step — the per-batch idiom every
+    * production-clock gate (q108/q112–q118) and StreamBench's `wmclock`
+    * arm share, so the checkpoint-once discipline can never drift per
+    * copy: (1) CHECKPOINT the batch once — foreachBatch re-executes the
+    * whole micro-batch plan per action with no column pruning through
+    * it, so a second raw action (the stamp aggregate) cost one full
+    * extra batch execution (+3.7 s/batch measured at the 100× decade);
+    * (2) read this batch's recorded planning watermark
+    * ([[plannedWatermarkMs]]) and drive expiry at
+    * `committedWatermark − horizonMs` (`onWm` sees the raw watermark
+    * first — the gates' sawWm fence); (3) return the checkpointed frame
+    * with its max-event stamp (None for a rowless batch: nothing
+    * arrived, nothing to probe or fold — the defensive fence).
+    */
+  private[graft] def wmClockStep(
+      s: SparkSession, ck: String, qn: String, batchId: Long,
+      ix: graft.operators.StandingIndex, batch: DataFrame,
+      onWm: Long => Unit = _ => ()): (DataFrame, Option[Long]) = {
+    val src = batch.localCheckpoint()
+    plannedWatermarkMs(s, ck, qn, batchId).foreach { wm =>
+      onWm(wm)
+      ix.expire(expireBeforeMs = wm - WmHorizonMs)
+    }
+    val maxRow = src.agg(max(unix_millis(col("event_ts")))).head
+    (src, if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0)))
+  }
+
   /** Shared harness behind q108 (clean) and q112 (crashed + replayed) —
     * see q108's scaladoc for the window law and the recorded-watermark
     * replay discipline.
@@ -2843,41 +2870,19 @@ object StreamGateQueries {
               s"$tag: the cadence policy must bound live segments to <= $k " +
                 s"at every probe point, got $live at batch $batchId")
           }
-          // the COMMITTED watermark — this batch's PLANNING state,
-          // recorded durably before first use ([[plannedWatermarkMs]]):
-          // the first evaluation reads the engine's clock from the last
-          // committed batch's progress (null before a run's first
-          // commit — nothing to expire yet) and records it; a REPLAY
-          // (whose restarted query has no progress yet) reads the
-          // record back and re-derives the identical expiry threshold
-          plannedWatermarkMs(s, ck, qn, batchId).foreach { wm =>
-            if (wm > 0L) sawWm.incrementAndGet()
-            ix.expire(expireBeforeMs = wm - WmHorizonMs)
-          }
-          // fold stamped with the batch's max event time — the
-          // production stamp the scaladoc contract names. The batch is
-          // CHECKPOINTED once first: foreachBatch re-executes the whole
-          // micro-batch plan (scan + fingerprint + watermark) on every
-          // action, and column pruning does not reach through it — the
-          // max-event aggregate as a second raw action cost one full
-          // extra batch execution (measured: the entire wmclock-vs-
-          // posclock anomaly at the 100× decade, StreamBench wmfold);
-          // one materialization now serves the stamp aggregate AND the
-          // admission chain. A rowless batch has no max event (null
-          // aggregate): nothing arrived, nothing to probe or fold —
-          // skip rather than NPE (staging refuses empty slices, so
-          // this is a defensive fence)
-          val src = batch.localCheckpoint()
-          val maxRow = src.agg(max(unix_millis($"event_ts"))).head
-          if (!maxRow.isNullAt(0)) {
-          val batchMaxEventMs = maxRow.getLong(0)
-          val admitted = LlmQueries.admitAndFold(
-            src.select($"doc_id", $"fingerprint"), ix, batchId,
-            maxEventMs = batchMaxEventMs)
-          admitted
-            .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
-              $"fingerprint")
-            .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+          // the ONE watermark-clock step ([[wmClockStep]]): checkpoint
+          // once, read/record the planning watermark, expire at
+          // committedWatermark − Hms, return the max-event stamp
+          val (src, stampMs) = wmClockStep(s, ck, qn, batchId, ix, batch,
+            onWm = wm => { if (wm > 0L) sawWm.incrementAndGet(); () })
+          stampMs.foreach { batchMaxEventMs =>
+            val admitted = LlmQueries.admitAndFold(
+              src.select($"doc_id", $"fingerprint"), ix, batchId,
+              maxEventMs = batchMaxEventMs)
+            admitted
+              .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
+                $"fingerprint")
+              .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
           }
           if (failAt.contains(batchId) && !Files.exists(failMarker)) {
             Files.createFile(failMarker)
@@ -2946,15 +2951,10 @@ object StreamGateQueries {
       .filter(graft.operators.Sampling.uniform01($"vec_id") < 0.5)
       .select($"vec_id", $"embedding")
       .withColumn("_slice", (grp + 1).cast("int"))
-    // eventTs (q117/q118): [[stageDocHashSplit]]'s event-time geometry
-    // verbatim on the vector modality — batch k's events live in
-    // [T0 + (k−1)·step, T0 + (k−1)·step + jmax], content-hash jitter,
-    // step > 2·jmax, so the watermark-window arithmetic is batch-exact
-    val src = if (!eventTs) base else base.withColumn("event_ts",
-      timestamp_millis(lit(WmT0) +
-        ($"_slice" - 1).cast("long") * WmStepMs +
-        graft.operators.Sampling.hash60(
-          concat(lit("t"), $"vec_id".cast("string"))) % (WmJitterMax + 1)))
+    // eventTs (q117/q118): [[wmEventTs]]'s geometry on the vector
+    // modality — the watermark-window arithmetic stays batch-exact
+    val src = if (!eventTs) base
+      else base.withColumn("event_ts", wmEventTs($"vec_id"))
     writeSlices(staged, scratch, src, n, filePrefix = "vecs")
     staged.toString
   }
@@ -3075,26 +3075,14 @@ object StreamGateQueries {
           // bounded to committed folds
           if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
           // expiry first (q98's ordering), in either spelling: the
-          // batch-position clock (q102/q103) expires at batchId − H;
-          // the production watermark clock (q117/q118) at
-          // committedWatermark − Hms, re-derived on replay from the
-          // recorded planning watermark ([[plannedWatermarkMs]])
+          // batch-position clock (q102/q103) expires at batchId − H
+          // here; the watermark clock (q117/q118) inside [[wmClockStep]]
           horizon.foreach(h => ix.expire(expireBeforeMs = batchId - h))
-          if (wmClock) plannedWatermarkMs(s, ck, qn, batchId).foreach { wm =>
-            if (wm > 0L) sawWm.incrementAndGet()
-            ix.expire(expireBeforeMs = wm - WmHorizonMs)
-          }
-          // fold stamp: batch position on the position clock; the
-          // batch's MAX EVENT TIME (the production stamp) on the
-          // watermark clock — rowless-batch defensive fence as q108
-          // wmClock checkpoints the batch ONCE (q108's fix — see
-          // neardupFoldGate: a second raw action re-executes the plan)
-          val src = if (wmClock) batch.localCheckpoint() else batch
-          val stampMs: Option[Long] =
-            if (wmClock) {
-              val maxRow = src.agg(max(unix_millis($"event_ts"))).head
-              if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
-            } else Some(if (horizon.isDefined) batchId else Long.MaxValue)
+          val (src, stampMs) =
+            if (wmClock) wmClockStep(s, ck, qn, batchId, ix, batch,
+              onWm = wm => { if (wm > 0L) sawWm.incrementAndGet(); () })
+            else (batch,
+              Some(if (horizon.isDefined) batchId else Long.MaxValue))
           stampMs.foreach { stamp =>
             // then the ONE per-batch spelling (LlmQueries
             // .vectorAdmitAndFold, shared with StreamBench's vecfold
