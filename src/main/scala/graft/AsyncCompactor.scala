@@ -61,7 +61,10 @@ object AsyncCompactor {
     // alone: the renewal arm treats a matching holder as the same
     // writer, so two hosts sharing a warehouse with colliding pids
     // would silently alias (acquireRoleLease scaladoc)
-    val holderId = s"compactor-${java.net.InetAddress.getLocalHost.getHostName}-" +
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "unknown-host" }
+    val holderId = s"compactor-$host-" +
       s"${java.lang.ProcessHandle.current().pid()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     ix.acquireRoleLease("compactor", holderId, leaseMs = 60000L)

@@ -500,8 +500,13 @@ object StreamBench {
       // wmEventTs geometry, one file per slice with ascending mod times
       // (SGQ.writeSlices — shared, so fixture and gate staging can
       // never drift)
-      val stagedP = Files.createTempDirectory("graft-sbwm-src")
-      val scratchP = Files.createTempDirectory("graft-sbwm-part")
+      // rooted under target/ (not java.io.tmpdir): at the 100× decade
+      // the staged fixture is the full sharded dump, and /tmp is often
+      // a size-limited tmpfs
+      val stagedP = Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "sbwm-src")
+      val scratchP = Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "sbwm-part")
       val grp = Sampling.hash60(concat(lit("g"), $"doc_id".cast("string"))) % nSlices
       SGQ.writeSlices(stagedP, scratchP,
         Tables.shardedDocuments(spark, base, shards)

@@ -495,16 +495,6 @@ object StreamGateQueries {
     staged.toString
   }
 
-  /** Stage the incoming documents (the content-hash split `u < 0.3`) as
-    * `n` HASH-GROUP files — doc → micro-batch `hash60('g' || doc_id) % n`
-    * — for the streamed NEAR-dup fold gates (q96/q97). Unlike
-    * [[stageDocSplit]]'s quantile slicing (whose `approxQuantile` cuts
-    * no SQL engine reproduces), the hash assignment is itself
-    * oracle-expressible, which the near-dup gates REQUIRE: the fuzzy
-    * fold recurrence is batch-layout-dependent (q91's scaladoc), so its
-    * oracle must pin the exact layout. The salt `'g'` decorrelates the
-    * batch assignment from the `u` corpus split (different md5 input).
-    */
   /** q108's event-time geometry as a column over an id and the staged
     * `_slice` (1-based): batch k's events live in
     * `[T0 + (k−1)·step, T0 + (k−1)·step + jmax]` with a content-hash
@@ -519,6 +509,16 @@ object StreamGateQueries {
       graft.operators.Sampling.hash60(
         concat(lit("t"), id.cast("string"))) % (WmJitterMax + 1))
 
+  /** Stage the incoming documents (the content-hash split `u < 0.3`) as
+    * `n` HASH-GROUP files — doc → micro-batch `hash60('g' || doc_id) % n`
+    * — for the streamed NEAR-dup fold gates (q96/q97). Unlike
+    * [[stageDocSplit]]'s quantile slicing (whose `approxQuantile` cuts
+    * no SQL engine reproduces), the hash assignment is itself
+    * oracle-expressible, which the near-dup gates REQUIRE: the fuzzy
+    * fold recurrence is batch-layout-dependent (q91's scaladoc), so its
+    * oracle must pin the exact layout. The salt `'g'` decorrelates the
+    * batch assignment from the `u` corpus split (different md5 input).
+    */
   private def stageDocHashSplit(
       s: SparkSession, dir: String, tag: String, n: Int,
       eventTs: Boolean = false): String = {
@@ -2795,11 +2795,17 @@ object StreamGateQueries {
       s: SparkSession, ck: String, qn: String, batchId: Long,
       ix: graft.operators.StandingIndex, batch: DataFrame,
       onWm: Long => Unit = _ => ()): (DataFrame, Option[Long]) = {
-    val src = batch.localCheckpoint()
+    // record + expire BEFORE the checkpoint: the record must be the
+    // step's FIRST durable act — a crash during the (multi-second)
+    // checkpoint materialization must still find the planning watermark
+    // recorded, or the replay (whose restarted query has a null
+    // lastProgress) could never re-derive this batch's expiry threshold
+    // and would skip the expire a crash-free run performed
     plannedWatermarkMs(s, ck, qn, batchId).foreach { wm =>
       onWm(wm)
       ix.expire(expireBeforeMs = wm - WmHorizonMs)
     }
+    val src = batch.localCheckpoint()
     val maxRow = src.agg(max(unix_millis(col("event_ts")))).head
     (src, if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0)))
   }
