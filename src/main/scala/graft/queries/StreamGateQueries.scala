@@ -2187,11 +2187,13 @@ object StreamGateQueries {
   private def neardupFoldGate(
       s: SparkSession, dir: String, tag: String, failAt: Option[Long],
       horizon: Option[Long] = None, compactAt: Option[Long] = None,
-      wmClock: Boolean = false): DataFrame = {
+      wmClock: Boolean = false,
+      autoCompactOver: Option[Int] = None): DataFrame = {
     import s.implicits._
     require(!(wmClock && horizon.isDefined),
       s"$tag: wmClock IS the expiry clock — horizon is the batch-position spelling")
     if (wmClock) requireWmWindowLaw(tag)
+    val policyFired = new java.util.concurrent.atomic.AtomicInteger(0)
     // the two expiry clocks run the SAME horizon recurrence (the window
     // law makes the ms clock batch-exact), so the fences and oracle of
     // the batch-position spelling apply verbatim to the watermark one
@@ -2247,6 +2249,19 @@ object StreamGateQueries {
           // discipline) — strictly after batch `compactAt`'s commit,
           // bounded to committed folds
           if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
+          // q119/q120: the cadence POLICY at the head of the batch,
+          // bounded to committed covers and BEFORE the expire — q113's
+          // fully-composed loop on the NEAR-DUP modality (under the
+          // watermark clock every band fold is distinctly stamped, so a
+          // policy firing is always a mixed-stamp merge)
+          autoCompactOver.foreach { k =>
+            if (ix.compactIfOver(k, coverAtMost = batchId))
+              policyFired.incrementAndGet()
+            val live = ix.segmentCount
+            require(live <= k,
+              s"$tag: the cadence policy must bound live segments to <= $k " +
+                s"at every probe point, got $live at batch $batchId")
+          }
           // expiry first (q98's ordering): entries behind the horizon
           // stop blocking BEFORE this batch probes. Two spellings of
           // the SAME threshold: the batch-position clock (q104/q105)
@@ -2295,6 +2310,13 @@ object StreamGateQueries {
     if (wmClock) require(sawWm.get >= n - 2,
       s"$tag: the engine must report a committed event-time watermark " +
         s"from batch 2 on, got ${sawWm.get} reports")
+    // q119/q120's non-vacuity fence (q111's): a policy that never fired
+    // would silently degrade the gate to q115 and prove nothing
+    autoCompactOver.foreach { _ =>
+      require(policyFired.get >= 2,
+        s"$tag: the cadence policy must fire >= 2 compactions across the " +
+          s"run, got ${policyFired.get}")
+    }
     dropStaged(staged)
     val result = s.read.parquet(s"$out/batch_*")
       .select($"doc_id", $"batch", $"n_shingles")
@@ -2400,6 +2422,39 @@ object StreamGateQueries {
     */
   def q116WatermarkNeardupCrash(s: SparkSession, dir: String): DataFrame =
     neardupFoldGate(s, dir, "q116", failAt = Some(2L), wmClock = true)
+
+  /** q119 — q113's FULLY-COMPOSED PRODUCTION LOOP on the NEAR-DUP
+    * modality: q115's watermark-clocked expiring band fold with
+    * compaction fired by the CADENCE POLICY (`compactIfOver`, k = 2)
+    * instead of the harness. Under the watermark clock every band fold
+    * carries a distinct max-event stamp, so a policy firing is always a
+    * MIXED-STAMP merge (q106's entry-level `_g_stamp` machinery on the
+    * band-key schema), and the expire right after filter-rewrites the
+    * merged generation when its stamp range straddles the threshold —
+    * with k = 2 that partial arm is exercised repeatedly. The policy is
+    * a cost knob, never a semantics knob: the admitted set meets q115's
+    * windowed sequential oracle VERBATIM, while in-gate fences require
+    * ≥ 2 policy firings, live segments ≤ k at every probe point,
+    * advancing engine watermarks, and ≥ 1 post-expiry corpus
+    * re-admission.
+    */
+  def q119PolicyNeardupFold(s: SparkSession, dir: String): DataFrame =
+    neardupFoldGate(s, dir, "q119", failAt = None, wmClock = true,
+      autoCompactOver = Some(2))
+
+  /** q120 — q119's pipeline crashed on the first attempt of batch 2
+    * after ALL durable effects, then replayed: q114's crash cell on the
+    * NEAR-DUP modality. The first attempt's policy compact committed
+    * before the crash (head-of-batch, bounded to committed covers), so
+    * the replay's policy re-reads the compacted state and correctly
+    * does NOT re-fire; it re-derives the expiry threshold from the
+    * RECORDED planning watermark, re-expires idempotently, probes the
+    * surviving strictly-earlier segments, and re-folds byte-identical
+    * stamped band keys. The ≥ 2-firings fence spans the whole drive.
+    */
+  def q120PolicyNeardupCrash(s: SparkSession, dir: String): DataFrame =
+    neardupFoldGate(s, dir, "q120", failAt = Some(2L), wmClock = true,
+      autoCompactOver = Some(2))
 
 
   /** q98 — streamed EXPIRING dedup: q91's continuous fold loop with a
@@ -3027,11 +3082,13 @@ object StreamGateQueries {
   private def vectorFoldGate(
       s: SparkSession, dir: String, tag: String, failAt: Option[Long],
       horizon: Option[Long] = None, compactAt: Option[Long] = None,
-      wmClock: Boolean = false): DataFrame = {
+      wmClock: Boolean = false,
+      autoCompactOver: Option[Int] = None): DataFrame = {
     import s.implicits._
     require(!(wmClock && horizon.isDefined),
       s"$tag: wmClock IS the expiry clock — horizon is the batch-position spelling")
     if (wmClock) requireWmWindowLaw(tag)
+    val policyFired = new java.util.concurrent.atomic.AtomicInteger(0)
     // the two expiry clocks run the SAME horizon recurrence (the window
     // law makes the ms clock batch-exact), so the fences and oracle of
     // the batch-position spelling apply verbatim to the watermark one
@@ -3080,6 +3137,17 @@ object StreamGateQueries {
           // discipline) — strictly after batch `compactAt`'s commit,
           // bounded to committed folds
           if (compactAt.contains(batchId - 1)) ix.compact(coverAtMost = batchId)
+          // q121/q122: the cadence POLICY at the head of the batch —
+          // q113's fully-composed loop on the VECTOR modality (every
+          // firing a mixed-stamp merge under the watermark clock)
+          autoCompactOver.foreach { k =>
+            if (ix.compactIfOver(k, coverAtMost = batchId))
+              policyFired.incrementAndGet()
+            val live = ix.segmentCount
+            require(live <= k,
+              s"$tag: the cadence policy must bound live segments to <= $k " +
+                s"at every probe point, got $live at batch $batchId")
+          }
           // expiry first (q98's ordering), in either spelling: the
           // batch-position clock (q102/q103) expires at batchId − H
           // here; the watermark clock (q117/q118) inside [[wmClockStep]]
@@ -3122,6 +3190,13 @@ object StreamGateQueries {
     if (wmClock) require(sawWm.get >= n - 2,
       s"$tag: the engine must report a committed event-time watermark " +
         s"from batch 2 on, got ${sawWm.get} reports")
+    // q121/q122's non-vacuity fence (q111's): a policy that never fired
+    // would silently degrade the gate to q117 and prove nothing
+    autoCompactOver.foreach { _ =>
+      require(policyFired.get >= 2,
+        s"$tag: the cadence policy must fire >= 2 compactions across the " +
+          s"run, got ${policyFired.get}")
+    }
     dropStaged(staged)
     val result = s.read.parquet(s"$out/batch_*")
       .select($"vec_id", $"batch", $"bucket")
@@ -3242,6 +3317,29 @@ object StreamGateQueries {
   def q118WatermarkVectorCrash(s: SparkSession, dir: String): DataFrame =
     vectorFoldGate(s, dir, "q118", failAt = Some(2L), wmClock = true)
 
+  /** q121 — q113's fully-composed production loop on the VECTOR
+    * modality (q119's twin, completing the composition × modality
+    * matrix: policy compaction × watermark expiry gated end-to-end on
+    * exact q113, near-dup q119, vector here): q117's watermark-clocked
+    * expiring sketch fold with `compactIfOver(k = 2)` the only
+    * compaction trigger — every firing a mixed-stamp merge of
+    * bucket-keyed sketch rows, the partial expiry arm exercised at the
+    * merged generations, q117's oracle VERBATIM plus q111's fences.
+    */
+  def q121PolicyVectorFold(s: SparkSession, dir: String): DataFrame =
+    vectorFoldGate(s, dir, "q121", failAt = None, wmClock = true,
+      autoCompactOver = Some(2))
+
+  /** q122 — q121's batch-2 crash after all durable effects, replayed:
+    * q114's crash cell on the VECTOR modality — the replay's policy
+    * correctly does not re-fire, the expiry threshold re-derives from
+    * the recorded planning watermark, and the re-fold is byte-identical
+    * (the sketch is deterministic per vector).
+    */
+  def q122PolicyVectorCrash(s: SparkSession, dir: String): DataFrame =
+    vectorFoldGate(s, dir, "q122", failAt = Some(2L), wmClock = true,
+      autoCompactOver = Some(2))
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_append_window_sales" -> (q49AppendWindowSales _),
@@ -3295,7 +3393,11 @@ object StreamGateQueries {
     "q115_watermark_neardup_fold" -> (q115WatermarkNeardupFold _),
     "q116_watermark_neardup_crash" -> (q116WatermarkNeardupCrash _),
     "q117_watermark_vector_fold" -> (q117WatermarkVectorFold _),
-    "q118_watermark_vector_crash" -> (q118WatermarkVectorCrash _))
+    "q118_watermark_vector_crash" -> (q118WatermarkVectorCrash _),
+    "q119_policy_neardup_fold" -> (q119PolicyNeardupFold _),
+    "q120_policy_neardup_crash" -> (q120PolicyNeardupCrash _),
+    "q121_policy_vector_fold" -> (q121PolicyVectorFold _),
+    "q122_policy_vector_crash" -> (q122PolicyVectorCrash _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -3408,5 +3510,13 @@ object StreamGateQueries {
     "q115_watermark_neardup_fold" -> neardupGateOracle(5, Some(ExpiryHorizon)),
     "q116_watermark_neardup_crash" -> neardupGateOracle(6, Some(ExpiryHorizon)),
     "q117_watermark_vector_fold" -> vectorGateOracle(5, Some(ExpiryHorizon)),
-    "q118_watermark_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)))
+    "q118_watermark_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)),
+    // the fully-composed production loop (policy compaction × watermark
+    // expiry × crash replay) on the near-dup and vector modalities:
+    // the policy is a cost knob, never a semantics knob — q115/q117's
+    // windowed oracles verbatim (q113/q114's law per modality)
+    "q119_policy_neardup_fold" -> neardupGateOracle(5, Some(ExpiryHorizon)),
+    "q120_policy_neardup_crash" -> neardupGateOracle(6, Some(ExpiryHorizon)),
+    "q121_policy_vector_fold" -> vectorGateOracle(5, Some(ExpiryHorizon)),
+    "q122_policy_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)))
 }
