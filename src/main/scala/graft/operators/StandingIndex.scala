@@ -27,6 +27,73 @@ class OccCollisionException(message: String, cause: Throwable = null)
 class RoleLockHeldException(message: String)
   extends IllegalStateException(message)
 
+/** A mutation was refused because its holder's role lease was
+  * SUPERSEDED: a successor acquired the same role (crash-expiry
+  * takeover, or a fresh acquire after this holder released) and fenced
+  * the pointer at a higher lease epoch, so a commit carrying the old
+  * epoch can no longer land ([[StandingIndex.acquireRoleLease]]'s
+  * fencing token). Deliberately NOT an [[OccCollisionException]]:
+  * a collision is retryable from fresh state by the SAME writer,
+  * whereas a fenced writer must STOP — retrying would race the live
+  * successor, the exact hazard the fence exists to close.
+  */
+class LeaseFencedException(message: String)
+  extends IllegalStateException(message)
+
+/** The atomic-exclusive CLAIM primitive behind every [[StandingIndex]]
+  * linearization point — pointer version commits and role-lease claims
+  * both funnel through one `claim`. The contract: atomically create
+  * `dst` with content `body` iff `dst` does not already exist; return
+  * false when another writer claimed it first; two racers must NEVER
+  * both return true, across processes and hosts. The default
+  * ([[FileClaimProvider]]) implements it with POSIX `link(2)` /
+  * no-overwrite rename and is only sound on file/hdfs/viewfs schemes;
+  * an object-store deployment supplies an external provider instead
+  * (serialize `claim` under a ZK/DynamoDB-style lock, then
+  * exists-check + write inside the critical section) — Hudi's
+  * pluggable lock-provider shape, here as a configuration point rather
+  * than a hard refusal.
+  */
+trait ClaimProvider {
+  def claim(dst: org.apache.hadoop.fs.Path, body: String): Boolean
+}
+
+/** The shipped [[ClaimProvider]]: content fully written to a tmp file
+  * first (a claimed file is never observable partial), then claimed via
+  * POSIX `link(2)` on a local filesystem (atomic-exclusive) or a
+  * no-overwrite `FileContext.rename` elsewhere (atomic-exclusive on
+  * HDFS-family stores; Hadoop's local create/rename are
+  * exists-check-then-act, NOT atomic — hence the link arm).
+  */
+class FileClaimProvider(
+    fs: org.apache.hadoop.fs.FileSystem,
+    warehousePath: org.apache.hadoop.fs.Path,
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    tmpPrefix: String) extends ClaimProvider {
+  override def claim(dst: org.apache.hadoop.fs.Path, body: String): Boolean = {
+    fs.mkdirs(warehousePath)
+    val tmp = new org.apache.hadoop.fs.Path(warehousePath,
+      s"$tmpPrefix${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try {
+      if (fs.getScheme == "file") {
+        val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+        val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try { java.nio.file.Files.createLink(dstNio, src); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(warehousePath.toUri, hadoopConf)
+            .rename(tmp, dst)
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    } finally { fs.delete(tmp, false); () }
+  }
+}
+
 /** Versioned, SEGMENTED standing-index lake — the maintenance story for
   * the per-ingest admission family (q73/q75/q80): after a batch is
   * admitted, its index keys must FOLD INTO the standing index before the
@@ -133,7 +200,12 @@ class RoleLockHeldException(message: String)
   * same-role writer fails loudly at startup with
   * [[RoleLockHeldException]] instead of corrupting, and a holder that
   * crashes un-released simply stops renewing and is taken over after
-  * `leaseMs` (tested in ConcurrentMaintenanceSpec's lease laws).
+  * `leaseMs` (tested in ConcurrentMaintenanceSpec's lease laws). The
+  * lease carries a FENCING TOKEN: every acquire records its lease
+  * epoch in the pointer, and a commit from a superseded epoch is
+  * refused deterministically ([[LeaseFencedException]]) — a holder
+  * stalled past `leaseMs` whose role was taken over can never land a
+  * late commit (acquireRoleLease's scaladoc has the two-arm argument).
   *
   * A registered-but-unreferenced destination table is reclaimed ONLY
   * when the per-instance [[attempted]] ledger proves it is this
@@ -156,7 +228,8 @@ class StandingIndex(
     spark: SparkSession,
     name: String,
     buckets: Int,
-    keys: Seq[String]) {
+    keys: Seq[String],
+    claimProvider: Option[ClaimProvider] = None) {
 
   require(!name.contains('.') && name.nonEmpty,
     s"StandingIndex takes an unqualified catalog-safe name, got '$name'")
@@ -166,12 +239,16 @@ class StandingIndex(
   private case class Seg(table: String, cover: Long, maxEventMs: Long, minEventMs: Long)
 
   /** One resolved pointer snapshot: live entries, retired tables pending
-    * reclaim, the two id high-water marks, and the version the snapshot
-    * was read at (the OCC expectation for the next commit).
+    * reclaim, the two id high-water marks, the per-role FENCE epochs
+    * (the lease epoch of each role's most recent acquire — commits from
+    * an older epoch are refused, see [[acquireRoleLease]]), and the
+    * version the snapshot was read at (the OCC expectation for the next
+    * commit).
     */
   private case class State(
       live: Seq[Seg], retired: Seq[String],
-      hwmSeg: Long, hwmCmp: Long, version: Long)
+      hwmSeg: Long, hwmCmp: Long, version: Long,
+      fences: Map[String, Long] = Map.empty)
 
   /** Per-row stamp column carried by merged segments whose entries have
     * differing event-time stamps (see [[compact]]); never visible to
@@ -188,20 +265,24 @@ class StandingIndex(
   private val warehouse = spark.conf.get("spark.sql.warehouse.dir")
   private val warehousePath = new org.apache.hadoop.fs.Path(warehouse)
   private val fs = warehousePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  // the OCC version claim is only atomic-exclusive on filesystems whose
-  // claim primitive actually is: POSIX link(2) on `file`, no-overwrite
+  // the DEFAULT claim primitive is only atomic-exclusive on filesystems
+  // whose primitive actually is: POSIX link(2) on `file`, no-overwrite
   // rename on HDFS-family stores. On an object store (s3a without an
   // atomic-rename layer) rename is exists-check-then-act, so two racers
   // could BOTH believe they claimed a version and the lost-update
   // guarantee would silently degrade to last-write-wins — fail FAST at
   // construction instead, mirroring Hudi's explicit lock-provider
-  // requirement for such stores.
-  require(Set("file", "hdfs", "viewfs").contains(
+  // requirement for such stores. An EXTERNAL [[ClaimProvider]] lifts
+  // the restriction: the deployment supplies the atomicity (a
+  // ZK/DynamoDB-style lock around claim — Hudi's pluggable provider
+  // shape), so the allowlist applies only to the shipped default.
+  require(claimProvider.isDefined || Set("file", "hdfs", "viewfs").contains(
       Option(fs.getScheme).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")),
     s"StandingIndex '$name': warehouse scheme '${fs.getScheme}' has no " +
       "atomic-exclusive claim primitive, so OCC pointer commits would " +
       "silently degrade to last-write-wins; run on file/hdfs/viewfs or " +
-      "front the store with an external lock provider (Hudi's own rule)")
+      "pass an external ClaimProvider (the claimProvider constructor " +
+      "argument — Hudi's lock-provider rule as a configuration point)")
   private val legacyPtrPath = new org.apache.hadoop.fs.Path(warehousePath, s"_${name}_segments")
 
   private def segTable(i: Long): String = s"${name}_seg$i"
@@ -269,7 +350,7 @@ class StandingIndex(
     val (body, version) =
       if (versions.nonEmpty) { val (v, p) = versions.last; (readFile(p), v) }
       else if (fs.exists(legacyPtrPath)) (readFile(legacyPtrPath), 0L)
-      else return State(Seq.empty, Seq.empty, 0L, 0L, 0L)
+      else return State(Seq.empty, Seq.empty, 0L, 0L, 0L, Map.empty)
     val lines = body.split("\n", -1)
     val live = lines(0).trim.split(",").filter(_.nonEmpty).toSeq.map { tok =>
       tok.split('|') match {
@@ -297,58 +378,92 @@ class StandingIndex(
           names.flatMap(t => idOf(s"${name}_cmp", t)
             .orElse(idOf(s"${name}_exp", t))).maxOption.getOrElse(0L))
     }
-    State(live, retired, hwmSeg, hwmCmp, version)
+    // line 4 (optional): per-role fence epochs `fence|role=epoch,...` —
+    // absent on pre-fencing pointers (no role has ever fenced)
+    val fences = lines.lift(3).map(_.trim).filter(_.startsWith("fence|")) match {
+      case Some(f) => f.stripPrefix("fence|").split(",").filter(_.nonEmpty)
+        .map { tok =>
+          tok.split('=') match {
+            case Array(r, e) => r -> e.toLong
+            case _ => throw new IllegalStateException(
+              s"StandingIndex '$name' pointer fence entry unparseable: '$tok'")
+          }
+        }.toMap
+      case None => Map.empty[String, Long]
+    }
+    State(live, retired, hwmSeg, hwmCmp, version, fences)
   }
 
   /** Atomically claim immutable file `dst` with `body` as its content —
     * the shared linearization primitive behind pointer commits
-    * ([[claimVersion]]) and role-lease claims ([[acquireRoleLease]]).
-    * The content is FULLY written to a tmp file first, so the claimed
-    * file is never observable partial: on a local filesystem the claim
-    * is a hard link (POSIX `link(2)`, atomic-exclusive); elsewhere a
-    * no-overwrite rename (atomic-exclusive on HDFS; object stores are
-    * refused at construction — Hudi's lock-provider rule). Returns
+    * ([[claimVersion]]) and role-lease claims ([[acquireRoleLease]]),
+    * routed through the [[ClaimProvider]] seam: the shipped
+    * [[FileClaimProvider]] by default, or the deployment's external
+    * provider on stores without an atomic-exclusive primitive. Returns
     * false when another writer claimed `dst` first.
     */
-  private def claimFile(dst: org.apache.hadoop.fs.Path, body: String): Boolean = {
-    fs.mkdirs(warehousePath)
-    val tmp = new org.apache.hadoop.fs.Path(warehousePath,
-      s"_${name}_claim.tmp${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    try {
-      if (fs.getScheme == "file") {
-        val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
-        val src = java.nio.file.Paths.get(tmp.toUri.getPath)
-        try { java.nio.file.Files.createLink(dstNio, src); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try {
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(warehousePath.toUri, spark.sparkContext.hadoopConfiguration)
-            .rename(tmp, dst)
-          true
-        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-      }
-    } finally { fs.delete(tmp, false); () }
-  }
+  private val claimer: ClaimProvider = claimProvider.getOrElse(
+    new FileClaimProvider(fs, warehousePath,
+      spark.sparkContext.hadoopConfiguration, s"_${name}_claim.tmp"))
+
+  private def claimFile(dst: org.apache.hadoop.fs.Path, body: String): Boolean =
+    claimer.claim(dst, body)
 
   /** Claim pointer version `v` — the commit's linearization point. */
   private def claimVersion(v: Long, body: String): Boolean =
     claimFile(verPath(v), body)
 
+  /** The role-lease epochs THIS instance holds (role → lease version of
+    * its most recent [[acquireRoleLease]]) — the writer side of the
+    * fencing token: every commit from a leased instance is checked
+    * against the pointer's fence line, so a commit whose epoch predates
+    * a successor's acquire is refused deterministically
+    * ([[LeaseFencedException]]) instead of racing the successor.
+    * Guarded by `this.synchronized` like [[attempted]].
+    */
+  private val heldEpochs = scala.collection.mutable.Map.empty[String, Long]
+
+  /** The fencing-token check ([[acquireRoleLease]]'s scaladoc states the
+    * two-arm determinism argument): refuse when any role this instance
+    * holds has been fenced at a HIGHER epoch in `st` — a successor
+    * acquired the role, so this writer must stop, never retry. Run at
+    * the head of every mutation (fail before staging anything) AND at
+    * [[commit]] (the backstop for a takeover landing mid-mutation).
+    */
+  private def requireUnfenced(st: State): Unit = {
+    val held = this.synchronized { heldEpochs.toMap }
+    held.foreach { case (role, epoch) =>
+      val fenced = st.fences.getOrElse(role, Long.MinValue)
+      if (fenced > epoch) throw new LeaseFencedException(
+        s"StandingIndex '$name' role '$role' commit fenced: this writer " +
+          s"holds lease epoch $epoch but the pointer records a successor's " +
+          s"acquire at epoch $fenced — the lease was taken over (stall past " +
+          "leaseMs, or a post-release successor); this mutation was NOT " +
+          "committed and must NOT be retried by this writer")
+    }
+  }
+
   /** OCC pointer commit: claim `prev.version + 1`; a racing writer that
     * committed since `prev` was read makes this throw the named
-    * collision — never a silent lost update. On success, prunes the
-    * committed names from the in-flight [[attempted]] ledger and
-    * retires old version files (the previous version survives one cycle,
-    * like superseded segment tables).
+    * collision — never a silent lost update. A commit from a FENCED
+    * lease holder (a successor acquired its role since — see
+    * [[requireUnfenced]]) is refused with [[LeaseFencedException]]
+    * before the claim. On success, prunes the committed names from the
+    * in-flight [[attempted]] ledger and retires old version files (the
+    * previous version survives one cycle, like superseded segment
+    * tables). `fences` overrides the carried-through per-role fence
+    * line — only [[acquireRoleLease]]'s fence bump passes it.
     */
   private def commit(
       prev: State, live: Seq[Seg], retired: Seq[String],
-      hwmSeg: Long, hwmCmp: Long): Unit = {
+      hwmSeg: Long, hwmCmp: Long,
+      fences: Option[Map[String, Long]] = None): Unit = {
+    requireUnfenced(prev)
+    val fenceLine = fences.getOrElse(prev.fences)
     val body = live.map(s => s"${s.table}|${s.cover}|${s.maxEventMs}|${s.minEventMs}")
-      .mkString(",") + "\n" + retired.mkString(",") + "\n" + s"hwm|$hwmSeg|$hwmCmp"
+      .mkString(",") + "\n" + retired.mkString(",") + "\n" + s"hwm|$hwmSeg|$hwmCmp" +
+      (if (fenceLine.isEmpty) ""
+       else "\nfence|" + fenceLine.toSeq.sorted.map { case (r, e) => s"$r=$e" }.mkString(","))
     if (!claimVersion(prev.version + 1, body))
       throw collisionError(
         s"pointer version ${prev.version + 1} was claimed by another writer")
@@ -436,6 +551,7 @@ class StandingIndex(
     */
   private def reclaimRetired(): State = {
     val st = state
+    requireUnfenced(st) // fail BEFORE staging anything (fencing token)
     if (st.retired.isEmpty) st
     else {
       st.retired.foreach(dropSegment)
@@ -502,6 +618,7 @@ class StandingIndex(
     */
   def init(df: DataFrame, maxEventMs: Long = Long.MaxValue): Unit = {
     val prev = state
+    requireUnfenced(prev)
     val fresh = prev.live.isEmpty && prev.retired.isEmpty
     // a FRESH init owns the namespace — plain write to seg0, nothing
     // committed exists to tear. A RE-init writes the new corpus under a
@@ -534,6 +651,10 @@ class StandingIndex(
             throw e
           }
           basis = state
+        case e: LeaseFencedException =>
+          // a successor fenced us mid-init: same compensation, no retry
+          if (!fresh) dropSegment(target)
+          throw e
       }
     }
     (basis.live.map(_.table) ++ basis.retired ++
@@ -676,9 +797,11 @@ class StandingIndex(
     * entries (whole segments when the range fell behind; a
     * filter-rewrite when only part of it did — see [[expire]]).
     * Stamp-homogeneous merges (including the all-unstamped q93/q94
-    * shape) stay column-free.
+    * shape) stay column-free. Returns the LIVE segment count after the
+    * commit (`kept + 1`) so cadence callers ([[compactIfOverCounted]])
+    * need no second pointer read to observe the post-merge count.
     */
-  def compact(coverAtMost: Long = Long.MaxValue): Unit = {
+  def compact(coverAtMost: Long = Long.MaxValue): Int = {
     val st = reclaimRetired()
     require(st.live.nonEmpty, s"StandingIndex '$name' must be init()-ed before compact()")
     val (sel, keep) = st.live.partition(_.cover <= coverAtMost)
@@ -713,14 +836,16 @@ class StandingIndex(
       retired = st.retired ++ sel.map(_.table),
       hwmSeg = st.hwmSeg, hwmCmp = gen)
     catch {
-      case e: OccCollisionException =>
-        // a racer's commit may have bumped the shared generation
-        // counter past ours, so a retry would derive a NEW name and
-        // this uncommitted (provably ours) table would orphan forever —
-        // compensate before surfacing the named collision
+      // a racer's commit may have bumped the shared generation
+      // counter past ours, so a retry would derive a NEW name and
+      // this uncommitted (provably ours) table would orphan forever —
+      // compensate before surfacing the named error (same for a
+      // successor's fence landing mid-compact)
+      case e @ (_: OccCollisionException | _: LeaseFencedException) =>
         dropSegment(merged.table)
         throw e
     }
+    keep.size + 1
   }
 
   /** Cadence POLICY for continuous ingest: compact the committed prefix
@@ -734,13 +859,23 @@ class StandingIndex(
     * amortizes the rewrite over k−1 folds — the caller picks k as
     * rewrite-cost / acceptable-ingest-overhead.
     */
-  def compactIfOver(maxLive: Int, coverAtMost: Long = Long.MaxValue): Boolean = {
+  def compactIfOver(maxLive: Int, coverAtMost: Long = Long.MaxValue): Boolean =
+    compactIfOverCounted(maxLive, coverAtMost)._1
+
+  /** [[compactIfOver]] plus the post-decision LIVE segment count, from
+    * the SAME pointer read the decision used (the fire path's count
+    * comes from [[compact]]'s own commit) — the per-batch policy gates
+    * assert `live ≤ k` at every probe point, and reading it here keeps
+    * the policy arm at one pointer read per batch on the common
+    * (no-fire) path instead of a second [[segmentCount]] resolve.
+    */
+  def compactIfOverCounted(
+      maxLive: Int, coverAtMost: Long = Long.MaxValue): (Boolean, Int) = {
     require(maxLive >= 1, s"maxLive must be >= 1, got $maxLive")
     val st = state
-    if (st.live.size > maxLive && st.live.count(_.cover <= coverAtMost) >= 2) {
-      compact(coverAtMost)
-      true
-    } else false
+    if (st.live.size > maxLive && st.live.count(_.cover <= coverAtMost) >= 2)
+      (true, compact(coverAtMost))
+    else (false, st.live.size)
   }
 
   // ===== Same-role single-writer LEASE (the shipped lock provider) =====
@@ -799,22 +934,45 @@ class StandingIndex(
     * at which point the next acquirer takes over — crash recovery
     * without an operator breaking the lock by hand.
     *
-    * FENCING LIMIT (every lease lock without filesystem-level fencing
-    * tokens has it — ZooKeeper session locks, Hudi's providers): the
-    * lease guards STARTUP and renewal, not a holder stalled past
-    * `leaseMs` mid-mutation — such a holder can be taken over while its
-    * mutation is in flight, reopening the same-role window until its
-    * pointer CAS fails. Deployments therefore (a) choose `leaseMs`
-    * comfortably above the longest mutation (renewing each cycle —
-    * compact is the long pole; its measured cost curve is ScaleProbe's
-    * compact axis), and (b) re-check [[holdsRoleLease]] after each
-    * mutation to convert a mid-flight takeover into a loud alarm
-    * ([[graft.AsyncCompactor]]'s discipline). `holderId` must be
-    * GLOBALLY unique (host + pid + nonce, not pid alone): the renewal
-    * arm treats a matching holder as the same writer, so a colliding id
-    * from another host would silently alias two writers.
+    * FENCING TOKEN (closes the stalled-holder window a bare lease file
+    * leaves open — ZooKeeper session locks and Hudi's providers share
+    * it): every acquire's claimed lease version IS an EPOCH, returned
+    * to the caller and recorded per-instance; a NON-RENEWAL acquire
+    * (fresh, handover, or crash-expiry takeover) additionally FENCES
+    * the pointer — an OCC pointer commit recording `role → epoch` —
+    * before this method returns, so the successor never mutates before
+    * the fence is durable. A predecessor's commit is then refused
+    * DETERMINISTICALLY by one of two arms: if it read the pointer
+    * BEFORE the fence bump, its version CAS fails (the bump claimed
+    * that version — [[OccCollisionException]], and any retry re-reads
+    * post-bump state); if it read AFTER, [[requireUnfenced]] sees the
+    * successor's higher epoch and throws [[LeaseFencedException]]
+    * before the claim — the stalled holder can never land a commit
+    * once a takeover completed, which is the standard fencing-token
+    * construction. `holdsRoleLease` remains the cheap post-mutation
+    * alarm, and `leaseMs` comfortably above the longest mutation
+    * (renewing each cycle — compact is the long pole; its measured
+    * cost curve is ScaleProbe's compact axis) remains the way to make
+    * takeovers rare rather than merely safe.
+    *
+    * CLOCK-SKEW ASSUMPTION: expiry compares a `System.currentTimeMillis`
+    * stamp written by one host against another host's clock, so on a
+    * shared warehouse the takeover/refusal boundary is only as sharp as
+    * the hosts' clock agreement — skew approaching `leaseMs` could let
+    * a taker treat a live holder as expired (the fencing token makes
+    * that SAFE — the fenced holder's commits are refused — but it is
+    * still a spurious takeover), or falsely refuse a startup after a
+    * clean release. Choose `leaseMs` well above expected skew (NTP-
+    * disciplined fleets hold well under a second; the in-repo callers
+    * use 60 s), or run the roles against one clock domain.
+    *
+    * `holderId` must be GLOBALLY unique (host + pid + nonce, not pid
+    * alone): the renewal arm treats a matching holder as the same
+    * writer, so a colliding id from another host would silently alias
+    * two writers. Returns the acquired lease EPOCH (also recorded
+    * internally — callers need not thread it anywhere).
     */
-  def acquireRoleLease(role: String, holderId: String, leaseMs: Long): Unit = {
+  def acquireRoleLease(role: String, holderId: String, leaseMs: Long): Long = {
     require(role.nonEmpty && role.forall(c => c.isLetterOrDigit || c == '-'),
       s"role must be name-safe ([A-Za-z0-9-]), got '$role'")
     require(holderId.nonEmpty && !holderId.contains('|') && !holderId.contains('\n'),
@@ -837,12 +995,45 @@ class StandingIndex(
         // prune stale versions (keep the previous one — currentLease
         // retries FileNotFound for the racing-prune window, like state)
         listLeaseVersions(role).filter(_._1 < ver).foreach(p => fs.delete(p._2, false))
-        return
+        val epoch = ver + 1
+        val renewal = cur.exists(_._1 == holderId)
+        this.synchronized { heldEpochs(role) = epoch }
+        // the fence bump: any NON-renewal acquire fences predecessors
+        // out of the pointer BEFORE this writer's first mutation (a
+        // renewal has no predecessor to fence — its own older epoch is
+        // never refused, the check is strictly-greater)
+        if (!renewal) fenceBump(role, epoch)
+        return epoch
       }
       attempt += 1
       if (attempt >= 5) throw new RoleLockHeldException(
         s"StandingIndex '$name' role '$role' lease claim lost $attempt " +
           s"races — another '$role' writer is actively claiming; refusing")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Record `role → epoch` in the pointer's fence line (an OCC commit
+    * carrying the live/retired/hwm state through unchanged) — the
+    * durable half of the fencing token. Retries lost CASes against
+    * OTHER-role writers; returns early when the pointer already fences
+    * at or past `epoch` (a successor of ours got here first — nothing
+    * left to fence on our behalf).
+    */
+  private def fenceBump(role: String, epoch: Long): Unit = {
+    var attempts = 0
+    while (true) {
+      val st = state
+      if (st.fences.getOrElse(role, Long.MinValue) >= epoch) return
+      try {
+        commit(st, st.live, st.retired, st.hwmSeg, st.hwmCmp,
+          fences = Some(st.fences + (role -> epoch)))
+        return
+      } catch {
+        case e: OccCollisionException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+      }
     }
   }
 
@@ -949,7 +1140,7 @@ class StandingIndex(
       retired = st.retired ++ (dead ++ partial).map(_.table),
       hwmSeg = st.hwmSeg, hwmCmp = gen)
     catch {
-      case e: OccCollisionException =>
+      case e @ (_: OccCollisionException | _: LeaseFencedException) =>
         // compact()'s compensation rationale: uncommitted rewrites at
         // possibly-superseded generation names must not orphan
         rewritten.foreach(s => dropSegment(s.table))

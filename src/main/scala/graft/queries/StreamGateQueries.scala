@@ -2065,9 +2065,11 @@ object StreamGateQueries {
           // the live count exceeds k; the policy, not the harness, is
           // what must keep the probe fan-out bounded
           autoCompactOver.foreach { k =>
-            if (ix.compactIfOver(k, coverAtMost = batchId))
-              policyFired.incrementAndGet()
-            val live = ix.segmentCount
+            // ONE pointer read per policy decision: the counted call
+            // returns the post-decision live count, so the <= k fence
+            // needs no second segmentCount resolve in the hot loop
+            val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
+            if (fired) policyFired.incrementAndGet()
             require(live <= k,
               s"$tag: the cadence policy must bound live segments to <= $k " +
                 s"at every probe point, got $live at batch $batchId")
@@ -2255,9 +2257,11 @@ object StreamGateQueries {
           // watermark clock every band fold is distinctly stamped, so a
           // policy firing is always a mixed-stamp merge)
           autoCompactOver.foreach { k =>
-            if (ix.compactIfOver(k, coverAtMost = batchId))
-              policyFired.incrementAndGet()
-            val live = ix.segmentCount
+            // ONE pointer read per policy decision: the counted call
+            // returns the post-decision live count, so the <= k fence
+            // needs no second segmentCount resolve in the hot loop
+            val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
+            if (fired) policyFired.incrementAndGet()
             require(live <= k,
               s"$tag: the cadence policy must bound live segments to <= $k " +
                 s"at every probe point, got $live at batch $batchId")
@@ -2808,6 +2812,16 @@ object StreamGateQueries {
     * after the record write had run (a plain writeString here could
     * wedge every restart on NumberFormatException — the one
     * unrecoverable failure inside the recovery mechanism itself).
+    *
+    * The one crash window the record alone leaves open: the process
+    * dies after the ENGINE durably planned batch N (its offsets-log
+    * entry is the engine's first durable act) but before the wm record
+    * — the replay's restarted query has a null `lastProgress`, so a
+    * bare re-record would stamp "absent" and permanently skip that
+    * batch's expiry, diverging from the crash-free run. The fallback
+    * closes it from Spark's OWN durable offsets log
+    * ([[offsetsLogWatermarkMs]]): `offsets/<batchId − 1>` metadata
+    * carries exactly the value `lastProgress` would have reported.
     */
   private[graft] def plannedWatermarkMs(
       s: SparkSession, ck: String, qn: String, batchId: Long): Option[Long] = {
@@ -2823,6 +2837,7 @@ object StreamGateQueries {
           .flatMap(q => Option(q.lastProgress))
           .flatMap(p => Option(p.eventTime.get("watermark")))
           .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+          .orElse(offsetsLogWatermarkMs(ck, batchId - 1L))
         val tmp = Paths.get(ck, f"wm_$batchId%06d.tmp")
         Files.writeString(tmp, read.getOrElse(Long.MinValue).toString)
         Files.move(tmp, wmRecord,
@@ -2830,6 +2845,31 @@ object StreamGateQueries {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         read
     }
+  }
+
+  /** The committed watermark from Spark's OWN durable offsets log — the
+    * [[plannedWatermarkMs]] fallback for the unrecorded-crash window.
+    * `<ck>/offsets/<b>` is written by MicroBatchExecution BEFORE batch
+    * `b` executes; its second line is the OffsetSeqMetadata JSON whose
+    * `batchWatermarkMs` is the watermark batch `b` was PLANNED with.
+    * The clock every watermark gate runs on is "the watermark USED in
+    * batch `batchId − 1`" (what `lastProgress` reports during batch
+    * `batchId` — the two-hop lag q108's window law accounts for), so
+    * the caller passes `batchId − 1`, never `batchId`: reading this
+    * batch's own entry would run the clock one hop ahead of the
+    * crash-free thresholds and shift every expiry. Absent file or
+    * unparsable metadata → None (same contract as an absent progress).
+    */
+  private[graft] def offsetsLogWatermarkMs(ck: String, batchId: Long): Option[Long] = {
+    if (batchId < 0L) return None
+    val f = Paths.get(ck, "offsets", batchId.toString)
+    if (!Files.exists(f)) return None
+    scala.util.Try {
+      Files.readString(f).linesIterator
+        .find(l => l.startsWith("{") && l.contains("batchWatermarkMs"))
+        .flatMap("\"batchWatermarkMs\"\\s*:\\s*(-?\\d+)".r
+          .findFirstMatchIn(_).map(_.group(1).toLong))
+    }.toOption.flatten
   }
 
   /** ONE watermark-clocked maintenance step — the per-batch idiom every
@@ -2924,9 +2964,11 @@ object StreamGateQueries {
           // from the merged generation, here policy-triggered rather
           // than harness-scheduled
           autoCompactOver.foreach { k =>
-            if (ix.compactIfOver(k, coverAtMost = batchId))
-              policyFired.incrementAndGet()
-            val live = ix.segmentCount
+            // ONE pointer read per policy decision: the counted call
+            // returns the post-decision live count, so the <= k fence
+            // needs no second segmentCount resolve in the hot loop
+            val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
+            if (fired) policyFired.incrementAndGet()
             require(live <= k,
               s"$tag: the cadence policy must bound live segments to <= $k " +
                 s"at every probe point, got $live at batch $batchId")
@@ -3141,9 +3183,11 @@ object StreamGateQueries {
           // q113's fully-composed loop on the VECTOR modality (every
           // firing a mixed-stamp merge under the watermark clock)
           autoCompactOver.foreach { k =>
-            if (ix.compactIfOver(k, coverAtMost = batchId))
-              policyFired.incrementAndGet()
-            val live = ix.segmentCount
+            // ONE pointer read per policy decision: the counted call
+            // returns the post-decision live count, so the <= k fence
+            // needs no second segmentCount resolve in the hot loop
+            val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
+            if (fired) policyFired.incrementAndGet()
             require(live <= k,
               s"$tag: the cadence policy must bound live segments to <= $k " +
                 s"at every probe point, got $live at batch $batchId")

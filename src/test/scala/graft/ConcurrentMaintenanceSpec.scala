@@ -111,6 +111,114 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.releaseRoleLease("folder", "writer-a")
   }
 
+  test("lease fencing-token law: a holder stalled past leaseMs whose role was taken over has its commit refused BY NAME, and the successor's state stays intact") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{StandingIndex, LeaseFencedException, OccCollisionException}
+    val a = new StandingIndex(spark, "fence_ix", 2, Seq("band", "bk"))
+    val b = new StandingIndex(spark, "fence_ix", 2, Seq("band", "bk"))
+    a.init(Seq((0L, 0, "x")).toDF("doc_id", "band", "bk"))
+    // A starts the folder role, then STALLS past its lease (the 1 ms
+    // lease stands in for a GC pause / network partition longer than
+    // leaseMs); B takes over by crash-expiry and commits real work
+    a.acquireRoleLease("folder", "writer-a", leaseMs = 1L)
+    Thread.sleep(10L)
+    b.acquireRoleLease("folder", "writer-b", leaseMs = 60000L) // takeover + fence bump
+    b.fold(Seq((1L, 1, "y")).toDF("doc_id", "band", "bk"))
+    // ARM 1 (read after the fence bump): A wakes and mutates — refused
+    // deterministically by the fencing token, BEFORE staging anything,
+    // with the successor's epoch named; NOT the retryable collision
+    val e = intercept[LeaseFencedException] {
+      a.fold(Seq((2L, 0, "z")).toDF("doc_id", "band", "bk"))
+    }
+    assert(e.getMessage.contains("folder") && e.getMessage.contains("fenced"),
+      s"the refusal must name the role and the fence, got: ${e.getMessage}")
+    // ARM 2 (read BEFORE the bump): a commit built from a pre-takeover
+    // snapshot loses the version CAS to the bump/successor commits —
+    // the named collision, whose retry then lands in arm 1
+    val c = new StandingIndex(spark, "fence_ix2", 2, Seq("band", "bk"))
+    val d = new StandingIndex(spark, "fence_ix2", 2, Seq("band", "bk"))
+    c.init(Seq((0L, 0, "x")).toDF("doc_id", "band", "bk"))
+    c.acquireRoleLease("folder", "writer-c", leaseMs = 1L)
+    Thread.sleep(10L)
+    intercept[OccCollisionException] {
+      c.commitFromStaleRead { () =>
+        d.acquireRoleLease("folder", "writer-d", leaseMs = 60000L)
+        d.fold(Seq((1L, 1, "y")).toDF("doc_id", "band", "bk"))
+      }
+    }
+    // the successor's state is INTACT in both arms: init + B/D's fold,
+    // nothing from the fenced writer
+    assert(a.segments.size == 2)
+    assert(a.segments.flatMap(_.collect().map(_.getLong(0))).sorted === Seq(0L, 1L))
+    assert(c.segments.flatMap(_.collect().map(_.getLong(0))).sorted === Seq(0L, 1L))
+    // the successor keeps working; the fenced holder stays fenced even
+    // for later mutations (it must restart and re-acquire, not retry)
+    b.fold(Seq((3L, 1, "w")).toDF("doc_id", "band", "bk"))
+    intercept[LeaseFencedException] {
+      a.compact()
+    }
+    b.releaseRoleLease("folder", "writer-b")
+    d.releaseRoleLease("folder", "writer-d")
+  }
+
+  test("ClaimProvider seam law: every linearization point routes through the provider; a mock provider drives pointer commits and lease claims end-to-end") {
+    val ss = spark; import ss.implicits._
+    import graft.operators.{StandingIndex, ClaimProvider, OccCollisionException}
+    // a mock external provider (the ZK/DynamoDB-lock shape): atomicity
+    // supplied by the provider's own lock, not the filesystem — claims
+    // are counted so the routing assertion is mechanical
+    val claims = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val mock = new ClaimProvider {
+      private val lock = new Object
+      override def claim(dst: org.apache.hadoop.fs.Path, body: String): Boolean =
+        lock.synchronized {
+          claims.incrementAndGet()
+          val fs = dst.getFileSystem(hadoopConf)
+          if (fs.exists(dst)) false
+          else {
+            val out = fs.create(dst, false)
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            true
+          }
+        }
+    }
+    // BOTH writers share the one provider instance (one external lock
+    // service), exactly the deployment the seam exists for
+    val a = new StandingIndex(spark, "seam_ix", 2, Seq("band", "bk"), Some(mock))
+    val b = new StandingIndex(spark, "seam_ix", 2, Seq("band", "bk"), Some(mock))
+    a.init(Seq((0L, 0, "x")).toDF("doc_id", "band", "bk"))
+    assert(claims.get >= 1, "init's pointer commit must route through the provider")
+    // the OCC lost-update law holds THROUGH the seam: a stale commit is
+    // refused loudly, the racer's segment survives
+    intercept[OccCollisionException] {
+      a.commitFromStaleRead(() =>
+        b.fold(Seq((1L, 1, "y")).toDF("doc_id", "band", "bk")))
+    }
+    assert(a.segments.size == 2)
+    // lease claims route through the provider too (the fencing bump's
+    // pointer commit included), and the same-role refusal still fires
+    val before = claims.get
+    a.acquireRoleLease("folder", "writer-a", leaseMs = 60000L)
+    assert(claims.get > before, "lease claims must route through the provider")
+    intercept[graft.operators.RoleLockHeldException] {
+      b.acquireRoleLease("folder", "writer-b", leaseMs = 60000L)
+    }
+    a.releaseRoleLease("folder", "writer-a")
+    // mock-provider ATOMICITY self-check: two racing claims of one dst
+    // admit exactly one winner (the contract the trait states)
+    val dst = new org.apache.hadoop.fs.Path(wh, "_seam_race_probe")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map(i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = mock.claim(dst, s"racer-$i")
+        }))
+      assert(futures.count(_.get()) == 1,
+        "exactly one racer may win an atomic-exclusive claim")
+    } finally { pool.shutdown(); () }
+  }
+
   test("async compactor in a SECOND JVM beside a continuous folder: all folds land, >= 1 cross-JVM compaction lands, no silent segment loss") {
     val ss = spark; import ss.implicits._
     import graft.operators.StandingIndex

@@ -801,6 +801,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("planning-watermark record: the offsets-log fallback closes the unrecorded-crash window, at the crash-free clock's index (batchId − 1)") {
+    import graft.queries.StreamGateQueries
+    val ck = Files.createTempDirectory("graft-wmck")
+    Files.createDirectories(ck.resolve("offsets"))
+    // a real OffsetSeqLog entry shape: version line, OffsetSeqMetadata
+    // JSON (written by MicroBatchExecution BEFORE the batch runs), then
+    // per-source offsets
+    Files.writeString(ck.resolve("offsets").resolve("3"),
+      "v1\n{\"batchWatermarkMs\":1700000045000,\"batchTimestampMs\":1755264000000," +
+        "\"conf\":{\"spark.sql.shuffle.partitions\":\"4\"}}\n{\"logOffset\":3}")
+    assert(StreamGateQueries.offsetsLogWatermarkMs(ck.toString, 3L)
+      === Some(1700000045000L))
+    assert(StreamGateQueries.offsetsLogWatermarkMs(ck.toString, 2L) === None)
+    assert(StreamGateQueries.offsetsLogWatermarkMs(ck.toString, -1L) === None)
+    // the unrecorded-crash replay: the engine durably planned batch 4
+    // (offsets/3 committed earlier) but died before the wm record; the
+    // restarted query has no progress (no active query here), so the
+    // fallback must recover the crash-free clock — the watermark USED
+    // in batch 3 — and record it durably
+    val got = StreamGateQueries.plannedWatermarkMs(
+      spark, ck.toString, "wmfallback_no_such_query", 4L)
+    assert(got === Some(1700000045000L))
+    assert(Files.readString(ck.resolve("wm_000004")).trim === "1700000045000")
+    // the record is now PRIMARY: deleting the offsets entry changes
+    // nothing on a re-read (replay determinism)
+    Files.delete(ck.resolve("offsets").resolve("3"))
+    assert(StreamGateQueries.plannedWatermarkMs(
+      spark, ck.toString, "wmfallback_no_such_query", 4L)
+      === Some(1700000045000L))
+    // batch 0 of a fresh run: no progress, no offsets/−1 — absent,
+    // recorded as absent, and stays absent on re-read
+    assert(StreamGateQueries.plannedWatermarkMs(
+      spark, ck.toString, "wmfallback_no_such_query", 0L) === None)
+    assert(StreamGateQueries.plannedWatermarkMs(
+      spark, ck.toString, "wmfallback_no_such_query", 0L) === None)
+  }
+
   test("ST3/ST6/K4: ProcessingTime trigger + queryName on a live query") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
