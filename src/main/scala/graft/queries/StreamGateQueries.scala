@@ -450,24 +450,41 @@ object StreamGateQueries {
 
   /** The shared one-file-per-slice writer behind [[sliceByKey]] and
     * [[stageDocHashSplit]]: `src` must carry an int `_slice` column in
-    * 1..n; each slice lands as exactly one parquet file (empty slice =
-    * loud failure), named and modification-stamped ascending so
-    * `FileStreamSource` + `maxFilesPerTrigger=1` delivers slice i as
-    * micro-batch i−1.
+    * 1..n; each slice lands as exactly one parquet file, named and
+    * modification-stamped ascending so `FileStreamSource` +
+    * `maxFilesPerTrigger=1` delivers slice i as micro-batch i−1. An
+    * empty slice is a loud failure by default; `allowEmpty` (the soak
+    * gate's long-thin staging — 50 hash groups over a few hundred docs
+    * make the occasional empty group a certainty, not a bug) writes a
+    * schema-only parquet file instead, which the file source still
+    * delivers as a zero-row micro-batch, keeping slice i = batch i−1.
     */
   private[graft] def writeSlices(
       staged: java.nio.file.Path, scratch: java.nio.file.Path,
-      src: DataFrame, n: Int, filePrefix: String): Unit = {
+      src: DataFrame, n: Int, filePrefix: String,
+      allowEmpty: Boolean = false): Unit = {
     import src.sparkSession.implicits._
     src.repartition(n, $"_slice")
       .write.mode("overwrite").partitionBy("_slice").parquet(scratch.toString)
-    (1 to n).foreach { i =>
-      val parts = scratch.resolve(s"_slice=$i").toFile.listFiles()
+    // schema-only template for empty slices, written once on demand —
+    // same column set the partitioned write produces (no _slice)
+    lazy val emptyTemplate: java.nio.file.Path = {
+      val tDir = scratch.resolve("_empty_template")
+      src.drop("_slice").limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(tDir.toString)
+      tDir.toFile.listFiles()
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      require(parts.length == 1,
+        .head.toPath
+    }
+    (1 to n).foreach { i =>
+      val sliceDir = scratch.resolve(s"_slice=$i").toFile
+      val parts = Option(sliceDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      require(parts.length == 1 || (parts.isEmpty && allowEmpty),
         s"slice $i must be exactly one file, got ${parts.length}")
       val dst = staged.resolve(f"$filePrefix-$i%04d.parquet")
-      Files.move(parts.head.toPath, dst)
+      if (parts.length == 1) Files.move(parts.head.toPath, dst)
+      else Files.copy(emptyTemplate, dst)
       // deterministic strictly-increasing mod times: FileStreamSource
       // orders new files by timestamp, so file i IS micro-batch i
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 60000L))
@@ -521,7 +538,7 @@ object StreamGateQueries {
     */
   private def stageDocHashSplit(
       s: SparkSession, dir: String, tag: String, n: Int,
-      eventTs: Boolean = false): String = {
+      eventTs: Boolean = false, allowEmpty: Boolean = false): String = {
     import s.implicits._
     val staged = Files.createTempDirectory(s"graft-$tag-src")
     val scratch = Files.createTempDirectory(s"graft-$tag-part")
@@ -540,7 +557,8 @@ object StreamGateQueries {
     // [[q108WatermarkExpiringFold]]'s window law.
     val src = if (!eventTs) base
       else base.withColumn("event_ts", wmEventTs($"doc_id"))
-    writeSlices(staged, scratch, src, n, filePrefix = "docs")
+    writeSlices(staged, scratch, src, n, filePrefix = "docs",
+      allowEmpty = allowEmpty)
     staged.toString
   }
 
@@ -2636,6 +2654,12 @@ object StreamGateQueries {
     * corpus only while `k ≤ H`, and by the ADMITTED fingerprints of
     * groups `[k−H, k−1]` (earlier folds have expired); within a batch
     * the smallest-id holder per surviving fingerprint wins (q73's rule).
+    * Every CTE is MATERIALIZED: the adm chain references each CTE up to
+    * H + 1 times, so default inlining re-expands the whole prefix at
+    * every reference — harmless at n ≤ 6, but the soak's n = 50 unroll
+    * (q123) turns it into an exponential plan that exhausts file
+    * handles re-opening the documents scan; materialization evaluates
+    * each window once, which is also what the recurrence MEANS.
     */
   private def expiringFoldOracle(n: Int, horizon: Long): String = {
     val u = graft.operators.Sampling.duckUniform01("CAST(doc_id AS VARCHAR)")
@@ -2650,7 +2674,7 @@ object StreamGateQueries {
         else Seq.empty) ++
         lo.until(k).map(j =>
           s"EXISTS (SELECT 1 FROM adm$j a WHERE a.fingerprint = i.fingerprint)")
-      s"""adm$k AS (
+      s"""adm$k AS MATERIALIZED (
          |  SELECT min(i.doc_id) AS doc_id, i.fingerprint
          |  FROM f i
          |  WHERE i.g = $k AND NOT (${blockers.mkString("\n    OR ")})
@@ -2659,7 +2683,7 @@ object StreamGateQueries {
     val outArms = (1 to n)
       .map(k => s"  SELECT doc_id, $k AS batch, fingerprint FROM adm$k")
       .mkString("\n  UNION ALL\n")
-    s"""WITH f AS (
+    s"""WITH f AS MATERIALIZED (
        |  SELECT doc_id,
        |    md5(array_to_string(list_sort(list_distinct(string_split(
        |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))), ' ')) AS fingerprint,
@@ -3019,6 +3043,250 @@ object StreamGateQueries {
       .orderBy($"doc_id")
     // q98's non-vacuity fence: watermark-clocked expiry must have
     // RE-OPENED at least one corpus-blocked fingerprint
+    val reopened = result.join(corpus, "fingerprint").count()
+    require(reopened > 0,
+      s"$tag must admit at least one post-expiry corpus duplicate, got none")
+    result
+  }
+
+  /** Batches the soak gate (q123) drives, and its crash cadence — 50
+    * batches with an injected first-attempt crash every 10th batch
+    * (batches 10/20/30/40), per the long-horizon deployment shape the
+    * 5–6-batch gates cannot observe. `private[graft]` so a spec or
+    * bench can never drift from the gate's own horizon.
+    */
+  private[graft] val SoakBatches = 50
+  private[graft] val SoakFailAts: Seq[Long] = Seq(10L, 20L, 30L, 40L)
+
+  /** Every file the warehouse currently holds for index `name` —
+    * pointer versions, lease versions, claim tmps (root files prefixed
+    * `_<name>_`) plus every file under the index's physical table
+    * locations (dirs prefixed `<name>_`: `_seg`/`_cmp`/`_exp`
+    * generations and any staging). The soak gate fences this count at
+    * every batch: orphan classes (lost-CAS leftovers, retired-list
+    * drops, unpruned versions) that per-cycle reviews had to hunt by
+    * hand show up here mechanically as monotone growth.
+    */
+  private def warehouseFileCount(s: SparkSession, name: String): Int = {
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return 0
+    fs.listStatus(wh).iterator.filter { st =>
+      val n = st.getPath.getName
+      n.startsWith(s"_${name}_") || n.startsWith(s"${name}_")
+    }.map { st =>
+      if (st.isFile) 1
+      else {
+        val it = fs.listFiles(st.getPath, true)
+        var c = 0
+        while (it.hasNext) { it.next(); c += 1 }
+        c
+      }
+    }.sum
+  }
+
+  /** q123 — the LONG-HORIZON SOAK of the fully-composed production
+    * loop: q113's pipeline (watermark-clocked horizon expiry + cadence
+    * policy compaction + stamped keyed folds on the exact-fingerprint
+    * modality) driven for [[SoakBatches]] micro-batches with an
+    * injected first-attempt crash every 10th batch ([[SoakFailAts]]) —
+    * the duty cycle of the reference's continuous deployment (Hudi
+    * DeltaStreamer `--continuous` with cleaning and compaction beside
+    * it, ref `hudi/debezium_hudi_demo/demonstration_notes.md` "Run Hudi
+    * DeltaStreamer Continuously", `base.properties` cleaner retention),
+    * which the 5–6-batch gates exercise one mechanism-pairing at a
+    * time but never at soak length. What only length can falsify, each
+    * fenced IN the gate:
+    *
+    *   - STATE BOUNDEDNESS: live segments ≤ k at every one of the 50
+    *     probe points (the policy must keep winning against a stream
+    *     that never ends);
+    *   - NO ORPHAN ACCUMULATION: the warehouse file count for this
+    *     index stays under a CONSTANT bound at every batch head — the
+    *     leak classes the round-14/15 review passes kept finding by
+    *     reading code (retired-list passthrough, lost-CAS leftovers,
+    *     unpruned pointer versions) would each grow this count
+    *     monotonically and trip the fence mechanically within a few
+    *     batches of appearing;
+    *   - FLAT COST TREND: the median per-batch wall time of the final
+    *     third of non-empty batches stays within 2.5× the middle
+    *     third's — an O(stream) regression (probe fan-out growth,
+    *     ledger growth, file-listing growth) compounds over 50 batches
+    *     into a trend no single-digit-batch gate can see;
+    *   - RECOVERY COMPOSES REPEATEDLY: four separate crash-replay
+    *     cycles against the SAME evolving index (q114 proves one), each
+    *     re-deriving its expiry threshold from the recorded planning
+    *     watermark;
+    *   - and the semantics stay EXACT: the admitted set meets the
+    *     50-batch windowed sequential oracle VERBATIM
+    *     ([[expiringFoldOracle]] — the policy and the crashes are cost
+    *     knobs, never semantics knobs), with q113's advancing-watermark
+    *     and post-expiry re-admission fences on top.
+    *
+    * The staging is [[stageDocHashSplit]]'s oracle-pinned hash-group
+    * layout at n = 50 with `allowEmpty` (a few hundred incoming docs
+    * over 50 groups make occasional empty groups a certainty; the file
+    * source still delivers them as zero-row batches, so slice i =
+    * batch i−1 holds and the oracle's per-group CTEs stay aligned).
+    */
+  def q123SoakProductionLoop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = "q123"
+    requireWmWindowLaw(tag)
+    val n = SoakBatches
+    val k = 2
+    val policyFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sawWm = new java.util.concurrent.atomic.AtomicInteger(0)
+    val staged = stageDocHashSplit(s, dir, tag, n, eventTs = true, allowEmpty = true)
+    val corpus = Tables.documents(s, dir)
+      .select(
+        graft.operators.TextOps.bagFingerprint(
+          graft.operators.TextOps.normText($"text")).as("fingerprint"),
+        graft.operators.Sampling.uniform01($"doc_id").as("u"))
+      .filter($"u" >= 0.3)
+      .select($"fingerprint")
+    val ixName = s"${tag}_fp_ix"
+    val ix = new graft.operators.StandingIndex(
+      s, ixName, buckets = 4, keys = Seq("fingerprint"))
+    ix.init(corpus, maxEventMs = WmT0 - WmStepMs)
+    val out = Files.createTempDirectory(s"graft-$tag-out").toString
+    val ck = Files.createTempDirectory(s"graft-$tag-ck").toString
+    val qn = s"${tag}_soak_loop"
+    // the file-count bound: ~8 concurrently-live tables is the steady
+    // ceiling under k=2 (live merged gen + in-flight fold + expiry
+    // rewrite + retired-with-grace + staging), each ≤ ~12 files (4
+    // buckets + _SUCCESS + local-fs .crc shadows), plus pointer/lease
+    // versions and claim tmps. 160 holds a wide margin over the
+    // measured steady state while still tripping on a leak of one
+    // file per batch well inside the soak's 50 batches
+    val fileBound = 160
+    val maxFiles = new java.util.concurrent.atomic.AtomicInteger(0)
+    // last completed wall-time per batch (replays overwrite their
+    // crashed first attempt) — only batches that folded (rowful)
+    val batchNanos = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val failMarker: Long => java.nio.file.Path =
+      b => Paths.get(out, f"_fail_injected_$b%06d")
+    val injectedMsg: Long => String =
+      b => s"$tag injected mid-batch failure (first attempt of batch $b)"
+    def runOnce(run: String): StreamingQuery = {
+      val incoming = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("event_ts", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .select($"doc_id",
+          graft.operators.TextOps.bagFingerprint(
+            graft.operators.TextOps.normText($"text")).as("fingerprint"),
+          $"event_ts")
+        .withWatermark("event_ts", s"${WmDelayMs / 1000} seconds")
+      incoming
+        .writeStream
+        .queryName(s"${qn}_$run")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val t0 = System.nanoTime()
+          // file-count fence FIRST: the probe sees last batch's steady
+          // state (this batch's grace-reclaim has not run yet — the
+          // widest point of the retain-one cycle)
+          val files = warehouseFileCount(s, ixName)
+          maxFiles.getAndUpdate(m => math.max(m, files))
+          require(files <= fileBound,
+            s"$tag: warehouse file count for '$ixName' must stay bounded " +
+              s"(<= $fileBound) on an infinite stream, got $files at batch " +
+              s"$batchId — an orphan/leak class is accumulating")
+          // q113's per-batch production loop: policy compact (bounded
+          // to committed covers, head-of-batch), watermark-clock step
+          // (record + expire + checkpoint-once), probe + stamped fold
+          val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
+          if (fired) policyFired.incrementAndGet()
+          require(live <= k,
+            s"$tag: the cadence policy must bound live segments to <= $k " +
+              s"at every probe point, got $live at batch $batchId")
+          val (src, stampMs) = wmClockStep(s, ck, qn, batchId, ix, batch,
+            onWm = wm => { if (wm > 0L) sawWm.incrementAndGet(); () })
+          stampMs.foreach { batchMaxEventMs =>
+            val admitted = LlmQueries.admitAndFold(
+              src.select($"doc_id", $"fingerprint"), ix, batchId,
+              maxEventMs = batchMaxEventMs)
+            admitted
+              .select($"doc_id", lit(batchId + 1).cast("int").as("batch"),
+                $"fingerprint")
+              .write.mode("overwrite").parquet(f"$out/batch_$batchId%06d")
+            batchNanos.put(batchId, System.nanoTime() - t0)
+          }
+          if (SoakFailAts.contains(batchId) && !Files.exists(failMarker(batchId))) {
+            Files.createFile(failMarker(batchId))
+            throw new RuntimeException(injectedMsg(batchId))
+          }
+        }
+        .start()
+    }
+    // multi-crash drive: each injected failure kills the query once;
+    // the restarted run replays its batch from the recorded planning
+    // watermark and carries on — exactly SoakFailAts.size restarts,
+    // then a clean termination
+    var restarts = 0
+    var query = runOnce(s"run${restarts + 1}")
+    var terminated = false
+    while (!terminated) {
+      val err = try { query.awaitTermination(); None } catch {
+        case e: Throwable => Some(e)
+      }
+      err match {
+        case None => terminated = true
+        case Some(e) =>
+          val chain = Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(10).toSeq
+          require(chain.exists(t => Option(t.getMessage).exists(m =>
+            SoakFailAts.exists(b => m.contains(injectedMsg(b))))),
+            s"$tag run ${restarts + 1} must terminate with an injected " +
+              s"failure, got: $e")
+          restarts += 1
+          require(restarts <= SoakFailAts.size,
+            s"$tag crashed more times (${restarts}) than injected")
+          query = runOnce(s"run${restarts + 1}")
+      }
+    }
+    require(restarts == SoakFailAts.size,
+      s"$tag must survive ${SoakFailAts.size} crash-replay cycles, " +
+        s"got $restarts")
+    SoakFailAts.foreach(b => require(Files.exists(failMarker(b)),
+      s"$tag fault injection at batch $b did not fire"))
+    requireMultiBatch(query, s"$tag final run")
+    val stateful = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+    require(stateful.isEmpty,
+      s"$tag must run STATELESS (the standing index is the cross-batch " +
+        s"state; the watermark operator holds no store), got $stateful")
+    require(sawWm.get >= n - 2,
+      s"$tag: the engine must report a committed event-time watermark " +
+        s"from batch 2 on, got ${sawWm.get} reports")
+    require(policyFired.get >= 10,
+      s"$tag: the cadence policy must keep firing across a 50-batch " +
+        s"soak, got ${policyFired.get} firings")
+    // FLAT COST TREND: medians over the non-empty batches' last
+    // completed attempts; a leak-driven O(stream) trend compounds by
+    // the final third, GC/scheduling noise does not survive a median
+    val times = batchNanos.entrySet().asScala.toSeq
+      .sortBy(_.getKey).map(_.getValue.toDouble / 1e6)
+    def median(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      s0((s0.size - 1) / 2)
+    }
+    val third = times.size / 3
+    val (mid, fin) = (times.slice(third, 2 * third), times.takeRight(third))
+    require(mid.nonEmpty && fin.nonEmpty, s"$tag: too few timed batches (${times.size})")
+    val (medMid, medFin) = (median(mid), median(fin))
+    require(medFin <= 2.5 * medMid,
+      f"$tag: per-batch wall time must stay flat across the soak, got " +
+        f"middle-third median $medMid%.0f ms vs final-third $medFin%.0f ms")
+    dropStaged(staged)
+    val result = s.read.parquet(s"$out/batch_*")
+      .select($"doc_id", $"batch", $"fingerprint")
+      .orderBy($"doc_id")
     val reopened = result.join(corpus, "fingerprint").count()
     require(reopened > 0,
       s"$tag must admit at least one post-expiry corpus duplicate, got none")
@@ -3441,7 +3709,8 @@ object StreamGateQueries {
     "q119_policy_neardup_fold" -> (q119PolicyNeardupFold _),
     "q120_policy_neardup_crash" -> (q120PolicyNeardupCrash _),
     "q121_policy_vector_fold" -> (q121PolicyVectorFold _),
-    "q122_policy_vector_crash" -> (q122PolicyVectorCrash _))
+    "q122_policy_vector_crash" -> (q122PolicyVectorCrash _),
+    "q123_soak_production_loop" -> (q123SoakProductionLoop _))
 
   val oracles: Map[String, String] = Map(
     "q49_append_window_sales" -> q49Oracle,
@@ -3562,5 +3831,11 @@ object StreamGateQueries {
     "q119_policy_neardup_fold" -> neardupGateOracle(5, Some(ExpiryHorizon)),
     "q120_policy_neardup_crash" -> neardupGateOracle(6, Some(ExpiryHorizon)),
     "q121_policy_vector_fold" -> vectorGateOracle(5, Some(ExpiryHorizon)),
-    "q122_policy_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)))
+    "q122_policy_vector_crash" -> vectorGateOracle(6, Some(ExpiryHorizon)),
+    // the LONG-HORIZON SOAK: 50 batches of the fully-composed loop with
+    // a crash every 10th — still the same windowed sequential oracle,
+    // just unrolled to soak length (length is a duty-cycle knob, never
+    // a semantics knob; the in-gate fences carry the leak/trend checks
+    // SQL cannot express)
+    "q123_soak_production_loop" -> expiringFoldOracle(SoakBatches, ExpiryHorizon))
 }
