@@ -413,13 +413,16 @@ class StandingIndex(
   private def claimVersion(v: Long, body: String): Boolean =
     claimFile(verPath(v), body)
 
-  /** The role-lease epochs THIS instance holds (role → lease version of
-    * its most recent [[acquireRoleLease]]) — the writer side of the
-    * fencing token: every commit from a leased instance is checked
-    * against the pointer's fence line, so a commit whose epoch predates
-    * a successor's acquire is refused deterministically
-    * ([[LeaseFencedException]]) instead of racing the successor.
-    * Guarded by `this.synchronized` like [[attempted]].
+  /** The role-lease epochs THIS instance currently CLAIMS (role →
+    * lease version of its most recent [[acquireRoleLease]]; removed by
+    * [[releaseRoleLease]]) — the writer side of the fencing token:
+    * every commit from a leased instance is checked against the
+    * pointer's fence line, so a commit whose epoch predates a
+    * successor's acquire is refused deterministically
+    * ([[LeaseFencedException]]) instead of racing the successor. Only
+    * CLAIMED roles bind: a cleanly-released role's successor must not
+    * fence the releaser's other-role commits. Guarded by
+    * `this.synchronized` like [[attempted]].
     */
   private val heldEpochs = scala.collection.mutable.Map.empty[String, Long]
 
@@ -1052,19 +1055,26 @@ class StandingIndex(
     * it — idempotent, and never clobbers a successor: a lease that
     * expired and was taken over is no longer ours to release (the
     * no-op arm), and a claim lost to a racer re-reads and re-decides.
+    * Either way this instance stops CLAIMING the role (the fencing
+    * check binds only roles currently claimed — see [[heldEpochs]]):
+    * a writer that released B but kept A must not be refused on its
+    * A-role commits when B's successor arrives, while a writer that
+    * never released stays fenced exactly as the token intends.
     */
   def releaseRoleLease(role: String, holderId: String): Unit = {
-    while (true) {
-      val (ver, cur) = currentLease(role)
-      cur match {
-        case Some((h, _)) if h == holderId =>
-          if (claimFile(leasePath(role, ver + 1), "|0")) {
-            listLeaseVersions(role).filter(_._1 < ver).foreach(p => fs.delete(p._2, false))
-            return
-          } // lost the claim: re-read — a successor took over, or our own retry raced
-        case _ => return // free, released, or held by a successor
+    try {
+      while (true) {
+        val (ver, cur) = currentLease(role)
+        cur match {
+          case Some((h, _)) if h == holderId =>
+            if (claimFile(leasePath(role, ver + 1), "|0")) {
+              listLeaseVersions(role).filter(_._1 < ver).foreach(p => fs.delete(p._2, false))
+              return
+            } // lost the claim: re-read — a successor took over, or our own retry raced
+          case _ => return // free, released, or held by a successor
+        }
       }
-    }
+    } finally this.synchronized { heldEpochs -= role; () }
   }
 
   /** TEST SEAM (`private[graft]`): read the pointer, run `interleaved`

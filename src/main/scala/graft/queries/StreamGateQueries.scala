@@ -3160,7 +3160,6 @@ object StreamGateQueries {
     // measured steady state while still tripping on a leak of one
     // file per batch well inside the soak's 50 batches
     val fileBound = 160
-    val maxFiles = new java.util.concurrent.atomic.AtomicInteger(0)
     // last completed wall-time per batch (replays overwrite their
     // crashed first attempt) — only batches that folded (rowful)
     val batchNanos = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
@@ -3192,7 +3191,6 @@ object StreamGateQueries {
           // state (this batch's grace-reclaim has not run yet — the
           // widest point of the retain-one cycle)
           val files = warehouseFileCount(s, ixName)
-          maxFiles.getAndUpdate(m => math.max(m, files))
           require(files <= fileBound,
             s"$tag: warehouse file count for '$ixName' must stay bounded " +
               s"(<= $fileBound) on an infinite stream, got $files at batch " +

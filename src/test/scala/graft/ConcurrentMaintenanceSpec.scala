@@ -157,7 +157,18 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[LeaseFencedException] {
       a.compact()
     }
+    // a CLEAN release drops the claim: after writer-e succeeds the
+    // released writer-b, b's (now unleased) mutations are NOT falsely
+    // fenced — only currently-claimed roles bind; the never-released
+    // writer-a stays fenced
     b.releaseRoleLease("folder", "writer-b")
+    val e3 = new StandingIndex(spark, "fence_ix", 2, Seq("band", "bk"))
+    e3.acquireRoleLease("folder", "writer-e", leaseMs = 60000L)
+    b.fold(Seq((4L, 0, "v")).toDF("doc_id", "band", "bk"))
+    intercept[LeaseFencedException] {
+      a.fold(Seq((5L, 1, "u")).toDF("doc_id", "band", "bk"))
+    }
+    e3.releaseRoleLease("folder", "writer-e")
     d.releaseRoleLease("folder", "writer-d")
   }
 
