@@ -686,8 +686,18 @@ class StandingIndex(
     // reclaim lost its commit CAS to a racer — dropping the LIST without
     // having dropped the TABLES would orphan them forever; carrying it
     // lets the next cycle's reclaim finish the job
-    commit(st, st.live :+ Seg(segTable(next), next, maxEventMs, maxEventMs),
+    try commit(st, st.live :+ Seg(segTable(next), next, maxEventMs, maxEventMs),
       st.retired, next, st.hwmCmp)
+    catch {
+      case e: LeaseFencedException =>
+        // a successor fenced us between the head check and the commit:
+        // a fenced writer never retries, so the attempted-ledger
+        // self-heal that covers the collision case would never run —
+        // and the orphaned registered table would block the SUCCESSOR's
+        // same-name publish forever. Compensate, then surface.
+        dropSegment(segTable(next))
+        throw e
+    }
   }
 
   /** Replay-idempotent KEYED fold for streaming ingest: publish the
@@ -718,6 +728,13 @@ class StandingIndex(
         "double-count its keys (compact only after its batches commit)")
     writeSegment(delta, segTable(id)) // idempotent overwrite — replay-safe
     if (!st.live.exists(_.table == segTable(id)))
+      // deliberately NO fenced-commit compensation here (contrast
+      // [[fold]]): the keyed id space means a successor's replay of
+      // this very batch REWRITES segTable(id) via the same idempotent
+      // overwrite and commits it — a compensating drop could land
+      // after that commit and destroy the successor's live segment,
+      // while the orphan case heals on the replay that keyed folds
+      // guarantee (the engine re-runs an uncommitted batch)
       commit(st, (st.live :+ Seg(segTable(id), id, maxEventMs, maxEventMs)).sortBy(_.cover),
         st.retired, st.hwmSeg max id, st.hwmCmp)
   }
@@ -1004,8 +1021,26 @@ class StandingIndex(
         // the fence bump: any NON-renewal acquire fences predecessors
         // out of the pointer BEFORE this writer's first mutation (a
         // renewal has no predecessor to fence — its own older epoch is
-        // never refused, the check is strictly-greater)
-        if (!renewal) fenceBump(role, epoch)
+        // never refused, the check is strictly-greater). If the bump
+        // cannot land (pointer CASes lost to a pathologically hot
+        // writer), the acquire FAILED AS A WHOLE — release the
+        // just-claimed lease first, or it would stay locked for the
+        // full leaseMs and falsely refuse the replacement's startup,
+        // and rethrow as the startup-refusal type (the collision type's
+        // "retry from fresh state" wording is the wrong recovery here:
+        // the caller should re-run its startup acquire)
+        if (!renewal) {
+          try fenceBump(role, epoch)
+          catch {
+            case e: Throwable =>
+              try releaseRoleLease(role, holderId)
+              catch { case r: Throwable => e.addSuppressed(r) }
+              throw new RoleLockHeldException(
+                s"StandingIndex '$name' role '$role' acquire by '$holderId' " +
+                  s"could not fence the pointer (${e.getMessage}); the lease " +
+                  "claim was released — re-run the startup acquire")
+          }
+        }
         return epoch
       }
       attempt += 1

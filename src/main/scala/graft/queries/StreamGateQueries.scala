@@ -1396,28 +1396,72 @@ object StreamGateQueries {
   private def driveRuns(
       tag: String, failAt: Option[Long], injectedMsg: String,
       failMarker: java.nio.file.Path)(
+      runOnce: String => StreamingQuery): StreamingQuery =
+    driveCrashSchedule(tag,
+      failAt.toSeq.map(_ => (injectedMsg, failMarker)))(runOnce)
+
+  /** The ONE crash-schedule drive loop behind every fault-injection
+    * gate — the single-crash gates through [[driveRuns]] and the soak
+    * gate's multi-crash schedule directly — so the injection
+    * verification discipline (cause-chain walk, injected-message
+    * matching, marker checks, restart accounting) can never drift per
+    * gate. `injected` is one (message, marker) pair per scheduled
+    * crash: each run must either terminate CLEAN (ending the drive) or
+    * die with ONE of the scheduled injections; the drive requires
+    * exactly `injected.size` restarts, every marker fired, and the
+    * final run multi-batch (the replayed batch plus the undelivered
+    * files). An empty schedule is the clean single-run drive.
+    */
+  /** The ONE per-batch cadence-policy probe shared by every
+    * policy-composed gate (q111/q113/q114/q119–q123): fire
+    * `compactIfOver` bounded to committed covers, count the firing for
+    * the ≥ 2-firings non-vacuity fence, and assert the bounded-fan-out
+    * law from the SAME pointer read the decision used (one read per
+    * batch on the no-fire path) — extracted so the law's spelling can
+    * never drift per gate copy.
+    */
+  private def policyProbe(
+      tag: String, ix: graft.operators.StandingIndex, k: Int, batchId: Long,
+      policyFired: java.util.concurrent.atomic.AtomicInteger): Unit = {
+    val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
+    if (fired) policyFired.incrementAndGet()
+    require(live <= k,
+      s"$tag: the cadence policy must bound live segments to <= $k " +
+        s"at every probe point, got $live at batch $batchId")
+  }
+
+  private def driveCrashSchedule(
+      tag: String, injected: Seq[(String, java.nio.file.Path)])(
       runOnce: String => StreamingQuery): StreamingQuery = {
-    val run1 = runOnce("run1")
-    failAt match {
-      case None =>
-        run1.awaitTermination()
-        requireMultiBatch(run1, tag)
-        run1
-      case Some(_) =>
-        val err = try { run1.awaitTermination(); None } catch {
-          case e: Throwable => Some(e)
-        }
-        val chain = err.iterator.flatMap(e =>
-          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(10)).toSeq
-        require(chain.exists(t => Option(t.getMessage).exists(_.contains(injectedMsg))),
-          s"$tag run 1 must terminate with the injected mid-batch failure, got: " +
-            err.fold("clean termination")(_.toString))
-        require(Files.exists(failMarker), s"$tag fault injection did not fire")
-        val run2 = runOnce("run2")
-        run2.awaitTermination()
-        requireMultiBatch(run2, s"$tag run2") // replayed batch + undelivered files
-        run2
+    var restarts = 0
+    var query = runOnce("run1")
+    var terminated = false
+    while (!terminated) {
+      val err = try { query.awaitTermination(); None } catch {
+        case e: Throwable => Some(e)
+      }
+      err match {
+        case None => terminated = true
+        case Some(e) =>
+          val chain = Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(10).toSeq
+          require(chain.exists(t => Option(t.getMessage).exists(m =>
+            injected.exists { case (msg, _) => m.contains(msg) })),
+            s"$tag run ${restarts + 1} must terminate with an injected " +
+              s"mid-batch failure, got: $e")
+          restarts += 1
+          require(restarts <= injected.size,
+            s"$tag crashed more times ($restarts) than injected (${injected.size})")
+          query = runOnce(s"run${restarts + 1}")
+      }
     }
+    require(restarts == injected.size,
+      s"$tag must survive ${injected.size} crash-replay cycle(s), got $restarts")
+    injected.foreach { case (msg, marker) =>
+      require(Files.exists(marker), s"$tag fault injection did not fire: $msg")
+    }
+    requireMultiBatch(query, if (injected.isEmpty) tag else s"$tag final run")
+    query
   }
 
   /** Shared fault-injection harness for the mid-batch-failure gates —
@@ -2082,16 +2126,8 @@ object StreamGateQueries {
           // prefix (covers <= batchId, q94's bounded discipline) when
           // the live count exceeds k; the policy, not the harness, is
           // what must keep the probe fan-out bounded
-          autoCompactOver.foreach { k =>
-            // ONE pointer read per policy decision: the counted call
-            // returns the post-decision live count, so the <= k fence
-            // needs no second segmentCount resolve in the hot loop
-            val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
-            if (fired) policyFired.incrementAndGet()
-            require(live <= k,
-              s"$tag: the cadence policy must bound live segments to <= $k " +
-                s"at every probe point, got $live at batch $batchId")
-          }
+          autoCompactOver.foreach(k =>
+            policyProbe(tag, ix, k, batchId, policyFired))
           // probe strictly-earlier segments + keyed fold — the ONE
           // spelling (LlmQueries.admitAndFold, shared with StreamBench's
           // fold subject); see q92's scaladoc for the replay contract
@@ -2274,16 +2310,8 @@ object StreamGateQueries {
           // fully-composed loop on the NEAR-DUP modality (under the
           // watermark clock every band fold is distinctly stamped, so a
           // policy firing is always a mixed-stamp merge)
-          autoCompactOver.foreach { k =>
-            // ONE pointer read per policy decision: the counted call
-            // returns the post-decision live count, so the <= k fence
-            // needs no second segmentCount resolve in the hot loop
-            val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
-            if (fired) policyFired.incrementAndGet()
-            require(live <= k,
-              s"$tag: the cadence policy must bound live segments to <= $k " +
-                s"at every probe point, got $live at batch $batchId")
-          }
+          autoCompactOver.foreach(k =>
+            policyProbe(tag, ix, k, batchId, policyFired))
           // expiry first (q98's ordering): entries behind the horizon
           // stop blocking BEFORE this batch probes. Two spellings of
           // the SAME threshold: the batch-position clock (q104/q105)
@@ -2987,16 +3015,8 @@ object StreamGateQueries {
           // right after must still retire exactly the horizon's entries
           // from the merged generation, here policy-triggered rather
           // than harness-scheduled
-          autoCompactOver.foreach { k =>
-            // ONE pointer read per policy decision: the counted call
-            // returns the post-decision live count, so the <= k fence
-            // needs no second segmentCount resolve in the hot loop
-            val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
-            if (fired) policyFired.incrementAndGet()
-            require(live <= k,
-              s"$tag: the cadence policy must bound live segments to <= $k " +
-                s"at every probe point, got $live at batch $batchId")
-          }
+          autoCompactOver.foreach(k =>
+            policyProbe(tag, ix, k, batchId, policyFired))
           // the ONE watermark-clock step ([[wmClockStep]]): checkpoint
           // once, read/record the planning watermark, expire at
           // committedWatermark − Hms, return the max-event stamp
@@ -3198,11 +3218,7 @@ object StreamGateQueries {
           // q113's per-batch production loop: policy compact (bounded
           // to committed covers, head-of-batch), watermark-clock step
           // (record + expire + checkpoint-once), probe + stamped fold
-          val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
-          if (fired) policyFired.incrementAndGet()
-          require(live <= k,
-            s"$tag: the cadence policy must bound live segments to <= $k " +
-              s"at every probe point, got $live at batch $batchId")
+          policyProbe(tag, ix, k, batchId, policyFired)
           val (src, stampMs) = wmClockStep(s, ck, qn, batchId, ix, batch,
             onWm = wm => { if (wm > 0L) sawWm.incrementAndGet(); () })
           stampMs.foreach { batchMaxEventMs =>
@@ -3222,38 +3238,12 @@ object StreamGateQueries {
         }
         .start()
     }
-    // multi-crash drive: each injected failure kills the query once;
-    // the restarted run replays its batch from the recorded planning
-    // watermark and carries on — exactly SoakFailAts.size restarts,
-    // then a clean termination
-    var restarts = 0
-    var query = runOnce(s"run${restarts + 1}")
-    var terminated = false
-    while (!terminated) {
-      val err = try { query.awaitTermination(); None } catch {
-        case e: Throwable => Some(e)
-      }
-      err match {
-        case None => terminated = true
-        case Some(e) =>
-          val chain = Iterator.iterate[Throwable](e)(_.getCause)
-            .takeWhile(_ != null).take(10).toSeq
-          require(chain.exists(t => Option(t.getMessage).exists(m =>
-            SoakFailAts.exists(b => m.contains(injectedMsg(b))))),
-            s"$tag run ${restarts + 1} must terminate with an injected " +
-              s"failure, got: $e")
-          restarts += 1
-          require(restarts <= SoakFailAts.size,
-            s"$tag crashed more times (${restarts}) than injected")
-          query = runOnce(s"run${restarts + 1}")
-      }
-    }
-    require(restarts == SoakFailAts.size,
-      s"$tag must survive ${SoakFailAts.size} crash-replay cycles, " +
-        s"got $restarts")
-    SoakFailAts.foreach(b => require(Files.exists(failMarker(b)),
-      s"$tag fault injection at batch $b did not fire"))
-    requireMultiBatch(query, s"$tag final run")
+    // the shared crash-schedule drive: each injected failure kills the
+    // query once; the restarted run replays its batch from the recorded
+    // planning watermark and carries on — exactly SoakFailAts.size
+    // restarts, then a clean termination
+    val query = driveCrashSchedule(tag,
+      SoakFailAts.map(b => (injectedMsg(b), failMarker(b))))(runOnce)
     val stateful = Option(query.lastProgress)
       .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
     require(stateful.isEmpty,
@@ -3448,16 +3438,8 @@ object StreamGateQueries {
           // q121/q122: the cadence POLICY at the head of the batch —
           // q113's fully-composed loop on the VECTOR modality (every
           // firing a mixed-stamp merge under the watermark clock)
-          autoCompactOver.foreach { k =>
-            // ONE pointer read per policy decision: the counted call
-            // returns the post-decision live count, so the <= k fence
-            // needs no second segmentCount resolve in the hot loop
-            val (fired, live) = ix.compactIfOverCounted(k, coverAtMost = batchId)
-            if (fired) policyFired.incrementAndGet()
-            require(live <= k,
-              s"$tag: the cadence policy must bound live segments to <= $k " +
-                s"at every probe point, got $live at batch $batchId")
-          }
+          autoCompactOver.foreach(k =>
+            policyProbe(tag, ix, k, batchId, policyFired))
           // expiry first (q98's ordering), in either spelling: the
           // batch-position clock (q102/q103) expires at batchId − H
           // here; the watermark clock (q117/q118) inside [[wmClockStep]]
