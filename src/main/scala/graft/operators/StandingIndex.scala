@@ -16,16 +16,19 @@ import org.apache.spark.sql.functions.{col, lit}
 class OccCollisionException(message: String, cause: Throwable = null)
   extends IllegalStateException(message, cause)
 
-/** The exclusive same-role lease is HELD by another live writer: a
-  * second writer of the same maintenance role attempted to start
-  * against one index ([[StandingIndex.acquireRoleLease]]). Unlike
-  * [[OccCollisionException]] this is NOT retryable-from-fresh-state
-  * work contention — it is a deployment error (two folders, or two
-  * compactors, on one index), surfaced loudly at startup instead of as
-  * the silent rename-window corruption same-role concurrency risks.
+/** A role-lease ACQUIRE failed and no lease is held. The primary shape
+  * is a deployment error — the lease is HELD by another live writer (a
+  * second folder or compactor on one index), surfaced loudly at
+  * startup instead of as the silent rename-window corruption same-role
+  * concurrency risks, and NOT something to auto-retry. The same type
+  * also covers an acquire losing its claim or fence-bump races to
+  * pathological contention (the message says so and the lease is
+  * released first); whether to re-run the startup acquire there is
+  * deployment policy — in every case the invariant is simply "this
+  * writer holds nothing".
   */
-class RoleLockHeldException(message: String)
-  extends IllegalStateException(message)
+class RoleLockHeldException(message: String, cause: Throwable = null)
+  extends IllegalStateException(message, cause)
 
 /** A mutation was refused because its holder's role lease was
   * SUPERSEDED: a successor acquired the same role (crash-expiry
@@ -654,10 +657,9 @@ class StandingIndex(
             throw e
           }
           basis = state
-        case e: LeaseFencedException =>
-          // a successor fenced us mid-init: same compensation, no retry
-          if (!fresh) dropSegment(target)
-          throw e
+        // a successor fenced us mid-init: NO compensation (fold's
+        // rationale — the successor may be adopting the staged name)
+        // and no retry; LeaseFencedException propagates
       }
     }
     (basis.live.map(_.table) ++ basis.retired ++
@@ -686,18 +688,20 @@ class StandingIndex(
     // reclaim lost its commit CAS to a racer — dropping the LIST without
     // having dropped the TABLES would orphan them forever; carrying it
     // lets the next cycle's reclaim finish the job
-    try commit(st, st.live :+ Seg(segTable(next), next, maxEventMs, maxEventMs),
+    // deliberately NO compensating drop on a FENCED commit (here or in
+    // any mutator): once a successor exists, it may at any moment adopt
+    // this very name — cross-JVM, publishSegment's orphan-reclaim arm
+    // reclaims a catalog-unregistered leftover location — so a late
+    // drop from the fenced predecessor could physically destroy the
+    // successor's committed segment (silent data loss). The orphan this
+    // leaves instead is self-healing cross-JVM (the reclaim arm) and a
+    // LOUD named collision for a same-JVM successor (availability,
+    // never data loss; remove the orphan table to clear it). The
+    // OccCollision compensation arms elsewhere are different: a
+    // collision implies NO takeover, so no other writer can be adopting
+    // the name.
+    commit(st, st.live :+ Seg(segTable(next), next, maxEventMs, maxEventMs),
       st.retired, next, st.hwmCmp)
-    catch {
-      case e: LeaseFencedException =>
-        // a successor fenced us between the head check and the commit:
-        // a fenced writer never retries, so the attempted-ledger
-        // self-heal that covers the collision case would never run —
-        // and the orphaned registered table would block the SUCCESSOR's
-        // same-name publish forever. Compensate, then surface.
-        dropSegment(segTable(next))
-        throw e
-    }
   }
 
   /** Replay-idempotent KEYED fold for streaming ingest: publish the
@@ -728,13 +732,10 @@ class StandingIndex(
         "double-count its keys (compact only after its batches commit)")
     writeSegment(delta, segTable(id)) // idempotent overwrite — replay-safe
     if (!st.live.exists(_.table == segTable(id)))
-      // deliberately NO fenced-commit compensation here (contrast
-      // [[fold]]): the keyed id space means a successor's replay of
-      // this very batch REWRITES segTable(id) via the same idempotent
-      // overwrite and commits it — a compensating drop could land
-      // after that commit and destroy the successor's live segment,
-      // while the orphan case heals on the replay that keyed folds
-      // guarantee (the engine re-runs an uncommitted batch)
+      // no fenced-commit compensation (fold's rationale), and here the
+      // orphan additionally heals WITHOUT a collision: the keyed id
+      // space means a successor's replay of this very batch REWRITES
+      // segTable(id) via the same idempotent overwrite and commits it
       commit(st, (st.live :+ Seg(segTable(id), id, maxEventMs, maxEventMs)).sortBy(_.cover),
         st.retired, st.hwmSeg max id, st.hwmCmp)
   }
@@ -859,9 +860,12 @@ class StandingIndex(
       // a racer's commit may have bumped the shared generation
       // counter past ours, so a retry would derive a NEW name and
       // this uncommitted (provably ours) table would orphan forever —
-      // compensate before surfacing the named error (same for a
-      // successor's fence landing mid-compact)
-      case e @ (_: OccCollisionException | _: LeaseFencedException) =>
+      // compensate before surfacing the named collision. A FENCED
+      // commit deliberately does NOT compensate (fold's rationale: a
+      // successor may be adopting this very name; a collision implies
+      // no successor exists, so the drop is safe only here)
+      case e: LeaseFencedException => throw e
+      case e: OccCollisionException =>
         dropSegment(merged.table)
         throw e
     }
@@ -1032,13 +1036,14 @@ class StandingIndex(
         if (!renewal) {
           try fenceBump(role, epoch)
           catch {
-            case e: Throwable =>
+            case scala.util.control.NonFatal(e) =>
               try releaseRoleLease(role, holderId)
-              catch { case r: Throwable => e.addSuppressed(r) }
+              catch { case scala.util.control.NonFatal(r) => e.addSuppressed(r) }
               throw new RoleLockHeldException(
                 s"StandingIndex '$name' role '$role' acquire by '$holderId' " +
                   s"could not fence the pointer (${e.getMessage}); the lease " +
-                  "claim was released — re-run the startup acquire")
+                  "claim was released — re-running the startup acquire is " +
+                  "safe", e)
           }
         }
         return epoch
@@ -1185,9 +1190,12 @@ class StandingIndex(
       retired = st.retired ++ (dead ++ partial).map(_.table),
       hwmSeg = st.hwmSeg, hwmCmp = gen)
     catch {
-      case e @ (_: OccCollisionException | _: LeaseFencedException) =>
-        // compact()'s compensation rationale: uncommitted rewrites at
-        // possibly-superseded generation names must not orphan
+      // compact()'s compensation rationale: uncommitted rewrites at
+      // possibly-superseded generation names must not orphan on a
+      // COLLISION; a FENCED commit must not drop (fold's rationale —
+      // the successor may be adopting these names)
+      case e: LeaseFencedException => throw e
+      case e: OccCollisionException =>
         rewritten.foreach(s => dropSegment(s.table))
         throw e
     }

@@ -1400,18 +1400,6 @@ object StreamGateQueries {
     driveCrashSchedule(tag,
       failAt.toSeq.map(_ => (injectedMsg, failMarker)))(runOnce)
 
-  /** The ONE crash-schedule drive loop behind every fault-injection
-    * gate — the single-crash gates through [[driveRuns]] and the soak
-    * gate's multi-crash schedule directly — so the injection
-    * verification discipline (cause-chain walk, injected-message
-    * matching, marker checks, restart accounting) can never drift per
-    * gate. `injected` is one (message, marker) pair per scheduled
-    * crash: each run must either terminate CLEAN (ending the drive) or
-    * die with ONE of the scheduled injections; the drive requires
-    * exactly `injected.size` restarts, every marker fired, and the
-    * final run multi-batch (the replayed batch plus the undelivered
-    * files). An empty schedule is the clean single-run drive.
-    */
   /** The ONE per-batch cadence-policy probe shared by every
     * policy-composed gate (q111/q113/q114/q119–q123): fire
     * `compactIfOver` bounded to committed covers, count the firing for
@@ -1430,6 +1418,18 @@ object StreamGateQueries {
         s"at every probe point, got $live at batch $batchId")
   }
 
+  /** The ONE crash-schedule drive loop behind every fault-injection
+    * gate — the single-crash gates through [[driveRuns]] and the soak
+    * gate's multi-crash schedule directly — so the injection
+    * verification discipline (cause-chain walk, injected-message
+    * matching, marker checks, restart accounting) can never drift per
+    * gate. `injected` is one (message, marker) pair per scheduled
+    * crash: each run must either terminate CLEAN (ending the drive) or
+    * die with ONE of the scheduled injections; the drive requires
+    * exactly `injected.size` restarts, every marker fired, and the
+    * final run multi-batch (the replayed batch plus the undelivered
+    * files). An empty schedule is the clean single-run drive.
+    */
   private def driveCrashSchedule(
       tag: String, injected: Seq[(String, java.nio.file.Path)])(
       runOnce: String => StreamingQuery): StreamingQuery = {
@@ -1442,13 +1442,16 @@ object StreamGateQueries {
       }
       err match {
         case None => terminated = true
+        case Some(e) if injected.isEmpty =>
+          throw e // a clean drive's real failure propagates raw
         case Some(e) =>
           val chain = Iterator.iterate[Throwable](e)(_.getCause)
             .takeWhile(_ != null).take(10).toSeq
-          require(chain.exists(t => Option(t.getMessage).exists(m =>
-            injected.exists { case (msg, _) => m.contains(msg) })),
-            s"$tag run ${restarts + 1} must terminate with an injected " +
-              s"mid-batch failure, got: $e")
+          if (!chain.exists(t => Option(t.getMessage).exists(m =>
+              injected.exists { case (msg, _) => m.contains(msg) })))
+            throw new IllegalStateException(
+              s"$tag run ${restarts + 1} must terminate with an injected " +
+                s"mid-batch failure, got: $e", e)
           restarts += 1
           require(restarts <= injected.size,
             s"$tag crashed more times ($restarts) than injected (${injected.size})")
