@@ -7,6 +7,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
+/** An [[CdcTable.incremental]] pull or [[CdcTable.asOf]] read named a
+  * timeline instant whose artifacts the retain-one cleaner has already
+  * collected, or that never existed. Named so consumers can distinguish
+  * "re-seed from a snapshot read" (the Hudi incremental-consumer
+  * recovery) from genuine table corruption.
+  */
+class InstantUnavailableException(msg: String) extends IllegalStateException(msg)
+
 /** A Hudi-MoR-style upsertable lake table (SURVEY K10/S6/ST9; ref
   * `hudi/debezium_hudi_demo/`): a compacted, hive-partitioned parquet
   * **base** plus an append-only **log** of pending change-image commits.
@@ -19,6 +27,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - [[realTime]] (`_rt`) merges base ∪ log at read with the W3
   *    last-write-wins window — the Hudi real-time contract.
   *  - [[compact]] folds the log into a rewritten base.
+  *  - [[incremental]] pulls the latest change image per key between two
+  *    timeline instants — the Hudi incremental query type, O(changes).
+  *  - [[asOf]] reads the merged snapshot at a past instant — Hudi time
+  *    travel, retention-bounded.
   *
   * Storage keeps Debezium *rewrite-mode* images: tombstones stay as rows
   * flagged `__deleted='true'` (the reference demos query them:
@@ -223,6 +235,93 @@ class CdcTable(
 
   /** `_ro` view: the compacted base only — fast, possibly stale. */
   def readOptimized: DataFrame = spark.read.parquet(baseDir(meta._1))
+
+  /** The newest committed instant on the timeline: the highest delta
+    * commit seq, or the base's fold point when the log is empty — the
+    * value an incremental consumer checkpoints as its next `since`.
+    */
+  def latestCommit: Long = (deltaDirs.map(deltaSeq) :+ meta._2).max
+
+  /** INCREMENTAL QUERY (the Hudi `incremental` query type with
+    * begin/end instants — the read mode chained DeltaStreamer pipelines
+    * consume each other with): the latest change image per key among the
+    * delta commits with `since < seq <= until`. This reads ONLY the
+    * in-range commits — O(changes since the checkpoint), never O(table):
+    * at 100 TB a downstream consumer pulls megabytes per cycle while a
+    * snapshot read would scan the full base. The single shuffle is the
+    * key-merge over the pulled changes.
+    *
+    * In [[CdcMerge.Rewrite]] mode (default) delete images surface as
+    * `__deleted='true'` rows, so a consumer can propagate deletes — the
+    * Debezium rewrite contract carried through the pull; [[CdcMerge.Drop]]
+    * hides keys whose latest in-range image is a delete.
+    *
+    * Availability is RETENTION-BOUNDED, exactly as in Hudi: delta commits
+    * survive one table-state change past their folding compaction (the
+    * class doc's retain-one cleaner), so a consumer must pull within one
+    * compaction cycle of its checkpoint; a pull that names a collected
+    * (or never-committed) instant is refused with the named
+    * [[InstantUnavailableException]] — re-seed from a snapshot read. A
+    * [[bulkInsert]] RESETS the timeline: checkpoints from before it are
+    * meaningless and must be re-seeded (a bulk insert is a new table in
+    * Hudi too).
+    */
+  def incremental(since: Long, until: Long,
+      mode: CdcMerge.DeleteMode = CdcMerge.Rewrite): DataFrame = {
+    require(until > since, s"empty incremental range ($since, $until]")
+    val latest = latestCommit
+    if (until > latest) // also bounds the missing-seq scan below
+      throw new InstantUnavailableException(
+        s"incremental pull ($since, $until] ends beyond the newest commit $latest")
+    val have = deltaDirs
+    val haveSeqs = have.map(deltaSeq).toSet
+    val want = (since + 1) to until
+    val missing = want.filterNot(haveSeqs)
+    if (missing.nonEmpty)
+      throw new InstantUnavailableException(
+        s"incremental pull ($since, $until] needs delta commit(s) " +
+          s"${missing.mkString(",")} that are not on the timeline — " +
+          "already collected by the retain-one cleaner; pull within one " +
+          "compaction cycle of the checkpoint, or re-seed from a snapshot read")
+    val dirs = have.filter(p => want.contains(deltaSeq(p)))
+    merge(spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(_.toString): _*), mode)
+  }
+
+  /** TIME TRAVEL (the Hudi `as.of.instant` snapshot read): the full
+    * merged table state as of instant `seq` — the live base plus the
+    * pending deltas up to and including `seq`, latest image per key.
+    * `asOf(latestCommit)` ≡ [[realTime]].
+    *
+    * Travel depth is bounded by cleaner retention, as in Hudi: an
+    * instant that predates the live base's fold point needs a superseded
+    * base version the retain-one cleaner may have collected, so it is
+    * refused with the named [[InstantUnavailableException]] rather than
+    * read from files with undefined lifetime. Same snapshot-isolation
+    * contract as [[realTime]]: the (base, deltas) set resolves once,
+    * here, and the returned plan holds immutable files.
+    */
+  def asOf(seq: Long, mode: CdcMerge.DeleteMode = CdcMerge.Rewrite): DataFrame = {
+    val (v, c) = meta
+    val latest = latestCommit
+    if (seq > latest)
+      throw new InstantUnavailableException(
+        s"as-of instant $seq is beyond the newest commit $latest")
+    if (seq < c)
+      throw new InstantUnavailableException(
+        s"as-of instant $seq predates the live base's fold point $c — its " +
+          "snapshot artifacts may already be collected (time travel is " +
+          "bounded by cleaner retention; see the class doc)")
+    val base = spark.read.parquet(baseDir(v))
+    val dirs = pendingDeltas(c).filter(deltaSeq(_) <= seq)
+    val all =
+      if (dirs.isEmpty) base
+      else base.unionByName(
+        spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(_.toString): _*),
+        allowMissingColumns = true)
+    merge(all, mode)
+  }
 
   /** `_rt` view: base ∪ pending log merged at read, latest image per key.
     * The (base version, fold point) snapshot is resolved HERE, once — the

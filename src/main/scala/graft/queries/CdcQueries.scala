@@ -235,10 +235,125 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  /** The q24 changelog + table staged fresh under `name` — the shared
+    * lifecycle (bulk third 0, upsert thirds 1 and 2 as delta commits 1
+    * and 2) the timeline-read gates travel over.
+    */
+  private def stagedLifecycle(s: SparkSession, dir: String, name: String): CdcTable = {
+    import s.implicits._
+    val path = scratch(s"${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    // fresh table: on a surviving scratch dir a re-staged bulkInsert
+    // RESETS the timeline past the previous run's deltas (its fold point
+    // advances), so the gates' absolute instants 1 and 2 would name the
+    // wrong commits — same wipe discipline as q33/q86
+    locally {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p)) {
+        val st = java.nio.file.Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach((f: java.nio.file.Path) => java.nio.file.Files.delete(f))
+        finally st.close()
+      }
+    }
+    val op = when($"event_type" === "signup", "c")
+      .when($"event_type" === "error", "d")
+      .otherwise("u")
+    val changelog = Tables.events(s, dir).select(
+      $"user_id", $"event_id", $"value",
+      op.as("__op"),
+      when(op === "d", "true").otherwise("false").as("__deleted"),
+      unix_millis($"ts").as("__source_ts_ms"),
+      $"event_type")
+    val table = new CdcTable(s, path,
+      keyCols = Seq("user_id"),
+      orderingCols = Seq("__source_ts_ms", "event_id"),
+      partitionCol = "event_type")
+    table.bulkInsert(changelog.filter($"event_id" % 3 === 0))
+    table.upsert(changelog.filter($"event_id" % 3 === 1)) // delta commit 1
+    table.upsert(changelog.filter($"event_id" % 3 === 2)) // delta commit 2
+    table
+  }
+
+  /** q124 — INCREMENTAL PULL (the Hudi incremental query type; ref
+    * `deltastreamer_jobs_cont_bkgd.sh` — a continuously-running
+    * DeltaStreamer IS an incremental consumer, and chained Hudi
+    * pipelines read each other this way): over q24's staged lifecycle
+    * (bulk third 0; thirds 1 and 2 as delta commits 1 and 2), two pulls
+    * are unioned under a `pull` tag — `(1, 2]` (a consumer checkpointed
+    * at commit 1 sees ONLY commit 2's latest images) and `(0, 2]` (a
+    * consumer from the timeline origin sees thirds 1 ∪ 2 merged
+    * latest-wins, commit-2 images shadowing commit-1 images of the same
+    * key). Rewrite mode keeps delete images as `__deleted='true'` rows —
+    * the pull propagates deletes, so the oracle applies NO tombstone
+    * filter. Each pull reads only its in-range delta commits — O(changes
+    * since checkpoint), never O(table): the base is NEVER scanned, which
+    * is the whole point of the read mode at 100 TB.
+    */
+  def q124CdcIncrementalPull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = stagedLifecycle(s, dir, "q124")
+    val until = table.latestCommit // 2: the consumer's next checkpoint
+    def tagged(tag: String, pull: DataFrame): DataFrame =
+      pull.select(lit(tag).as("pull"),
+        $"user_id", $"event_id", $"value", $"__op", $"__deleted")
+    tagged("pull_1_2", table.incremental(1, until))
+      .unionByName(tagged("pull_0_2", table.incremental(0, until)))
+      .orderBy($"pull", $"user_id")
+  }
+
+  /** The latest change image per key among the changelog thirds selected
+    * by `residues` (DuckDB window merge — the flat oracle for a pull or
+    * snapshot covering exactly those thirds).
+    */
+  private def lifecycleOracle(tag: String, residues: String, tombstones: Boolean): String =
+    s"""SELECT '$tag' AS pull, user_id, event_id, value, __op, __deleted FROM (
+       |  SELECT user_id, event_id, value,
+       |    CASE WHEN event_type='signup' THEN 'c'
+       |         WHEN event_type='error'  THEN 'd' ELSE 'u' END AS __op,
+       |    CASE WHEN event_type='error' THEN 'true' ELSE 'false' END AS __deleted,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+       |  FROM events WHERE event_id % 3 IN ($residues)) t
+       |WHERE rn = 1${if (tombstones) "" else " AND __deleted = 'false'"}""".stripMargin
+
+  val q124Oracle: String =
+    lifecycleOracle("pull_1_2", "2", tombstones = true) +
+      "\nUNION ALL\n" +
+      lifecycleOracle("pull_0_2", "1, 2", tombstones = true) +
+      "\nORDER BY pull, user_id"
+
+  /** q125 — TIME TRAVEL (the Hudi `as.of.instant` snapshot read): over
+    * the same staged lifecycle, the merged table state at instant 1 (the
+    * world BEFORE third 2's commit — thirds 0 ∪ 1 merged) and at instant
+    * 2 (≡ `realTime`, q24's answer), unioned under an `asof` tag. Drop
+    * mode, like q24: a snapshot read hides tombstoned keys. The two
+    * snapshots resolve from the SAME live table — no rewind, no copy:
+    * the timeline's immutable (base, delta) artifacts make any retained
+    * instant reconstructible at read time.
+    */
+  def q125CdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = stagedLifecycle(s, dir, "q125")
+    def tagged(tag: String, snap: DataFrame): DataFrame =
+      snap.select(lit(tag).as("pull"),
+        $"user_id", $"event_id", $"value", $"__op", $"__deleted")
+    tagged("asof_1", table.asOf(1, CdcMerge.Drop))
+      .unionByName(tagged("asof_2", table.asOf(2, CdcMerge.Drop)))
+      .orderBy($"pull", $"user_id")
+  }
+
+  val q125Oracle: String =
+    lifecycleOracle("asof_1", "0, 1", tombstones = false) +
+      "\nUNION ALL\n" +
+      lifecycleOracle("asof_2", "0, 1, 2", tombstones = false) +
+      "\nORDER BY pull, user_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_cdc_lake_upsert" -> (q24CdcLakeUpsert _),
     "q33_cdc_stream_upsert" -> (q33CdcStreamUpsert _),
-    "q86_cdc_stream_upsert_crash" -> (q86CdcStreamUpsertCrash _))
+    "q86_cdc_stream_upsert_crash" -> (q86CdcStreamUpsertCrash _),
+    "q124_cdc_incremental_pull" -> (q124CdcIncrementalPull _),
+    "q125_cdc_time_travel" -> (q125CdcTimeTravel _))
 
   val oracles: Map[String, String] = Map(
     "q24_cdc_lake_upsert" -> q24Oracle,
@@ -246,5 +361,7 @@ object CdcQueries {
     // batch ingestion, streaming ingestion, and CRASHED-AND-REPLAYED
     // streaming ingestion of the same changelog must converge to the
     // same table
-    "q86_cdc_stream_upsert_crash" -> q24Oracle)
+    "q86_cdc_stream_upsert_crash" -> q24Oracle,
+    "q124_cdc_incremental_pull" -> q124Oracle,
+    "q125_cdc_time_travel" -> q125Oracle)
 }

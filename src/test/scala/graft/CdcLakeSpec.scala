@@ -10,7 +10,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{CdcMerge, CdcTable}
+import graft.operators.{CdcMerge, CdcTable, InstantUnavailableException}
 
 /** CDC lake lifecycle (SURVEY K10/S6/ST9): the `_ro`/`_rt` view contract,
   * compaction, cross-partition key moves, streaming foreachBatch upserts,
@@ -218,6 +218,56 @@ class CdcLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.upsert(img((1L, "A3", "American", "false", 40L)))
     assert(t.realTime().filter(col("artist_id") === 1L)
       .head().getAs[String]("name") === "A3")
+  }
+
+  test("timeline reads: incremental pull and as-of snapshots, retention-bounded by name") {
+    val t = newTable()
+    t.bulkInsert(img(
+      (1L, "A", "American", "false", 10L),
+      (2L, "B", "British", "false", 10L)))
+    t.upsert(img((1L, "A2", "American", "false", 20L)))                // instant 1
+    t.upsert(img((2L, "B2", "British", "false", 30L),
+                 (3L, "C", "Canadian", "false", 30L)))                 // instant 2
+    assert(t.latestCommit === 2L)
+
+    def names(df: DataFrame): Map[Long, String] =
+      df.select(col("artist_id"), col("name")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // a consumer checkpointed at instant 1 sees ONLY instant 2's images
+    assert(names(t.incremental(1, 2)) === Map(2L -> "B2", 3L -> "C"))
+    // a pull spanning commits merges latest-wins across them
+    t.upsert(img((3L, "C2", "Canadian", "false", 40L)))                // instant 3
+    assert(names(t.incremental(0, 3)) === Map(1L -> "A2", 2L -> "B2", 3L -> "C2"))
+    // as-of the newest instant ≡ realTime; as-of 1 excludes later commits
+    assert(rowSet(t.asOf(t.latestCommit)) === rowSet(t.realTime()))
+    assert(names(t.asOf(1)) === Map(1L -> "A2", 2L -> "B"))
+
+    // delete visibility through the pull: Rewrite keeps the tombstone
+    // image (the consumer propagates the delete), Drop hides the key
+    t.upsert(img((2L, "B2", "British", "true", 50L)))                  // instant 4
+    assert(t.incremental(3, 4).filter(col("__deleted") === "true")
+      .count() === 1)
+    assert(t.incremental(3, 4, CdcMerge.Drop).count() === 0)
+
+    // instants beyond the timeline are refused by name
+    intercept[InstantUnavailableException] { t.asOf(99) }
+    intercept[InstantUnavailableException] { t.incremental(0, 99) }
+
+    // retention bound: compaction advances the fold point, so pre-fold
+    // as-ofs are refused immediately...
+    t.compact() // fold point 4
+    intercept[InstantUnavailableException] { t.asOf(3) }
+    assert(rowSet(t.asOf(4)) === rowSet(t.realTime()))
+    // ...and the NEXT pointer commit lets the retain-one cleaner collect
+    // the previously-folded deltas: origin pulls are refused by name,
+    // while a consumer whose checkpoint stayed within one compaction
+    // cycle keeps reading (the just-folded delta has one cycle of grace)
+    t.upsert(img((1L, "A3", "American", "false", 60L)))                // instant 5
+    t.compact() // fold point 5; cleaner collects deltas ≤ 4
+    val e = intercept[InstantUnavailableException] { t.incremental(0, 5) }
+    assert(e.getMessage.contains("cleaner"))
+    assert(names(t.incremental(4, 5)) === Map(1L -> "A3"))
   }
 
   test("merge laws: idempotence, incremental == full, stale batch cannot regress") {

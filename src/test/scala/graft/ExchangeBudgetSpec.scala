@@ -68,6 +68,11 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q22_partitioned_sink" -> 2,
     "q23_csv_roundtrip" -> 1,
     "q24_cdc_lake_upsert" -> 2,    // ONE global key shuffle folds base+log
+    // one key-merge shuffle per pulled range + the presentation sort;
+    // each pull reads ONLY its in-range delta commits (O(changes))
+    "q124_cdc_incremental_pull" -> 3,
+    // one key-merge shuffle per as-of snapshot + the presentation sort
+    "q125_cdc_time_travel" -> 3,
     "q25_country_sales_agg" -> 2,
     "q26_summary_topic" -> 2,
     "q27_simhash_neardup" -> 1,    // banded self-join broadcasts: one sort
