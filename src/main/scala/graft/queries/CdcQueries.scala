@@ -15,6 +15,22 @@ object CdcQueries {
   private def scratch(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
 
+  /** Wipe a gate's scratch root so every run stages a FRESH table (and,
+    * for the streaming gates, a fresh checkpoint): a surviving dir would
+    * re-seat the timeline (a re-staged bulkInsert's fold point advances
+    * past the previous run's deltas) or mark incoming-file offsets as
+    * already committed.
+    */
+  private def freshDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach((f: java.nio.file.Path) => java.nio.file.Files.delete(f))
+      finally st.close()
+    }
+  }
+
   /** q24 — CDC lake upsert lifecycle: the events-derived rewrite-mode
     * changelog (q12's lineage) is split into three deterministic batches;
     * batch 0 bulk-inserts the partitioned base, batches 1 and 2 land as
@@ -83,15 +99,7 @@ object CdcQueries {
     val path = scratch(s"q33_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     // fresh table AND fresh checkpoint: a stale checkpoint would mark the
     // incoming files' offsets as already committed and skip batches
-    locally {
-      val p = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(p)) {
-        val st = java.nio.file.Files.walk(p)
-        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach((f: java.nio.file.Path) => java.nio.file.Files.delete(f))
-        finally st.close()
-      }
-    }
+    freshDir(path)
     val op = when($"event_type" === "signup", "c")
       .when($"event_type" === "error", "d")
       .otherwise("u")
@@ -162,15 +170,7 @@ object CdcQueries {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val path = scratch(s"q86_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    locally {
-      val p = Paths.get(path)
-      if (Files.exists(p)) {
-        val st = Files.walk(p)
-        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach((f: java.nio.file.Path) => Files.delete(f))
-        finally st.close()
-      }
-    }
+    freshDir(path)
     val op = when($"event_type" === "signup", "c")
       .when($"event_type" === "error", "d")
       .otherwise("u")
@@ -242,19 +242,9 @@ object CdcQueries {
   private def stagedLifecycle(s: SparkSession, dir: String, name: String): CdcTable = {
     import s.implicits._
     val path = scratch(s"${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    // fresh table: on a surviving scratch dir a re-staged bulkInsert
-    // RESETS the timeline past the previous run's deltas (its fold point
-    // advances), so the gates' absolute instants 1 and 2 would name the
-    // wrong commits — same wipe discipline as q33/q86
-    locally {
-      val p = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(p)) {
-        val st = java.nio.file.Files.walk(p)
-        try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach((f: java.nio.file.Path) => java.nio.file.Files.delete(f))
-        finally st.close()
-      }
-    }
+    // fresh table: the gates' absolute instants 1 and 2 must name THESE
+    // upserts' commits (see freshDir)
+    freshDir(path)
     val op = when($"event_type" === "signup", "c")
       .when($"event_type" === "error", "d")
       .otherwise("u")
@@ -348,12 +338,60 @@ object CdcQueries {
       lifecycleOracle("asof_2", "0, 1, 2", tombstones = false) +
       "\nORDER BY pull, user_id"
 
+  /** q126 — the CHAINED INCREMENTAL PIPELINE: a downstream lake table
+    * maintained PURELY from the upstream table's timeline reads — seeded
+    * with `asOf(0)` (the upstream snapshot at the consumer's start
+    * checkpoint) and then advanced one `incremental(ckpt, ckpt+1)` pull
+    * per upstream commit, each landed as a downstream upsert. This is
+    * the production pattern the read modes exist for (a
+    * continuously-running DeltaStreamer is an incremental consumer and
+    * multi-hop Hudi lakes chain tables this way — ref
+    * `deltastreamer_jobs_cont_bkgd.sh`): each hop moves O(changes) per
+    * cycle, never O(table), so a 100 TB upstream costs the downstream
+    * only its delta stream.
+    *
+    * The final pull is then delivered a SECOND time — the at-least-once
+    * crash shape (consumer dies between its upsert and its checkpoint
+    * write, then replays the pull; q86's crash geometry, here at the
+    * pull boundary). Convergence is semantic idempotence: the replayed
+    * images are bit-identical, so the latest-wins merge collapses them.
+    *
+    * The ORACLE IS q24's: a downstream maintained by seeded snapshot +
+    * per-commit incremental pulls + a duplicated replay must converge to
+    * the upstream's own merged snapshot — the timeline-read analogue of
+    * the batch/streaming/crash-replay convergence the q24/q33/q86 trio
+    * pins.
+    */
+  def q126CdcChainedPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val upstream = stagedLifecycle(s, dir, "q126up")
+    val dnPath = scratch(s"q126dn_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    freshDir(dnPath)
+    val downstream = new CdcTable(s, dnPath,
+      keyCols = Seq("user_id"),
+      orderingCols = Seq("__source_ts_ms", "event_id"),
+      partitionCol = "event_type")
+    downstream.bulkInsert(upstream.asOf(0))
+    var ckpt = 0L // the consumer's durable position on the upstream timeline
+    while (ckpt < upstream.latestCommit) {
+      downstream.upsert(upstream.incremental(ckpt, ckpt + 1))
+      ckpt += 1
+    }
+    // at-least-once replay of the final pull (crash before the
+    // checkpoint write): the merge must collapse the duplicate images
+    downstream.upsert(upstream.incremental(ckpt - 1, ckpt))
+    downstream.realTime(CdcMerge.Drop)
+      .select($"user_id", $"event_id", $"value", $"__op")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_cdc_lake_upsert" -> (q24CdcLakeUpsert _),
     "q33_cdc_stream_upsert" -> (q33CdcStreamUpsert _),
     "q86_cdc_stream_upsert_crash" -> (q86CdcStreamUpsertCrash _),
     "q124_cdc_incremental_pull" -> (q124CdcIncrementalPull _),
-    "q125_cdc_time_travel" -> (q125CdcTimeTravel _))
+    "q125_cdc_time_travel" -> (q125CdcTimeTravel _),
+    "q126_cdc_chained_pipeline" -> (q126CdcChainedPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q24_cdc_lake_upsert" -> q24Oracle,
@@ -363,5 +401,8 @@ object CdcQueries {
     // same table
     "q86_cdc_stream_upsert_crash" -> q24Oracle,
     "q124_cdc_incremental_pull" -> q124Oracle,
-    "q125_cdc_time_travel" -> q125Oracle)
+    "q125_cdc_time_travel" -> q125Oracle,
+    // a downstream maintained by seeded snapshot + per-commit pulls +
+    // a duplicated replay converges to the upstream's merged snapshot
+    "q126_cdc_chained_pipeline" -> q24Oracle)
 }

@@ -73,6 +73,9 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q124_cdc_incremental_pull" -> 3,
     // one key-merge shuffle per as-of snapshot + the presentation sort
     "q125_cdc_time_travel" -> 3,
+    // the returned plan is the DOWNSTREAM table's q24-shaped _rt read;
+    // the per-commit pulls execute during staging, outside this plan
+    "q126_cdc_chained_pipeline" -> 2,
     "q25_country_sales_agg" -> 2,
     "q26_summary_topic" -> 2,
     "q27_simhash_neardup" -> 1,    // banded self-join broadcasts: one sort
