@@ -119,34 +119,43 @@ object LlmQueries {
     * the hash-once shingle base value, 3 bands × 3 rows, band key =
     * the ':'-joined row triple.
     *
-    * Shuffle-based minhash: the (doc, seed) min combines map-side so the
-    * shuffle carries 9 longs per document, and identical aggregation
-    * subtrees under a self-join collapse via ReuseExchange. *_outer
-    * generators + explicit null filters: the non-outer forms trigger
-    * InferFiltersFromGenerate, which clones the whole generator child
-    * expression into a Filter that predicate pushdown then moves below
-    * the repartition — duplicated CPU on the scan's single input
-    * partition (measured 6x slowdown at sf0.1).
+    * Shuffle-based minhash, ONE aggregation (optimization round 17,
+    * guide §2.3/§2.4 — aggregate before you shuffle, then remove the
+    * second shuffle outright): the 9 per-seed minima are 9 `min`
+    * aggregates of ONE `groupBy(doc_id)` over the shingle-hash rows, so
+    * partial aggregation combines map-side and the single shuffle
+    * carries one row of 9 longs per document. The previous spelling
+    * posexploded 9 hash rows per shingle (9× the aggregate input) and
+    * paid a second (doc_id, band) shuffle to assemble band keys; band
+    * assembly is now a map-side 3-struct explode after the aggregate —
+    * same rows, one Exchange instead of two, 9× fewer agg-input rows.
+    * Identical aggregation subtrees under a self-join still collapse
+    * via ReuseExchange. *_outer generators + explicit null filters: the
+    * non-outer forms trigger InferFiltersFromGenerate, which clones the
+    * whole generator child expression into a Filter that predicate
+    * pushdown then moves below the repartition — duplicated CPU on the
+    * scan's single input partition (measured 6x slowdown at sf0.1).
     */
   private[graft] def minhashBands(base: DataFrame): DataFrame = {
     import base.sparkSession.implicits._
-    base
+    val mins = base
       .select($"doc_id", explode_outer($"sh").as("shingle"))
       .filter($"shingle".isNotNull)
       .select($"doc_id",
         (conv(substring(md5($"shingle"), 1, 8), 16, 10).cast("long") % MinhashP).as("x"))
-      .select($"doc_id", posexplode_outer(array(minhashAB.map {
-        case (a, b) => (lit(a) * $"x" + lit(b)) % MinhashP
-      }: _*)))
-      .toDF("doc_id", "seed", "h")
-      .filter($"h".isNotNull)
-      .groupBy($"doc_id", $"seed")
-      .agg(min($"h").as("m"))
-      .groupBy($"doc_id", ($"seed" / 3).cast("int").as("band"))
-      .agg(concat_ws(":",
-        max(when($"seed" % 3 === 0, $"m")),
-        max(when($"seed" % 3 === 1, $"m")),
-        max(when($"seed" % 3 === 2, $"m"))).as("bk"))
+      .groupBy($"doc_id")
+      .agg(
+        min((lit(minhashAB.head._1) * $"x" + lit(minhashAB.head._2)) % MinhashP).as("m0"),
+        minhashAB.zipWithIndex.tail.map { case ((a, b), i) =>
+          min((lit(a) * $"x" + lit(b)) % MinhashP).as(s"m$i")
+        }: _*)
+    mins
+      .select($"doc_id", explode_outer(array((0 until 3).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", col(s"m${3 * b}"), col(s"m${3 * b + 1}"),
+            col(s"m${3 * b + 2}")).as("bk"))
+      }: _*)).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.bk".as("bk"))
   }
 
   // ---------------------------------------------------------------- q16
