@@ -86,24 +86,40 @@ class CdcTable(
 
   private def baseDir(v: Long): String = s"$root/base_v$v"
 
-  /** (live base version, log seq folded into it); (0, 0) = no base yet. */
-  private def meta: (Long, Long) =
+  /** (live base version, log seq folded into it, timeline-reset epoch
+    * floor); (0, 0, 0) = no base yet. The epoch floor is the highest seq
+    * a [[bulkInsert]] RESET discarded: those change images were never
+    * folded into the new base, so a pull whose range touches them must
+    * be refused loudly (ADVICE r16) instead of reading discarded deltas
+    * during their one cleaner cycle of grace. A two-field pointer from
+    * an older table reads as epoch 0 — no reset on its timeline.
+    */
+  private def meta: (Long, Long, Long) =
     if (Files.exists(metaFile)) {
-      val Array(v, c) = Files.readString(metaFile).trim.split(" ").map(_.toLong)
-      (v, c)
-    } else (0L, 0L)
+      val parts = Files.readString(metaFile).trim.split(" ").map(_.toLong)
+      (parts(0), parts(1), if (parts.length > 2) parts(2) else 0L)
+    } else (0L, 0L, 0L)
 
   /** Atomic pointer commit — the linearization point of bulkInsert and
-    * compact: readers see the old (base, fold point) or the new one,
-    * never an intermediate.
+    * compact: readers see the old (base, fold point, epoch) or the new
+    * one, never an intermediate.
     */
-  private def commitMeta(v: Long, c: Long): Unit = {
+  private def commitMeta(v: Long, c: Long, epoch: Long): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(s"$root/_meta.tmp")
-    Files.writeString(tmp, s"$v $c")
+    Files.writeString(tmp, s"$v $c $epoch")
     Files.move(tmp, metaFile,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Reads of the compacted base require a committed base. Refusing by
+    * name here (instead of handing Spark a nonexistent `base_v0` path)
+    * is ADVICE r16's second item: never-committed state is an
+    * [[InstantUnavailableException]], not a raw AnalysisException.
+    */
+  private def requireBase(v: Long): Unit =
+    if (v == 0L) throw new InstantUnavailableException(
+      s"CdcTable at $root has no committed base yet — bulkInsert first")
 
   private def deltaSeq(p: Path): Long =
     p.getFileName.toString.stripPrefix("delta_").toLong
@@ -168,14 +184,17 @@ class CdcTable(
     * merged — the files themselves get one cleaner cycle of grace).
     */
   def bulkInsert(changelog: DataFrame): Unit = {
-    val (v, c) = meta
+    val (v, c, _) = meta
     val cutoff = metaMtime
     val discardThrough = (deltaDirs.map(deltaSeq) :+ c).max
     merge(changelog, CdcMerge.Rewrite).write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(baseDir(v + 1))
-    commitMeta(v + 1, discardThrough)
+    // the reset is a TIMELINE EPOCH: everything at or below
+    // discardThrough was discarded, never folded — record it so
+    // incremental()/asOf() refuse stale checkpoints loudly (ADVICE r16)
+    commitMeta(v + 1, discardThrough, discardThrough)
     clean(v, c, cutoff)
   }
 
@@ -234,7 +253,11 @@ class CdcTable(
   }
 
   /** `_ro` view: the compacted base only — fast, possibly stale. */
-  def readOptimized: DataFrame = spark.read.parquet(baseDir(meta._1))
+  def readOptimized: DataFrame = {
+    val (v, _, _) = meta
+    requireBase(v)
+    spark.read.parquet(baseDir(v))
+  }
 
   /** The newest committed instant on the timeline: the highest delta
     * commit seq, or the base's fold point when the log is empty — the
@@ -269,11 +292,21 @@ class CdcTable(
   def incremental(since: Long, until: Long,
       mode: CdcMerge.DeleteMode = CdcMerge.Rewrite): DataFrame = {
     require(until > since, s"empty incremental range ($since, $until]")
-    val latest = latestCommit
+    // ONE deltaDirs snapshot drives every guard below (ADVICE r16 #3: a
+    // second listing could observe a different timeline than the first
+    // under a concurrent compact+clean and misreport which bound failed)
+    val (_, c, epoch) = meta
+    val have = deltaDirs
+    val latest = (have.map(deltaSeq) :+ c).max
+    if (since < epoch) // the range touches seqs a bulkInsert RESET discarded
+      throw new InstantUnavailableException(
+        s"incremental pull ($since, $until] predates the timeline reset at " +
+          s"$epoch: a bulkInsert discarded (never folded) every change image " +
+          "at or below it — stale checkpoints are meaningless across a " +
+          "reset; re-seed from a snapshot read (asOf)")
     if (until > latest) // also bounds the missing-seq scan below
       throw new InstantUnavailableException(
         s"incremental pull ($since, $until] ends beyond the newest commit $latest")
-    val have = deltaDirs
     val haveSeqs = have.map(deltaSeq).toSet
     val want = (since + 1) to until
     val missing = want.filterNot(haveSeqs)
@@ -302,7 +335,8 @@ class CdcTable(
     * here, and the returned plan holds immutable files.
     */
   def asOf(seq: Long, mode: CdcMerge.DeleteMode = CdcMerge.Rewrite): DataFrame = {
-    val (v, c) = meta
+    val (v, c, _) = meta
+    requireBase(v)
     val latest = latestCommit
     if (seq > latest)
       throw new InstantUnavailableException(
@@ -336,7 +370,8 @@ class CdcTable(
     * column ORDER is the base's, with evolved columns appended.
     */
   def realTime(mode: CdcMerge.DeleteMode = CdcMerge.Rewrite): DataFrame = {
-    val (v, c) = meta
+    val (v, c, _) = meta
+    requireBase(v)
     val base = spark.read.parquet(baseDir(v))
     val pend = pendingDeltas(c)
     val all =
@@ -356,7 +391,7 @@ class CdcTable(
     * for one more cycle, so in-flight readers are never broken.
     */
   def compact(): Unit = {
-    val (v, c) = meta
+    val (v, c, epoch) = meta
     val cutoff = metaMtime
     val pend = pendingDeltas(c)
     if (pend.isEmpty) return
@@ -364,7 +399,7 @@ class CdcTable(
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(baseDir(v + 1))
-    commitMeta(v + 1, pend.map(deltaSeq).max)
+    commitMeta(v + 1, pend.map(deltaSeq).max, epoch) // compaction never moves the epoch
     clean(v, c, cutoff)
   }
 

@@ -72,9 +72,12 @@ object VectorOps {
     */
   def signLshBucket(scaledVec: Column, planes: Seq[Seq[Int]]): Column =
     concat(planes.map { plane =>
-      val proj = aggregate(
-        zip_with(scaledVec, typedLit(plane), (x, c) => x * c),
-        lit(0L), (acc, v) => acc + v)
+      // the ±1 projection IS a long dot product against the literal
+      // plane — route it through the native codegen kernel instead of
+      // the interpreted aggregate(zip_with(...)) spelling (optimization
+      // round 17, guide §1.2 step 2 / §4): same exact integer sum, and
+      // bucket assignment stays engine-portable bit-for-bit.
+      val proj = dotL(scaledVec, typedLit(plane.map(_.toLong)))
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 }

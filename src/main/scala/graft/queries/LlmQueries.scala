@@ -978,9 +978,14 @@ object LlmQueries {
       .withColumn("wm", min($"h").over(win))
       .filter($"pos" <= $"n" - w) // full windows only (0-based start)
       .groupBy($"doc_id")
-      .agg(
-        countDistinct($"wm").as("n_fingerprints"),
-        md5(concat_ws("", array_sort(collect_set($"wm")))).as("digest"))
+      // collect_set already deduplicates, so the fingerprint count is
+      // its size — the previous countDistinct beside it made Spark plan
+      // an Expand that doubled every aggregate input row (optimization
+      // round 17, guide §2.3). Cast keeps countDistinct's LongType.
+      .agg(collect_set($"wm").as("ws"))
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_fingerprints"),
+        md5(concat_ws("", array_sort($"ws"))).as("digest"))
       .orderBy($"doc_id")
   }
 
@@ -1186,9 +1191,14 @@ object LlmQueries {
     val terms = Tables.spread(s, Tables.documents(s, dir))
       .select($"doc_id", explode_outer(TextOps.tokens(TextOps.normText($"text"))).as("term"))
       .filter($"term".isNotNull && $"term" =!= "")
+    // tf is checkpointed and df derives FROM it (optimization round 17,
+    // guide §2.3): tf already holds one row per (doc, term), so the
+    // document frequency is a plain count over tf — the previous
+    // spelling re-ran the tokenize+explode scan a second time and paid
+    // countDistinct's Expand duplication over every term row.
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy($"term")
-      .agg(countDistinct($"doc_id").as("df")).localCheckpoint()
+      .localCheckpoint()
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     TopK.perKey(tf, keys = Seq($"doc_id"),
         order = Seq($"tf".desc, $"term".asc), k = 5)
       .join(df, "term")

@@ -270,6 +270,29 @@ class CdcLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names(t.incremental(4, 5)) === Map(1L -> "A3"))
   }
 
+  test("bulkInsert reset is a timeline epoch: stale pulls refused by name, no base refused by name (ADVICE r16)") {
+    val t = newTable()
+    t.bulkInsert(img((1L, "A", "American", "false", 10L)))
+    t.upsert(img((1L, "A2", "American", "false", 20L)))                // instant 1
+    t.upsert(img((2L, "B", "British", "false", 30L)))                  // instant 2
+    // a RESET discards (never folds) instants 1 and 2; their delta dirs
+    // get one cleaner cycle of grace, but a pull covering them would
+    // read change images the new base never absorbed — refuse by name
+    t.bulkInsert(img((1L, "A9", "American", "false", 40L)))
+    val e = intercept[InstantUnavailableException] { t.incremental(0, 2) }
+    assert(e.getMessage.contains("reset"))
+    intercept[InstantUnavailableException] { t.incremental(1, 2) }
+    // post-reset commits pull normally from the reset floor
+    t.upsert(img((2L, "B9", "British", "false", 50L)))                 // instant 3
+    assert(t.incremental(2, 3).select(col("name")).head().getString(0) === "B9")
+    // a never-bulkInserted table refuses base reads by name instead of
+    // leaking a raw missing-path AnalysisException
+    val fresh = newTable()
+    intercept[InstantUnavailableException] { fresh.readOptimized }
+    intercept[InstantUnavailableException] { fresh.realTime() }
+    intercept[InstantUnavailableException] { fresh.asOf(0) }
+  }
+
   test("merge laws: idempotence, incremental == full, stale batch cannot regress") {
     val ss = spark; import ss.implicits._
     val rowGen = for {
