@@ -1544,8 +1544,10 @@ object LlmQueries {
     * re-hashing the admitted docs' shingles a second time (q89/q93/q96
     * pay the banding once per batch; the probe and the fold can never
     * disagree on a band key because they are the same materialized
-    * rows). `probe` must be `minhashBands(batchSh)` checkpointed —
-    * the one banding spelling, same as the index side.
+    * rows). `probe` must be `minhashBands(batchSh)` materialized —
+    * checkpointed directly, or a filter of a checkpointed superset
+    * banding (banding is per-doc, so the two coincide) — the one
+    * banding spelling, same as the index side.
     */
   def admitByBandFrame(
       batchSh: DataFrame, probe: DataFrame,
@@ -2273,23 +2275,31 @@ object LlmQueries {
     val corpusSh = base.filter(u >= 0.3).select($"doc_id", $"sh")
     val batch1Sh = base.filter(u >= 0.15 && u < 0.3).select($"doc_id", $"sh")
     val batch2Sh = base.filter(u < 0.15).select($"doc_id", $"sh")
+    // band the whole staged table ONCE (optimization round 17, guide
+    // §1.2 step 1): banding is a pure per-document function, so it
+    // distributes over the content-hash split filters — one minhash
+    // pass + one checkpoint serves the corpus init, batch 1's probe AND
+    // fold, and batch 2's probe, where the previous spelling ran three
+    // separate banding aggregations over the three disjoint subsets.
+    // Probe and fold still can never disagree on a band key: both are
+    // filters of the SAME materialized frame (admitByBandFrame's law).
+    // (This is gate staging — a production ingest bands each arriving
+    // batch once as it arrives, which is exactly what each filter is.)
+    val allBands = minhashBands(base).localCheckpoint()
     val ix = new StandingIndex(s, s"${tag}_band_ix", buckets = 4,
       keys = Seq("band", "bk"))
-    ix.init(minhashBands(corpusSh).select($"doc_id", $"band", $"bk"))
-    // band batch 1 ONCE: the checkpointed frame serves the probe (every
-    // per-segment join branch + the in-batch self-join) AND the fold of
-    // the admitted subset — one minhash pass per batch, and probe and
-    // fold can never disagree on a band key (admitByBandFrame's law)
-    val bands1 = minhashBands(batch1Sh).select($"doc_id", $"band", $"bk")
-      .localCheckpoint()
+    ix.init(allBands.filter(u >= 0.3).select($"doc_id", $"band", $"bk"))
+    val bands1 = allBands.filter(u >= 0.15 && u < 0.3)
+      .select($"doc_id", $"band", $"bk")
     val admit1 = admitByBandFrame(batch1Sh, bands1, ix.segments, corpusSh)
       .localCheckpoint() // emitted AND reused as batch 2's blocker set
     val admitted1Sh = batch1Sh.join(admit1.select($"doc_id"), "doc_id")
     ix.fold(bands1.join(admit1.select($"doc_id"), "doc_id")
       .select($"doc_id", $"band", $"bk"))
     if (compactBetween) ix.compact() // q93: merge corpus + fold into ONE segment
-    val admit2 = admitByBandSegments(
-      batch2Sh, ix.segments, corpusSh.unionByName(admitted1Sh))
+    val bands2 = allBands.filter(u < 0.15).select($"doc_id", $"band", $"bk")
+    val admit2 = admitByBandFrame(
+      batch2Sh, bands2, ix.segments, corpusSh.unionByName(admitted1Sh))
     admit1.withColumn("batch", lit(1))
       .unionByName(admit2.withColumn("batch", lit(2)))
       .select($"doc_id", $"batch", $"n_shingles")
