@@ -28,19 +28,37 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"plans/$tag"))
+    // Bench's cpu-calibration probe (fixed in-memory codegen aggregation)
+    // bracketing each query: under the box's co-tenant load the
+    // normalized min (raw / bracket-avg calibration) is the comparable
+    // number across runs taken hours apart.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 7) AS s", "count(*) AS n")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the probe's codegen
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"plans/$tag/${name}_$suffix.txt"), txt)
       // warm twice so codegen/classloading lands outside the reported run
-      val times = (1 to 3).map { _ =>
+      val samples = (1 to 3).map { _ =>
+        val c0 = calibrate()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        val c1 = calibrate()
+        (t, t / ((c0 + c1) / 2.0))
       }
-      println(f"[plandump] $name $suffix: ${times.map(t => f"$t%.3f").mkString(" ")} (min ${times.min}%.3f)")
+      val times = samples.map(_._1)
+      val norms = samples.map(_._2)
+      println(f"[plandump] $name $suffix: ${times.map(t => f"$t%.3f").mkString(" ")} " +
+        f"(min ${times.min}%.3f, norm_min ${norms.min}%.3f)")
     }
     spark.stop()
   }
