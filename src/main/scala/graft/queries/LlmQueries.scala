@@ -191,6 +191,19 @@ object LlmQueries {
       .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
       .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
       .localCheckpoint()
+    neardupPairs(base).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q16's candidate + exact-Jaccard-confirm pipeline over a
+    * MATERIALIZED (doc_id, sh, …) frame, sort-free — shared by q16, the
+    * dedup clustering (q40), and the corpus-prep capstone (q46), so a
+    * composite can feed it a WIDER checkpointed base and pay one text
+    * scan instead of one per stage (optimization round 17, guide §1.2-1).
+    * Returns confirmed pairs (doc_a, doc_b, common_shingles,
+    * union_shingles, jaccard ≥ 0.8).
+    */
+  private def neardupPairs(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
     val bands = minhashBands(base)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -205,7 +218,6 @@ object LlmQueries {
       .withColumn("jaccard", $"common_shingles".cast("double") / $"union_shingles")
       .filter($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", $"common_shingles", $"union_shingles", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
   }
 
   val q16Oracle: String = {
@@ -1035,9 +1047,13 @@ object LlmQueries {
     */
   private def dedupLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val base = Tables.spread(s, Tables.documents(s, dir))
+      .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
+      .localCheckpoint()
     graft.operators.ConnectedComponents.labels(
       Tables.documents(s, dir).select($"doc_id"),
-      q16NearDupLsh(s, dir).select($"doc_a", $"doc_b"))
+      neardupPairs(base).select($"doc_a", $"doc_b"))
   }
 
   def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -1096,11 +1112,13 @@ object LlmQueries {
     */
   def q46CorpusPrep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val canonical = dedupLabels(s, dir).filter($"doc_id" === $"label")
-      .select($"doc_id")
-    val spread = Tables.spread(s, Tables.documents(s, dir))
     val norm = TextOps.normText($"text")
-    val scored = spread
+    // ONE text scan (optimization round 17, guide §1.2-1): the shingle
+    // arrays for the near-dup clustering AND the quality/split scalars
+    // ride one checkpointed frame — the previous spelling scanned and
+    // re-tokenized the corpus twice (once inside dedupLabels' q16
+    // pipeline, once for the quality score).
+    val base = Tables.spread(s, Tables.documents(s, dir))
       .withColumn("norm", norm)
       .withColumn("toks", TextOps.tokens($"norm"))
       .withColumn("n_tokens", size($"toks"))
@@ -1114,7 +1132,14 @@ object LlmQueries {
         conv(substring(md5($"norm"), 1, 15), 16, 10).cast("long") % 100)
       .withColumn("split",
         when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
-    scored.join(canonical, "doc_id")
+      .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"),
+        $"n_chars", $"quality", $"split")
+      .localCheckpoint()
+    val labels = graft.operators.ConnectedComponents.labels(
+      Tables.documents(s, dir).select($"doc_id"),
+      neardupPairs(base.select($"doc_id", $"sh")).select($"doc_a", $"doc_b"))
+    val canonical = labels.filter($"doc_id" === $"label").select($"doc_id")
+    base.join(canonical, "doc_id")
       .filter($"quality" >= 0.5)
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"),
