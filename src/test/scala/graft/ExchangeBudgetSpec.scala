@@ -59,7 +59,7 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q13_json_roundtrip" -> 2,
     "q14_dedup_exact" -> 2,        // digest groupBy reused by survivor agg
     "q15_dedup_bag" -> 2,
-    "q16_neardup_lsh" -> 4,        // (band,key) shuffle + candidate join + confirm
+    "q16_neardup_lsh" -> 2,        // ONE band-build shuffle (r17 single-agg minhash) + output sort
     "q17_text_stats" -> 2,
     "q18_cosine_topk" -> 2,
     "q19_ann_lsh" -> 2,
@@ -93,10 +93,10 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q40_dedup_clusters" -> 6,     // CC loop's final merged plan
     "q41_unpivot_events" -> 4,
     "q42_quantile_disc" -> 2,
-    "q43_top_terms" -> 4,          // tf/df aggs + native top-k + sort
+    "q43_top_terms" -> 3,          // tf agg (df derives from checkpointed tf) + top-k + sort
     "q44_window_analytics" -> 2,
     "q45_user_setops" -> 6,        // three set ops, two shuffles each
-    "q46_corpus_prep" -> 5,
+    "q46_corpus_prep" -> 4,
     "q47_json_extract" -> 3,
     // measured plan: the corpus side broadcasts at fixture scale
     // (BroadcastHashJoin LeftAnti, no join shuffle), leaving the
@@ -104,13 +104,12 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the corpus stops broadcasting, the anti-join adds its per-side
     // fingerprint shuffles — re-pin deliberately via ExchangeAudit
     "q73_incremental_dedup" -> 2,
-    // band build (2 aggs, ReuseExchange-collapsed across its 4 uses) +
-    // probe/corpus/batch join sides + candidate distinct + the two
-    // shingle join-backs + rejected distinct + anti-join + final sort;
-    // at fixture scale AQE converts the small candidate sides to
-    // broadcast at runtime, and at 100 TB the corpus side is the
-    // bucketed standing band index (BucketingSpec) — zero-exchange there
-    "q75_incremental_neardup" -> 10,
+    // ONE band-build agg (r17 single-agg minhash, ReuseExchange-shared
+    // across its uses) + candidate distinct + rejected distinct + final
+    // sort; the shingle join-backs and candidate sides broadcast at
+    // fixture scale, and at 100 TB the corpus side is the bucketed
+    // standing band index (BucketingSpec) — zero-exchange there
+    "q75_incremental_neardup" -> 4,
     // admission keep-first window (fingerprint) + packing window
     // (split, source, shard — groupBy reuses it) + presentation sort;
     // the corpus anti-join broadcasts at fixture scale (bucketed
@@ -137,7 +136,7 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // checkpointed shingle frame; candidate sides broadcast at fixture
     // scale, train side = the standing band index at 100 TB (q75's
     // bucketed discipline)
-    "q81_decontamination" -> 6,
+    "q81_decontamination" -> 5,
     // PrefixSum's two-phase scan over the checkpointed scalar quality
     // frame: range partition + (run, source) local window hash +
     // offsets agg + offsets window (kilobyte frame) + per-source counts
@@ -154,16 +153,17 @@ class ExchangeBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // frame (batch-2's round reads the folded standing index, so its
     // candidate branch fans over two bucketed segments); each round's
     // probe bands are checkpointed (admitByBandSegments), which is what
-    // keeps the static count at 7 — the band-build aggs are paid once
-    // per round, not once per join branch. The fold's own segment write
+    // keeps the static count bounded — the (r17: single) band-build agg
+    // is paid once for the whole staged table, not per join branch or
+    // per round. The fold's own segment write
     // is outside the returned plan. Candidate sides broadcast at
     // fixture scale; index side is zero-exchange per segment at 100 TB
     // (BucketingSpec's maintained-index law)
-    "q89_index_maintenance" -> 7,
+    "q89_index_maintenance" -> 6,
     // q89's shape with a compact between fold and second admission —
     // the compact write is outside the returned plan, and batch 2
     // probes ONE merged segment instead of two, same static count
-    "q93_compacted_maintenance" -> 7,
+    "q93_compacted_maintenance" -> 6,
     // TWO q80-shaped admission rounds over the checkpointed vector
     // sketch (candidate/blocker sides broadcast at fixture scale, so
     // only the rejected distincts + final sorts shuffle; per-segment
