@@ -542,16 +542,27 @@ object LlmQueries {
     def ones(p: Int) =
       if (p < 32) col(s"s$p").bitwiseAND(4294967295L)
       else shiftright(col(s"s${p - 32}"), 32)
-    // localCheckpoint: the signature table is 64 chars/doc; materializing
-    // it once keeps the band self-join (and the hamming stage) from
-    // re-running the shingle+md5 pipeline per reference — the "persist
-    // your sketches" rule any 100 TB dedup run follows.
+    // The signature is ONE packed long (bit p = majority vote of bit p),
+    // not a 64-char string: band keys are 16-bit slices, Hamming distance
+    // is bit_count(xor) — the oracle's string spelling and this long are
+    // related by the bijection "char i of s" = "bit i-1 of the long", so
+    // band-key equality (same 16 bits) and Hamming (count of differing
+    // bits) are preserved exactly; (doc_a, doc_b, hamming) is identical.
+    // The self-join + distinct shuffle 8-byte longs instead of two
+    // 64-char strings per row, and the confirm is 2 integer ops instead
+    // of 64 substring compares.
+    // localCheckpoint: materializing the signature table once keeps the
+    // band self-join (and the hamming stage) from re-running the
+    // shingle+md5 pipeline per reference — the "persist your sketches"
+    // rule any 100 TB dedup run follows.
     val sig = tallies
-      .select($"doc_id", concat((0 until 64).map(p =>
-        when(ones(p) * 2 > $"n", "1").otherwise("0")): _*).as("s"))
+      .select($"doc_id", (0 until 64).map(p =>
+        when(ones(p) * 2 > $"n", lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("s"))
       .localCheckpoint()
     val bandRows = sig.select($"doc_id", $"s", explode_outer(array(
-        (0 until 4).map(b => struct(lit(b).as("b"), substring($"s", 1 + 16 * b, 16).as("bk"))): _*)).as("band"))
+        (0 until 4).map(b => struct(lit(b).as("b"),
+          shiftrightunsigned($"s", 16 * b).bitwiseAND(0xFFFFL).as("bk"))): _*)).as("band"))
       .select($"doc_id", $"s", $"band.b", $"band.bk")
     val cand = bandRows.as("x")
       .join(bandRows.as("y"),
@@ -559,10 +570,8 @@ object LlmQueries {
       .select($"x.doc_id".as("doc_a"), $"x.s".as("sa"),
         $"y.doc_id".as("doc_b"), $"y.s".as("sb"))
       .distinct()
-    val hamming = (1 to 64).map(i =>
-      when(expr(s"substring(sa, $i, 1) <> substring(sb, $i, 1)"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.select($"doc_a", $"doc_b", hamming.cast("long").as("hamming"))
+    cand.select($"doc_a", $"doc_b",
+        bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
       .filter($"hamming" <= 3)
       .orderBy($"doc_a", $"doc_b")
   }

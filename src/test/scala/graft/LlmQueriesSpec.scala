@@ -212,6 +212,37 @@ class LlmQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigs(1L) === sigs(2L))
   }
 
+  test("simhash packed-long band keys and bit_count hamming agree with the " +
+      "oracle's 64-char string spelling (q27's rewrite law)") {
+    val ss = spark; import ss.implicits._
+    // adversarial bit patterns: sign bit, band boundaries, all-ones/zeros
+    val vals = Seq(0L, -1L, 1L, Long.MinValue, Long.MaxValue,
+      0x8000000000000001L, 0x0000FFFF0000FFFFL, 0x123456789ABCDEF0L,
+      -42L, 7L << 15, 1L << 16, 1L << 63 | 1L << 31)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+    // the string the oracle builds: char i (1-based) = bit i-1 of the long
+    val asStr = concat((0 until 64).map(p =>
+      when(shiftright($"s", p).bitwiseAND(1) === 1, "1").otherwise("0")): _*)
+    val rows = df.select($"id", $"s", asStr.as("str"),
+      array((0 until 4).map(b => struct(
+        shiftrightunsigned($"s", 16 * b).bitwiseAND(0xFFFFL).as("bkLong"),
+        substring(asStr, 1 + 16 * b, 16).as("bkStr"))): _*).as("bands"))
+      .localCheckpoint()
+    val strHam = (1 to 64).map(i =>
+      when(substring($"x.str", i, 1) =!= substring($"y.str", i, 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val checked = rows.as("x").crossJoin(rows.as("y")).select(
+      ((0 until 4).map(b =>
+        (($"x.bands"(b)("bkLong") === $"y.bands"(b)("bkLong")) ===
+          ($"x.bands"(b)("bkStr") === $"y.bands"(b)("bkStr"))).as(s"band$b")) :+
+        (bit_count($"x.s".bitwiseXOR($"y.s")).cast("long") === strHam)
+          .as("ham")): _*)
+      .collect()
+    assert(checked.length === vals.length * vals.length)
+    assert(checked.forall(r => (0 until 5).forall(r.getBoolean)),
+      "a band-key or hamming spelling diverged from the string semantics")
+  }
+
   test("standing-index probe APIs reproduce the single-table gates " +
       "(q73 ≡ admitByFingerprint, q75 ≡ admitByBandIndex on the split inputs)") {
     val ss = spark; import ss.implicits._
