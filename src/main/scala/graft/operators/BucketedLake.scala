@@ -39,23 +39,47 @@ object BucketedLake {
     */
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int,
-      key: String, moreKeys: String*): Unit = {
+      key: String, moreKeys: String*): Unit =
+    write(df, table, buckets, key +: moreKeys, refresh = true)
+
+  /** [[writeBucketed]] minus the post-write relation refresh — for a
+    * STAGING name that the caller renames away in its very next
+    * statement and refreshes under the FINAL name (StandingIndex's
+    * publish path): refreshing a name that is about to die is a wasted
+    * catalog round-trip on every fold (optimization round 18, §1.2-1 —
+    * the per-publish constant is the ingest loop's fixed cost). Every
+    * OVERWRITE-in-place caller keeps [[writeBucketed]]'s refresh: a
+    * reader resolving an overwritten name must never see the previous
+    * incarnation's dead file listing.
+    */
+  def writeBucketedStaging(
+      df: DataFrame, table: String, buckets: Int,
+      key: String, moreKeys: String*): Unit =
+    write(df, table, buckets, key +: moreKeys, refresh = false)
+
+  private def write(
+      df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String], refresh: Boolean): Unit = {
     val spark = df.sparkSession
     // the orphan-location cleanup below derives warehouse/<table>, which
     // only holds for unqualified names in the default database — a
     // qualified db.table would clean (or worse, delete) the wrong path
     require(!table.contains('.'),
       s"writeBucketed takes an unqualified table name in the default database, got '$table'")
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // guarded cleanup: the common write has no previous incarnation, and
+    // the in-memory existence probe is ~5x cheaper than parsing and
+    // executing a no-op DROP statement (measured via SegmentProbe) —
+    // per-fold constants add up in a continuous ingest loop
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(
       warehouse, table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.repartition(buckets, (key +: moreKeys).map(col): _*)
+    df.repartition(buckets, keys.map(col): _*)
       .write
-      .bucketBy(buckets, key, moreKeys: _*)
-      .sortBy(key, moreKeys: _*)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
     // drop any cached relation/file listing from a previous incarnation
@@ -63,6 +87,6 @@ object BucketedLake {
     // see the new files, not a stale FileIndex (observed: a replayed
     // streaming fold rewrote a segment and the next batch's probe read
     // the dead part-file list)
-    spark.catalog.refreshTable(table)
+    if (refresh) spark.catalog.refreshTable(table)
   }
 }

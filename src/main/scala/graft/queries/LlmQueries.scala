@@ -1060,13 +1060,28 @@ object LlmQueries {
       .select($"doc_id", TextOps.tokens(TextOps.normText($"text")).as("toks"))
       .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"))
       .localCheckpoint()
+    // the node universe is served from the SAME checkpointed base the
+    // shingle pipeline reads (optimization round 18, guide §1.2-1/§2.4):
+    // the previous spelling re-scanned documents.parquet for the ids,
+    // and q40's double labels reference paid that scan twice
     graft.operators.ConnectedComponents.labels(
-      Tables.documents(s, dir).select($"doc_id"),
+      base.select($"doc_id"),
       neardupPairs(base).select($"doc_a", $"doc_b"))
   }
 
   def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // labels feeds BOTH the cluster-size aggregate and the per-doc join
+    // back. The doubled subtree is cheap by construction: CC's edge set
+    // is checkpointed inside `labels`, and with the node universe served
+    // from the checkpointed shingle base (dedupLabels) the replayed part
+    // is one narrow neighborhood-min aggregate + join of two-long rows —
+    // a same-JVM A/B (Q40Probe) showed checkpointing `labels` here costs
+    // more (one extra eager job) than the replay it saves, at sf0.1 and
+    // by the same argument at scale. Sizes stay a groupBy + join
+    // (map-side combinable), NOT a window count over canonical_id — a
+    // template-spam mega-cluster must not funnel through one window task
+    // (q85's skew rationale).
     val labels = dedupLabels(s, dir)
     val sizes = labels.groupBy($"label".as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -1144,8 +1159,10 @@ object LlmQueries {
       .select($"doc_id", TextOps.shingles($"toks", 3).as("sh"),
         $"n_chars", $"quality", $"split")
       .localCheckpoint()
+    // node universe from the checkpointed base, not a second
+    // documents.parquet scan (same round-18 change as [[dedupLabels]])
     val labels = graft.operators.ConnectedComponents.labels(
-      Tables.documents(s, dir).select($"doc_id"),
+      base.select($"doc_id"),
       neardupPairs(base.select($"doc_id", $"sh")).select($"doc_a", $"doc_b"))
     val canonical = labels.filter($"doc_id" === $"label").select($"doc_id")
     base.join(canonical, "doc_id")
