@@ -210,7 +210,21 @@ object LlmQueries {
         $"a.band" === $"b.band" && $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    cand
+    // size prefilter BELOW the array join-back (optimization round 18,
+    // guide §3.2's shape — drop definitely-non-matching pairs before the
+    // heavy side moves): J ≥ 0.8 forces |∩|/|∪| ≤ min/max, so a pair
+    // whose shingle-set sizes differ by more than 5:4 can never confirm.
+    // The prefilter join carries one int per doc; only survivors pull
+    // full shingle arrays — at 100 TB candidates outgrow broadcast and
+    // the arrays are the shuffle payload (integer-exact: 5·min ≥ 4·max ⟺
+    // ratio ≥ 0.8, no doubles cross the gate).
+    val sizes = base.select($"doc_id", size($"sh").as("n"))
+    val slim = cand
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .filter(least($"na", $"nb") * 5 >= greatest($"na", $"nb") * 4)
+      .select($"doc_a", $"doc_b")
+    slim
       .join(base.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(base.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .withColumn("common_shingles", size(array_intersect($"sh_a", $"sh_b")))
@@ -512,27 +526,34 @@ object LlmQueries {
     // md5. (Any fixed bit layout works: Hamming distance and the
     // pigeonhole band guarantee are invariant under bit permutation, so
     // the (doc_a, doc_b, hamming) result is layout-independent.)
+    // ONE 16-hex conv per shingle instead of two 8-hex convs
+    // (optimization round 18, guide §1.2 step 2 — this decode is ~all of
+    // q27's per-shingle CPU after the md5 floor): h holds the identical
+    // 64 bits with i1 as its HIGH half (hex is big-endian), i2 its low.
+    // toBase −10 makes conv emit the SIGNED decimal, so a leading md5
+    // nibble ≥ 8 round-trips through the long cast instead of
+    // overflowing to null; bit pattern is unchanged (spec law pins the
+    // i1/i2 equivalence on adversarial hex inputs).
     val ints = base
       .select($"doc_id", explode_outer($"sh").as("shingle"))
       .filter($"shingle".isNotNull)
-      .select($"doc_id", md5($"shingle").as("hex"))
       .select($"doc_id",
-        conv(substring($"hex", 1, 8), 16, 10).cast("long").as("i1"),
-        conv(substring($"hex", 9, 8), 16, 10).cast("long").as("i2"))
+        conv(substring(md5($"shingle"), 1, 16), 16, -10).cast("long").as("h"))
     // Vote tally via 32 bit-packed lane sums instead of 64 scalar sums:
-    // lane j accumulates bit j of i1 in its low 32 bits and bit j of i2
-    // in its high 32 bits (no inter-lane carry while shingles/doc < 2^30
-    // — documents are bounded far below that). Halves the aggregate
-    // buffer count and replaces nibble decode + division with two
-    // shift/mask ops — less CPU per row AND a much smaller generated
-    // aggregate (whole-stage codegen compile time is visible at bench
-    // scale). Partial sums combine map-side, so the shuffle carries 32
-    // longs per document instead of an exploded (doc, pos, vote) row per
-    // shingle-bit (a measured multi-second 8M-row shuffle at sf0.1).
+    // lane j accumulates bit j of i1 = bit 32+j of h in its low 32 bits
+    // and bit j of i2 = bit j of h in its high 32 bits (no inter-lane
+    // carry while shingles/doc < 2^30 — documents are bounded far below
+    // that). Halves the aggregate buffer count and replaces nibble
+    // decode + division with two shift/mask ops — less CPU per row AND a
+    // much smaller generated aggregate (whole-stage codegen compile time
+    // is visible at bench scale). Partial sums combine map-side, so the
+    // shuffle carries 32 longs per document instead of an exploded
+    // (doc, pos, vote) row per shingle-bit (a measured multi-second
+    // 8M-row shuffle at sf0.1).
     val packed = ints.select(
       $"doc_id" +: (0 until 32).map(j =>
-        (shiftright($"i1", j).bitwiseAND(1) +
-          shiftleft(shiftright($"i2", j).bitwiseAND(1), 32)).as(s"l$j")): _*)
+        (shiftrightunsigned($"h", 32 + j).bitwiseAND(1) +
+          shiftleft(shiftrightunsigned($"h", j).bitwiseAND(1), 32)).as(s"l$j")): _*)
     val tallies = packed
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n"),
@@ -1459,7 +1480,16 @@ object LlmQueries {
       .filter($"blocker" < $"doc_id")
       .select($"doc_id", $"blocker")
     val cand = candCorpus.unionByName(candBatch).distinct()
-    val rejected = cand
+    // size prefilter below the array join-back (round 18, guide §3.2):
+    // J ≥ 0.8 needs shingle-set sizes within 5:4, checked on one int per
+    // doc before any candidate pulls full arrays (neardupPairs' rule)
+    val sizes = base.select($"doc_id", size($"sh").as("n"))
+    val slim = cand
+      .join(sizes.select($"doc_id", $"n".as("ni")), "doc_id")
+      .join(sizes.select($"doc_id".as("blocker"), $"n".as("nb")), "blocker")
+      .filter(least($"ni", $"nb") * 5 >= greatest($"ni", $"nb") * 4)
+      .select($"doc_id", $"blocker")
+    val rejected = slim
       .join(base.select($"doc_id", $"sh".as("sh_i")), "doc_id")
       .join(base.select($"doc_id".as("blocker"), $"sh".as("sh_b")), "blocker")
       .withColumn("common", size(array_intersect($"sh_i", $"sh_b")))
@@ -1617,7 +1647,15 @@ object LlmQueries {
     val cand = candCorpus.unionByName(candBatch).distinct()
     val blockerSh = corpusSh.unionByName(batchSh)
       .select($"doc_id".as("blocker"), $"sh".as("sh_b"))
-    val rejected = cand
+    // size prefilter below the array join-back (round 18, guide §3.2):
+    // J ≥ 0.8 needs shingle-set sizes within 5:4, checked on one int per
+    // doc before any candidate pulls full arrays (neardupPairs' rule)
+    val slim = cand
+      .join(batchSh.select($"doc_id", size($"sh").as("ni")), "doc_id")
+      .join(blockerSh.select($"blocker", size($"sh_b").as("nb")), "blocker")
+      .filter(least($"ni", $"nb") * 5 >= greatest($"ni", $"nb") * 4)
+      .select($"doc_id", $"blocker")
+    val rejected = slim
       .join(batchSh.select($"doc_id", $"sh".as("sh_i")), "doc_id")
       .join(blockerSh, "blocker")
       .withColumn("common", size(array_intersect($"sh_i", $"sh_b")))
@@ -2054,7 +2092,16 @@ object LlmQueries {
       .join(bands.filter($"split" === "train")
         .select($"doc_id".as("train_doc_id"), $"band", $"bk"), Seq("band", "bk"))
       .select($"test_doc_id", $"train_doc_id").distinct()
-    cand
+    // size prefilter below the array join-back (round 18, guide §3.2):
+    // J ≥ 0.8 needs shingle-set sizes within 5:4, checked on one int per
+    // doc before any candidate pulls full arrays (neardupPairs' rule)
+    val sizes = base.select($"doc_id", size($"sh").as("n"))
+    val slim = cand
+      .join(sizes.select($"doc_id".as("test_doc_id"), $"n".as("nt")), "test_doc_id")
+      .join(sizes.select($"doc_id".as("train_doc_id"), $"n".as("nr")), "train_doc_id")
+      .filter(least($"nt", $"nr") * 5 >= greatest($"nt", $"nr") * 4)
+      .select($"test_doc_id", $"train_doc_id")
+    slim
       .join(base.select($"doc_id".as("test_doc_id"), $"sh".as("sh_t")), "test_doc_id")
       .join(base.select($"doc_id".as("train_doc_id"), $"sh".as("sh_r")), "train_doc_id")
       .withColumn("common", size(array_intersect($"sh_t", $"sh_r")))

@@ -243,6 +243,36 @@ class LlmQueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a band-key or hamming spelling diverged from the string semantics")
   }
 
+  test("simhash single 16-hex conv decode carries the identical 64 bits as " +
+      "the two 8-hex decodes (q27's round-18 rewrite law)") {
+    val ss = spark; import ss.implicits._
+    // adversarial hex: leading nibble ≥ 8 (the packed long's sign bit —
+    // conv's signed −10 toBase must round-trip it through the cast, not
+    // overflow to null), all-ones/zeros, half boundaries, plus real md5s
+    val hexes = Seq(
+      "ffffffffffffffff", "0000000000000000", "8000000000000000",
+      "7fffffffffffffff", "80000000ffffffff", "ffffffff00000000",
+      "00000000ffffffff", "0123456789abcdef", "fedcba9876543210") ++
+      Seq("a", "b c d", "shingle text").map(s =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16))
+    val rows = hexes.toDF("hex").select(
+      conv(substring($"hex", 1, 16), 16, -10).cast("long").as("h"),
+      conv(substring($"hex", 1, 8), 16, 10).cast("long").as("i1"),
+      conv(substring($"hex", 9, 8), 16, 10).cast("long").as("i2")).collect()
+    assert(rows.length === hexes.length)
+    rows.foreach { r =>
+      assert(!r.isNullAt(0), "single-conv decode overflowed to null")
+      val (h, i1, i2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      (0 until 32).foreach { j =>
+        assert(((h >>> (32 + j)) & 1L) === ((i1 >> j) & 1L),
+          s"bit $j of i1 (= bit ${32 + j} of h) diverged for h=$h")
+        assert(((h >>> j) & 1L) === ((i2 >> j) & 1L),
+          s"bit $j of i2 (= bit $j of h) diverged for h=$h")
+      }
+    }
+  }
+
   test("standing-index probe APIs reproduce the single-table gates " +
       "(q73 ≡ admitByFingerprint, q75 ≡ admitByBandIndex on the split inputs)") {
     val ss = spark; import ss.implicits._
